@@ -1,0 +1,108 @@
+"""Aggregation operators (SURVEY.md §2.5).
+
+Everything here is a plain ``groupBy().agg()`` — map-side partial
+aggregation + one shuffle on the group key. No per-group Python loops
+(the reference iterates ``df.groupby(...)`` in Python; we never do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def count_by(df: DataFrame, keys: list[str], count_col: str = "n") -> DataFrame:
+    """Count-per-group family (db/basin_model_counts.sql,
+    db/model_counts_by_basin.sql, db/storm_track_counts_by_model.sql)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(count_col))
+
+
+def minmax_dates(df: DataFrame, keys: list[str], ts_col: str) -> DataFrame:
+    """start/end date per group (tcdb/etl/atcf.py:318-319: DATETIME min/max
+    per deck file = per storm)."""
+    return df.groupBy(*keys).agg(
+        F.min(ts_col).alias("start_date"), F.max(ts_col).alias("end_date")
+    )
+
+
+def deterministic_mode(df: DataFrame, keys: list[str], col: str, out: str = "mode_value") -> DataFrame:
+    """Most-frequent value per group with a deterministic tiebreak
+    (highest count, then smallest value) so results are stable across
+    engines and retries.
+
+    Reference: ``df.STORMNAME.mode()`` fill (tcdb/etl/atcf.py:168-169) and
+    ``most_common`` over ensemble fields (tcdb/etl/syntracks.py:194-200).
+    Built-in ``F.mode`` is tie-nondeterministic, hence count+rank.
+    """
+    counted = df.where(F.col(col).isNotNull()).groupBy(*keys, col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = W.partitionBy(*keys).orderBy(F.col("__cnt").desc(), F.col(col).asc())
+    return (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(*keys, F.col(col).alias(out))
+    )
+
+
+def ensemble_mean(
+    df: DataFrame,
+    group_keys: list[str],
+    step_col: str,
+    value_cols: list[str],
+    ensemble_col: str = "ensemble",
+    deterministic_member: int = -1,
+    mean_label: int = 9000,
+    use_median: bool = False,
+) -> DataFrame:
+    """Per-step ensemble mean (or median) across non-deterministic members,
+    appended to the input as a synthetic member.
+
+    Reference: tcdb/etl/syntracks.py:152-191 (``ensMean``): slices out the
+    deterministic member, averages lat/lon/wind/mslp per step, emits an
+    ``ENS_MEAN`` pseudo-member. Long-format groupBy replaces the xarray
+    reduction; ``unionByName`` appends the synthetic member.
+    """
+    members = df.where(F.col(ensemble_col) != deterministic_member)
+    if use_median:
+        aggs = [F.median(c).alias(c) for c in value_cols]
+    else:
+        aggs = [F.avg(c).alias(c) for c in value_cols]
+    mean_rows = (
+        members.groupBy(*group_keys, step_col)
+        .agg(*aggs)
+        .withColumn(ensemble_col, F.lit(mean_label))
+    )
+    return df.unionByName(mean_rows, allowMissingColumns=True)
+
+
+def next_annual_id(storms: DataFrame, incoming: DataFrame, partition: list[str]) -> DataFrame:
+    """Assign ``annual_id = max(existing per (season, region)) + row_number``
+    within the batch — the parallel-safe form of the reference's
+    ``max(annual_id)+1`` per-row read-increment
+    (tcdb/etl/process_storms.py:220-235), deterministic per batch commit.
+    """
+    maxes = storms.groupBy(*partition).agg(F.max("annual_id").alias("__max_aid"))
+    w = W.partitionBy(*partition).orderBy("start_date", "nhc_id")
+    return (
+        incoming.join(F.broadcast(maxes), on=partition, how="left")
+        .withColumn(
+            "annual_id",
+            (F.coalesce(F.col("__max_aid"), F.lit(0)) + F.row_number().over(w)).cast("int"),
+        )
+        .drop("__max_aid")
+    )
+
+
+def child_counts(parent: DataFrame, child: DataFrame, key: str, out: str) -> DataFrame:
+    """num_observations / num_tracks / numTrackSteps convenience counts
+    (tcdb/models/storms.py:66-68, tracks.py:45-47, forecasts.py:50-52)."""
+    counts = child.groupBy(key).agg(F.count(F.lit(1)).alias(out))
+    return parent.join(counts, on=key, how="left").fillna({out: 0})
+
+
+def grouped_counts_cube(df: DataFrame, dims: list[str], measure: Column | None = None) -> DataFrame:
+    """The reference's basin x model x storm count family generalized to a
+    single ``cube()`` pass (SURVEY.md §2.5 note) — one shuffle for all
+    2^N groupings instead of N separate queries at 100 TB."""
+    agg = measure if measure is not None else F.count(F.lit(1)).alias("n")
+    return df.cube(*dims).agg(agg)

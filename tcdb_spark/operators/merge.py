@@ -1,0 +1,150 @@
+"""Natural-key MERGE (upsert) — the heart of the reference's write side
+(SURVEY.md §2.8).
+
+The reference upserts row-at-a-time through an ORM session with
+field-level change detection (tcdb/models/base.py:50-79 ``updateFromDict``;
+gates tcdb/etl/atcf_forecasts.py:75-133, tcdb/etl/process_obs.py:70-91,
+tcdb/etl/process_storms.py:190-243). Here MERGE is one set-based plan:
+
+    merged = FULL OUTER JOIN(current, incoming, natural key)
+             -> matched & changed  => incoming fields + new audit stamp
+             -> matched & unchanged => current row (audit untouched)
+             -> right-only          => insert
+             -> left-only           => keep
+
+Idempotent under replay (same input twice -> fixed point), which is what
+the reference gets from unique indexes + one_or_none gates. On a real
+lakehouse this maps 1:1 onto ``MERGE INTO`` (Delta/Iceberg — jars not in
+this image; the writer below is the vanilla-parquet fallback and keeps the
+same semantics). Scale notes: both sides shuffle once on the natural key
+(or zero times if the table is bucketed on it); change detection is a
+null-safe column comparison, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def changed_predicate(left_prefix: str, right_prefix: str, cols: list[str]) -> Column:
+    """OR of null-safe inequalities over ``cols`` — the reference's
+    ``updateFromDict`` change detection (tcdb/models/base.py:50-79), where a
+    row is only stamped dirty when a tracked field actually differs."""
+    pred = F.lit(False)
+    for c in cols:
+        pred = pred | ~F.col(f"{left_prefix}.{c}").eqNullSafe(F.col(f"{right_prefix}.{c}"))
+    return pred
+
+
+def merge(
+    current: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    run_id: str | None = None,
+    audit_ts: Column | None = None,
+    update_guards: Column | None = None,
+    dedupe_incoming: bool = True,
+) -> DataFrame:
+    """Pure-Spark MERGE: returns the post-merge table as a DataFrame.
+
+    Args:
+        current: existing table (may be empty with correct schema).
+        incoming: staged rows; must contain all ``keys`` and any compared
+            columns. Columns missing from ``incoming`` keep current values.
+        keys: natural key (MERGE ON clause).
+        compare_cols: columns participating in change detection; default =
+            all shared non-key, non-audit columns.
+        run_id: audit stamp written to ``run_id`` only on rows actually
+            inserted or changed (tcdb/etl/process_storms.py:239-240 dirty
+            gate; run-id format tcdb/etl/process_obs.py:23).
+        audit_ts: value for ``last_update`` on touched rows (defaults to
+            ``current_timestamp()``).
+        update_guards: extra WHEN MATCHED condition, e.g. the reference's
+            "newer end_date wins" guard (tcdb/etl/process_storms.py:136-139):
+            pass ``F.col("inc.end_date") >= F.col("cur.end_date")``.
+        dedupe_incoming: drop duplicate incoming natural keys first
+            (deterministic arbitrary-last semantics should be imposed
+            upstream via latest_per_key when ordering matters).
+    """
+    audit_cols = {"run_id", "last_update"}
+    shared = [c for c in incoming.columns if c in set(current.columns)]
+    data_cols = [c for c in shared if c not in keys and c not in audit_cols]
+    if compare_cols is None:
+        compare_cols = data_cols
+    current_only = [c for c in current.columns if c not in incoming.columns]
+
+    inc = incoming.dropDuplicates(keys) if dedupe_incoming else incoming
+    cur = current.alias("cur")
+    inc = inc.alias("inc")
+
+    joined = cur.join(inc, on=[F.col(f"cur.{k}").eqNullSafe(F.col(f"inc.{k}")) for k in keys], how="full_outer")
+
+    # presence flags: a side exists iff its key columns are non-null
+    cur_exists = F.col(f"cur.{keys[0]}").isNotNull()
+    inc_exists = F.col(f"inc.{keys[0]}").isNotNull()
+
+    changed = changed_predicate("cur", "inc", compare_cols)
+    if update_guards is not None:
+        changed = changed & update_guards
+    take_incoming = inc_exists & (~cur_exists | changed)
+
+    out_cols: list[Column] = []
+    for k in keys:
+        out_cols.append(F.coalesce(F.col(f"cur.{k}"), F.col(f"inc.{k}")).alias(k))
+    for c in data_cols:
+        out_cols.append(
+            F.when(take_incoming, F.col(f"inc.{c}")).otherwise(F.col(f"cur.{c}")).alias(c)
+        )
+    for c in current_only:
+        if c in audit_cols:
+            continue
+        out_cols.append(F.col(f"cur.{c}").alias(c))
+
+    if "run_id" in current.columns:
+        stamp = F.lit(run_id) if run_id is not None else F.lit(None).cast("string")
+        out_cols.append(
+            F.when(take_incoming, stamp).otherwise(F.col("cur.run_id")).alias("run_id")
+        )
+    if "last_update" in current.columns:
+        ts = audit_ts if audit_ts is not None else F.current_timestamp()
+        out_cols.append(
+            F.when(take_incoming, ts).otherwise(F.col("cur.last_update")).alias("last_update")
+        )
+    return joined.select(*out_cols)
+
+
+def delete_where(table: DataFrame, predicate: Column) -> DataFrame:
+    """Delta-style ``DELETE WHERE`` as a DataFrame transform
+    (tcdb/pipeline/routines.py:33-65 ``removeOldInvests``)."""
+    return table.where(~F.coalesce(predicate, F.lit(False)))
+
+
+def cascade_delete(
+    parent: DataFrame,
+    children: dict[str, tuple[DataFrame, str]],
+    predicate: Column,
+    parent_key: str,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Ordered multi-table delete replacing FK ``ON DELETE CASCADE``
+    (reference relies on ORM cascade, tcdb/models/storms.py:30-31; Spark has
+    no FKs, so children are anti-joined against the deleted parent keys).
+
+    Returns (new_parent, {name: new_child}).
+    """
+    doomed = parent.where(predicate).select(parent_key).dropDuplicates([parent_key])
+    new_parent = parent.join(doomed, on=parent_key, how="left_anti")
+    new_children = {}
+    for name, (child, fk) in children.items():
+        new_children[name] = child.join(
+            doomed.withColumnRenamed(parent_key, fk), on=fk, how="left_anti"
+        )
+    return new_parent, new_children
+
+
+def latest_wins_dedupe(incoming: DataFrame, keys: list[str], order_desc: list[str]) -> DataFrame:
+    """Deterministic pre-MERGE dedup of staged rows: newest wins per key."""
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_desc])
+    return incoming.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")

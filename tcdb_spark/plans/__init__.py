@@ -1,0 +1,14 @@
+"""Query catalog exposed through __spark_entry__.py.
+
+Importing this package populates the registries in
+:mod:`tcdb_spark.plans.catalog`.
+"""
+
+from tcdb_spark.plans.catalog import QUERIES, ORACLES, load_tables  # noqa: F401
+
+# Registration side effects:
+from tcdb_spark.plans import queries_core  # noqa: F401,E402
+from tcdb_spark.plans import queries_atcf  # noqa: F401,E402
+from tcdb_spark.plans import queries_text  # noqa: F401,E402
+from tcdb_spark.plans import queries_sim  # noqa: F401,E402
+from tcdb_spark.plans import queries_merge  # noqa: F401,E402

@@ -1,0 +1,64 @@
+"""Registry of (query, oracle) pairs — the driver contract.
+
+Every implemented operator from SURVEY.md §2 registers a callable
+``(spark, sf_dir) -> DataFrame`` and (when SQL-expressible) an equivalent
+DuckDB SQL string over the same parquet tables. The driver hash-compares
+the two at sf=0.01; names and column aliases MUST match on both sides.
+
+Comparison rules baked into every pair:
+- alias every computed column identically in Spark and SQL;
+- cast count/sum-of-int aggregates to BIGINT on the DuckDB side (DuckDB
+  widens integer sums to HUGEINT, Spark keeps LongType);
+- round floating-point aggregates on BOTH sides (summation order differs
+  between engines at the last ULP);
+- deterministic tiebreaks on every window/rank (ties must not flap).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: register a query callable and optionally its DuckDB oracle."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        # TIMESTAMP(NANOS) parquet (events.ts) is unreadable without this
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read driver testdata parquet tables (TESTDATA.md).
+
+    ``events.ts`` is TIMESTAMP(NANOS), which Spark only reads as long
+    (``nanosAsLong``); it's truncated to microseconds exactly like DuckDB's
+    TIMESTAMP_NS -> TIMESTAMP cast so oracle values agree.
+    """
+    from pyspark.sql import functions as F
+
+    out = {}
+    for n in names:
+        df = _read(spark, f"{sf_dir}/{n}.parquet")
+        for col, dtype in df.dtypes:
+            if col == "ts" and dtype == "bigint":
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        out[n] = df
+    return out

@@ -1,0 +1,141 @@
+"""Domain-specific ATCF operators, oracle-checked as GOLDEN tests.
+
+The driver testdata has no deck files, so these queries parse fixture
+lines embedded as literals (FIXTURES.md §A) with the real engine code
+path, and the DuckDB oracle is the hand-computed expected output as a
+``VALUES`` table. A hash match means the parser produced exactly the
+golden rows — a stronger check than re-implementing the parse in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tcdb_spark.operators.pivot import pivot_wind_radii
+from tcdb_spark.plans.catalog import register
+from tcdb_spark.sources.atcf import (
+    parse_adeck_lines,
+    parse_bdeck_lines,
+    storms_from_bdeck,
+)
+
+# --- a-deck fixture (17 positional cols; >=18 fields kept, ragged dropped) --
+
+ADECK_LINES = [
+    "AL, 05, 2022092800, 01, OFCL, 0, 254N, 725W, 45, 1002, TS, 34, NEQ, 80, 60, 40, 70, 1008",
+    "AL, 05, 2022092800, 01, OFCL, 12, 260N, 731W, 50, 999, TS, 50, NEQ, 40, 30, 20, 30, 1009",
+    "AL, 05, 2022092806, 02, AVNO, 0, 257N, 728W, , , , , , , , , , 0",
+    "EP, 90, 2022092806, , CARQ, 0, 151N, 1042W, 25, 1006, DB, 0, , 0, 0, 0, 0, x",
+    "SH, 03, 2022011512, 03, JTWC, 24, 95S, 1230E, 65, 980, TC, 64, NEQ, 25, 25, 20, 20, y",
+    "WP, 12, 2022081800, 01, OFCL, 48, 203N, 1354E, 130, 915, TY, 64, NEQ, 45, 40, 35, 38, z",
+    "AL, 05, 2022092800, 01, OFCL",  # ragged (<18 fields) -> dropped
+    "CP, 02, 2022070112, , TEST, 6, 0N, 0E, 0, 0, , , , , , , , pad",
+]
+
+# Hand-computed golden rows (BASIN, SNUM, DATETIME, TECHNUM, TECH, TAU,
+# LAT, LON, VMAX, MSLP, TY, RAD, WINDCODE, NE, SE, SW, NW).
+_ADECK_EXPECTED = [
+    ("AL", 5, "2022-09-28 00:00:00", "01", "OFCL", 0, 25.4, -72.5, 45.0, 1002.0, "TS", "34", "NEQ", 80.0, 60.0, 40.0, 70.0),
+    ("AL", 5, "2022-09-28 00:00:00", "01", "OFCL", 12, 26.0, -73.1, 50.0, 999.0, "TS", "50", "NEQ", 40.0, 30.0, 20.0, 30.0),
+    ("AL", 5, "2022-09-28 06:00:00", "02", "AVNO", 0, 25.7, -72.8, None, None, None, None, None, None, None, None, None),
+    ("EP", 90, "2022-09-28 06:00:00", None, "CARQ", 0, 15.1, -104.2, 25.0, 1006.0, "DB", "0", None, 0.0, 0.0, 0.0, 0.0),
+    ("SH", 3, "2022-01-15 12:00:00", "03", "JTWC", 24, -9.5, 123.0, 65.0, 980.0, "TC", "64", "NEQ", 25.0, 25.0, 20.0, 20.0),
+    ("WP", 12, "2022-08-18 00:00:00", "01", "OFCL", 48, 20.3, 135.4, 130.0, 915.0, "TY", "64", "NEQ", 45.0, 40.0, 35.0, 38.0),
+    ("CP", 2, "2022-07-01 12:00:00", None, "TEST", 6, 0.0, 0.0, 0.0, 0.0, None, None, None, None, None, None, None),
+]
+
+_ADECK_OUT_TYPES = [
+    ("BASIN", "VARCHAR"), ("SNUM", "INTEGER"), ("DATETIME", "TIMESTAMP"),
+    ("TECHNUM", "VARCHAR"), ("TECH", "VARCHAR"), ("TAU", "INTEGER"),
+    ("LAT", "DOUBLE"), ("LON", "DOUBLE"), ("VMAX", "DOUBLE"), ("MSLP", "DOUBLE"),
+    ("TY", "VARCHAR"), ("RAD", "VARCHAR"), ("WINDCODE", "VARCHAR"),
+    ("NE", "DOUBLE"), ("SE", "DOUBLE"), ("SW", "DOUBLE"), ("NW", "DOUBLE"),
+]
+
+
+def _sql_lit(v, typ: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    if typ == "VARCHAR":
+        return "'" + str(v).replace("'", "''") + "'"
+    if typ == "TIMESTAMP":
+        return f"TIMESTAMP '{v}'"
+    if typ == "DOUBLE":
+        return f"CAST({v!r} AS DOUBLE)"
+    return f"CAST({v} AS {typ})"
+
+
+def _values_oracle(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
+    names = ", ".join(c for c, _ in cols)
+    vals = ",\n      ".join(
+        "(" + ", ".join(_sql_lit(v, t) for v, (_, t) in zip(row, cols)) + ")" for row in rows
+    )
+    return f"SELECT * FROM (VALUES\n      {vals}\n    ) AS t({names})"
+
+
+@register("scan_adeck_parse", oracle=_values_oracle(_ADECK_EXPECTED, _ADECK_OUT_TYPES))
+def scan_adeck_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-deck scan: split/filter/typed projection (tcdb/etl/atcf.py:19-88;
+    ragged handling :227-250). Golden-checked against hand-computed rows."""
+    lines = spark.createDataFrame([(l,) for l in ADECK_LINES], "value string")
+    parsed = parse_adeck_lines(lines)
+    return parsed.select(
+        "BASIN", "SNUM", "DATETIME",
+        F.col("`TECHNUM/MIN`").alias("TECHNUM"),
+        "TECH", "TAU", "LAT", "LON", "VMAX", "MSLP", "TY", "RAD", "WINDCODE",
+        "NE", "SE", "SW", "NW",
+    )
+
+
+# --- b-deck fixture: 3 storms incl. mode-name fill + invest naming --------
+
+BDECK_LINES = [
+    "AL, 09, 2022092600, , BEST, 0, 251N, 740W, 35, 1003, TS, 34, NEQ, 60, 40, 30, 50, 1010, 150, 30, 45, 0, L, 8, ab, 270, 8, IAN, D, 12, NEQ, 0, 0, 0, 0, ,",
+    "AL, 09, 2022092600, , BEST, 0, 251N, 740W, 35, 1003, TS, 50, NEQ, 30, 20, 10, 20, 1010, 150, 30, 45, 0, L, 8, ab, 270, 8, IAN, D, 12, NEQ, 0, 0, 0, 0, ,",
+    "AL, 09, 2022092606, , BEST, 0, 258N, 748W, 45, 996, TS, 34, NEQ, 70, 50, 40, 60, 1009, 160, 25, 55, 0, L, 9, ab, 275, 9, IAN, D, 12, NEQ, 0, 0, 0, 0, ,",
+    "EP, 91, 2022092600, , BEST, 0, 151N, 1041W, 25, 1007, DB, 34, NEQ, 0, 0, 0, 0, 1009, 100, 40, 35, 0, E, 5, cd, 280, 6, INVEST, S, 0, , 0, 0, 0, 0, ,",
+    "SH, 03, 2022011512, , BEST, 0, 95S, 1230E, 70, 975, TC, 34, NEQ, 25, 25, 20, 20, 1004, 120, 20, 85, 0, S, 6, ef, 200, 10, DARIAN, D, 0, , 0, 0, 0, 0, ,",
+]
+
+_STORMS_EXPECTED = [
+    ("AL", 9, "AL092022", 2022, "2022-09-26 00:00:00", "2022-09-26 06:00:00", "TS-Ian", 25.1, -74.0),
+    ("EP", 91, "EP912022", 2022, "2022-09-26 00:00:00", "2022-09-26 00:00:00", "NHC-91E", 15.1, -104.1),
+    ("SH", 3, "SH032022", 2022, "2022-01-15 12:00:00", "2022-01-15 12:00:00", "STC-Darian", -9.5, 123.0),
+]
+
+_STORMS_TYPES = [
+    ("basin", "VARCHAR"), ("nhc_number", "INTEGER"), ("nhc_id", "VARCHAR"),
+    ("season", "INTEGER"), ("start_date", "TIMESTAMP"), ("end_date", "TIMESTAMP"),
+    ("name", "VARCHAR"), ("start_lat", "DOUBLE"), ("start_lon", "DOUBLE"),
+]
+
+
+@register("scan_bdeck_storms", oracle=_values_oracle(_STORMS_EXPECTED, _STORMS_TYPES))
+def scan_bdeck_storms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-deck scan -> per-storm summary (toStormDict set-based,
+    tcdb/etl/atcf.py:289-337): min/max dates, first-row lat/lon, invest vs
+    named naming, nhc_id composition. Golden-checked."""
+    lines = spark.createDataFrame([(l,) for l in BDECK_LINES], "value string")
+    return storms_from_bdeck(parse_bdeck_lines(lines))
+
+
+_RADII_EXPECTED = [
+    ("AL", 9, "2022-09-26 00:00:00", 60, 40, 30, 50, 30, 20, 10, 20, None, None, None, None),
+    ("AL", 9, "2022-09-26 06:00:00", 70, 50, 40, 60, None, None, None, None, None, None, None, None),
+    ("EP", 91, "2022-09-26 00:00:00", 0, 0, 0, 0, None, None, None, None, None, None, None, None),
+    ("SH", 3, "2022-01-15 12:00:00", 25, 25, 20, 20, None, None, None, None, None, None, None, None),
+]
+
+_RADII_TYPES = [("BASIN", "VARCHAR"), ("SNUM", "INTEGER"), ("DATETIME", "TIMESTAMP")] + [
+    (f"r{r}_{q}", "INTEGER") for r in (34, 50, 64) for q in ("ne", "se", "sw", "nw")
+]
+
+
+@register("pivot_wind_radii", oracle=_values_oracle(_RADII_EXPECTED, _RADII_TYPES))
+def pivot_wind_radii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wind-radii long->wide reshape (tcdb/etl/atcf.py:340-385,418-427):
+    <=3 RAD rows per cycle become 12 r{34,50,64}_{quad} columns."""
+    lines = spark.createDataFrame([(l,) for l in BDECK_LINES], "value string")
+    parsed = parse_bdeck_lines(lines)
+    return pivot_wind_radii(parsed, ["BASIN", "SNUM", "DATETIME"])

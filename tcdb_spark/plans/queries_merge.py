@@ -1,0 +1,125 @@
+"""Write-side MERGE semantics (SURVEY.md §2.8) oracle-checked on the
+``events`` table: a keyed upsert expressed as the full-outer-join plan the
+engine uses when no lakehouse MERGE is available.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tcdb_spark.operators.merge import cascade_delete, delete_where, merge
+from tcdb_spark.plans.catalog import load_tables, register
+
+
+def _current_incoming(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    e = load_tables(spark, sf_dir, "events")["events"]
+    current = e.where(F.col("event_id") % 2 == 0)
+    # value+1 is exact in binary floating point (no cross-engine rounding
+    # half-case hazard the way round(v*1.1, 2) has)
+    incoming = e.where(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") + F.lit(1.0)
+    )
+    return current, incoming
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH cur AS (SELECT * FROM events WHERE event_id % 2 = 0),
+         inc AS (SELECT event_id, ts, user_id, event_type,
+                        value + 1.0 AS value
+                 FROM events WHERE event_id % 3 = 0)
+    SELECT coalesce(c.event_id, i.event_id) AS event_id,
+           CASE WHEN i.event_id IS NOT NULL THEN i.ts ELSE c.ts END AS ts,
+           CASE WHEN i.event_id IS NOT NULL THEN i.user_id ELSE c.user_id END AS user_id,
+           CASE WHEN i.event_id IS NOT NULL THEN i.event_type ELSE c.event_type END AS event_type,
+           CASE WHEN i.event_id IS NOT NULL THEN i.value ELSE c.value END AS value
+    FROM cur c FULL OUTER JOIN inc i ON c.event_id = i.event_id
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-key MERGE: matched+changed -> update, unmatched-right ->
+    insert, left-only -> keep (tcdb/etl/process_obs.py:70-91 semantics as
+    one full-outer-join plan). The oracle's CASE-by-presence is equivalent
+    because unchanged matches take identical incoming values."""
+    current, incoming = _current_incoming(spark, sf_dir)
+    out = merge(current, incoming, keys=["event_id"])
+    return out.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
+    "merge_delete_old",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE NOT (event_type = 'error'
+               AND ts < (SELECT max(ts) - INTERVAL 48 HOUR FROM events))
+    """,
+)
+def merge_delete_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE (removeOldInvests shape, tcdb/pipeline/routines.py:33-65):
+    drop stale rows of one class, keep everything else."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    ref = e.agg(F.max("ts").alias("__max_ts"))
+    tagged = e.crossJoin(F.broadcast(ref))
+    pred = (F.col("event_type") == "error") & (
+        F.col("ts") < F.col("__max_ts") - F.expr("INTERVAL 48 HOURS")
+    )
+    return delete_where(tagged, pred).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
+    "merge_cascade_delete",
+    oracle="""
+    WITH doomed AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderstatus = 'F' AND o_totalprice < 5000)
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_custkey NOT IN (SELECT o_custkey FROM doomed)
+    """,
+)
+def merge_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-table delete replacing FK cascade (ORM cascade
+    tcdb/models/storms.py:30-31): delete parents matching a predicate,
+    anti-join children against the deleted keys."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    child = t["lineitem"].join(
+        t["orders"].select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    pred = (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 5000)
+    _, children = cascade_delete(
+        t["orders"], {"lineitem": (child, "o_custkey")}, pred, "o_custkey"
+    )
+    return children["lineitem"].select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "dedup_file_content",
+    oracle="""
+    WITH versions AS (
+        SELECT doc_id, source, text,
+               lag(md5(text)) OVER (PARTITION BY source ORDER BY doc_id) AS prev_hash
+        FROM documents
+    )
+    SELECT doc_id, source
+    FROM versions
+    WHERE prev_hash IS NULL OR md5(text) <> prev_hash
+    """,
+)
+def dedup_file_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-ledger dedup: keep only versions whose content hash differs
+    from the previous version in sequence (tcdb/pipeline/fs_utils.py:23-56
+    ``removeDuplicateFiles``) — lag(hash) over the version order."""
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    h = F.md5(F.col("text").cast("binary"))
+    w = W.partitionBy("source").orderBy("doc_id")
+    return (
+        d.withColumn("__h", h)
+        .withColumn("__prev", F.lag("__h").over(w))
+        .where(F.col("__prev").isNull() | (F.col("__h") != F.col("__prev")))
+        .select("doc_id", "source")
+    )

@@ -1,0 +1,196 @@
+"""Text-analysis + dedup extension operators over ``documents``
+(SURVEY.md §2.12) — the training-data-pipeline surface.
+
+All hot-path logic is built-in column expressions / higher-order array
+functions (JVM-side, codegen) — no Python UDFs. Hash functions are md5
+(present in both Spark and DuckDB) so oracles replicate bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tcdb_spark.plans.catalog import load_tables, register
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "data"],
+    "es": ["table", "row", "fast"],
+    "de": ["merge", "sort", "key"],
+    "fr": ["join", "filter", "value"],
+    "zh": ["spark", "query", "window"],
+}
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup, lowest doc_id wins — generalizes the
+    reference's content-identity file skip (tcdb/pipeline/fs_utils.py:10-56
+    ``isContentsUnique``/``removeDuplicateFiles``). Hash-groupBy: one
+    shuffle on md5(text), no pairwise compare."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(F.col("doc_id").asc())
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (letters / digits / single punctuation) — §2.12 text-analysis."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("int").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).cast("int").alias("n_bpe_tokens"),
+        F.length(F.col("text")).cast("bigint").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               regexp_split_to_array(trim(text), '\\s+') AS tokens,
+               length(text) AS tlen,
+               length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id,
+           CAST(len(tokens) AS INTEGER) AS n_tokens,
+           round(CAST(tlen AS DOUBLE) / len(tokens), 4) AS avg_token_len,
+           round(CAST(n_punct AS DOUBLE) / tlen, 4) AS punct_ratio,
+           round(CAST(len(list_filter(tokens, x -> x IN ({", ".join("'" + s + "'" for s in STOPWORDS)}))) AS DOUBLE)
+                 / len(tokens), 4) AS stopword_ratio
+    FROM toks
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: length, punctuation ratio, stopword ratio —
+    §2.12 text-analysis quality scoring. Pure higher-order array fns."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("tokens"),
+        F.length("text").alias("tlen"),
+        F.length(F.regexp_replace(F.col("text"), r"[^.,!?;:]", "")).alias("n_punct"),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return toks.select(
+        "doc_id",
+        F.size("tokens").cast("int").alias("n_tokens"),
+        F.round(F.col("tlen").cast("double") / F.size("tokens"), 4).alias("avg_token_len"),
+        F.round(F.col("n_punct").cast("double") / F.col("tlen"), 4).alias("punct_ratio"),
+        F.round(
+            F.size(F.filter("tokens", lambda x: F.array_contains(stop_arr, x))).cast("double")
+            / F.size("tokens"),
+            4,
+        ).alias("stopword_ratio"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+    return f"len(list_filter(tokens, x -> x IN ({markers})))"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang AS lang_label,
+               regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents WHERE length(trim(text)) > 0
+    ), scored AS (
+        SELECT doc_id, lang_label,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('es')} AS s_es,
+               {_lang_score_sql('de')} AS s_de,
+               {_lang_score_sql('fr')} AS s_fr,
+               {_lang_score_sql('zh')} AS s_zh
+        FROM toks
+    )
+    SELECT doc_id, lang_label,
+           CASE
+             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS lang_guess
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (n-gram-style scoring with a
+    deterministic argmax tie order en>es>de>fr>zh) — §2.12 language-ID."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("tokens"),
+    )
+    def _score(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter("tokens", lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: _score(markers) for lang, markers in _LANG_MARKERS.items()}
+    s = toks.select("doc_id", "lang_label", *[scores[l].alias(f"s_{l}") for l in _LANG_MARKERS])
+    guess = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")) & (F.col("s_en") >= F.col("s_zh")),
+            "en",
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr"))
+            & (F.col("s_es") >= F.col("s_zh")),
+            "es",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_zh")), "de")
+        .when(F.col("s_fr") >= F.col("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    return s.select("doc_id", "lang_label", guess.alias("lang_guess"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: normalized text -> md5 prefix — §2.12
+    fingerprinting; md5 is bit-identical across Spark and DuckDB."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select(
+        "doc_id", F.substring(F.md5(norm.cast("binary")), 1, 16).alias("fingerprint")
+    )
