@@ -85,6 +85,41 @@ def read_bdeck(spark: SparkSession, path: str, min_fields: int = 18) -> DataFram
     return parse_bdeck_lines(lines, min_fields=min_fields)
 
 
+def observations_from_bdeck(parsed: DataFrame) -> DataFrame:
+    """Per-cycle observation rows from parsed b-deck: one wide row per
+    (basin, storm number, DATETIME) — first-row position/intensity plus the
+    12 pivoted wind radii and pouter/roci/rmw.
+
+    Set-based form of ``observationDictFromDataFrame``
+    (tcdb/etl/atcf.py:340-385) + the per-cycle groupby loop in
+    processObservations (tcdb/etl/process_obs.py:70-91): ONE groupBy over
+    every cycle of every storm instead of a Python loop per (file, cycle).
+    """
+    from tcdb_spark.operators.pivot import QUADS, RAD_THRESHOLDS
+
+    first_ord = F.struct(F.col("RAD").try_cast("int"))
+    aggs = [
+        F.min_by(F.col("LAT"), first_ord).alias("latitude"),
+        F.min_by(F.col("LON"), first_ord).alias("longitude"),
+        F.min_by(F.col("VMAX"), first_ord).alias("intensity_kts"),
+        F.min_by(F.col("MSLP"), first_ord).alias("mslp_mb"),
+        F.min_by(F.col("POUTER"), first_ord).cast("int").alias("pouter_mb"),
+        F.min_by(F.col("ROCI"), first_ord).cast("int").alias("router_nmi"),
+        F.min_by(F.col("RMW"), first_ord).cast("int").alias("rmw_nmi"),
+    ]
+    for r in RAD_THRESHOLDS:
+        for q in QUADS:
+            aggs.append(
+                F.max(F.when(F.col("RAD").try_cast("int") == r, F.col(q).cast("int")))
+                .alias(f"r{r}_{q.lower()}")
+            )
+    return parsed.groupBy(
+        F.upper(F.col("BASIN")).alias("basin"),
+        F.col("SNUM").alias("nhc_number"),
+        F.col("DATETIME").alias("datetime_utc"),
+    ).agg(*aggs)
+
+
 def storms_from_bdeck(parsed: DataFrame, season_col: str | None = None) -> DataFrame:
     """Per-storm summary rows from parsed b-deck observations — the
     set-based form of the reference's per-file ``toStormDict``

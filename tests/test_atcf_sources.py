@@ -1,0 +1,59 @@
+"""ATCF source tests: ragged handling, typed projection, storm summary,
+wind-radii pivot (reference: tcdb/etl/atcf.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tcdb_spark.operators.pivot import pivot_wind_radii, unpivot_radii
+from tcdb_spark.plans.queries_atcf import ADECK_LINES, BDECK_LINES
+from tcdb_spark.sources.atcf import (
+    parse_adeck_lines,
+    parse_bdeck_lines,
+    storms_from_bdeck,
+)
+
+
+def _lines(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "value string")
+
+
+def test_adeck_ragged_dropped(spark):
+    parsed = parse_adeck_lines(_lines(spark, ADECK_LINES))
+    assert parsed.count() == len(ADECK_LINES) - 1  # one ragged line
+
+
+def test_adeck_types_and_blanks(spark):
+    parsed = parse_adeck_lines(_lines(spark, ADECK_LINES))
+    r = parsed.where((F.col("TECH") == "AVNO")).first()
+    assert r["VMAX"] is None and r["MSLP"] is None and r["TY"] is None
+    assert r["LAT"] == 25.7 and r["LON"] == -72.8
+    assert dict(parsed.dtypes)["SNUM"] == "int"
+    assert dict(parsed.dtypes)["DATETIME"] == "timestamp"
+
+
+def test_bdeck_storm_summary(spark):
+    storms = storms_from_bdeck(parse_bdeck_lines(_lines(spark, BDECK_LINES)))
+    by_id = {r["nhc_id"]: r for r in storms.collect()}
+    assert set(by_id) == {"AL092022", "EP912022", "SH032022"}
+    ian = by_id["AL092022"]
+    assert ian["name"] == "TS-Ian"
+    assert ian["start_lat"] == 25.1 and ian["start_lon"] == -74.0
+    assert by_id["EP912022"]["name"] == "NHC-91E"   # invest naming
+    assert by_id["SH032022"]["name"] == "STC-Darian"
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    parsed = parse_bdeck_lines(_lines(spark, BDECK_LINES))
+    wide = pivot_wind_radii(parsed, ["BASIN", "SNUM", "DATETIME"])
+    assert wide.count() == 4
+    ian0 = wide.where(
+        (F.col("SNUM") == 9) & (F.col("DATETIME") == F.lit("2022-09-26 00:00:00").cast("timestamp"))
+    ).first()
+    assert (ian0["r34_ne"], ian0["r50_ne"], ian0["r64_ne"]) == (60, 30, None)
+    long = unpivot_radii(wide, ["BASIN", "SNUM", "DATETIME"])
+    # 12 radii columns exploded per cycle
+    assert long.count() == 4 * 12
+    back = long.where(F.col("radius_nmi").isNotNull())
+    # ian cycle0: r34+r50 (8), cycle1: r34 (4); invest r34 (4); SH r34 (4)
+    assert back.count() == 8 + 4 + 4 + 4
