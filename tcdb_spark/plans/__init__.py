@@ -12,3 +12,5 @@ from tcdb_spark.plans import queries_atcf  # noqa: F401,E402
 from tcdb_spark.plans import queries_text  # noqa: F401,E402
 from tcdb_spark.plans import queries_sim  # noqa: F401,E402
 from tcdb_spark.plans import queries_merge  # noqa: F401,E402
+from tcdb_spark.plans import queries_dedup_near  # noqa: F401,E402
+from tcdb_spark.plans import queries_multimodal  # noqa: F401,E402

@@ -1,0 +1,321 @@
+"""Near-duplicate detection operators over ``documents``/``embeddings``
+(SURVEY.md §2.12 ``dedup-near``): MinHash-LSH, n-gram Jaccard, SimHash,
+embedding-cosine. All hashing is md5-based so DuckDB oracles reproduce the
+Spark results bit-for-bit; the raw synthetic corpus has no near-dups, so
+each query first plants deterministic perturbed copies (same derivation on
+both sides) and must then FIND exactly those pairs — a functional test of
+the detector, not just of hashing.
+
+Scale notes: every detector here is the standard inverted-index /
+band-bucket shape — shingle/band explode, shuffle on the (rare) key,
+pair aggregation. No O(n^2) all-pairs anywhere except the sampled
+embedding query, which is label-partitioned and subsampled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tcdb_spark.plans.catalog import load_tables, register
+
+N_HASHES = 8
+N_BANDS = 4  # 2 rows per band
+SHINGLE = 5
+
+# --- shared corpus construction (documents + planted near-dups) -----------
+
+_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' zz yy xx' AS text
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    dups = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text"),
+        )
+    )
+    return d.select("doc_id", "text").unionByName(dups)
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def _shingles(tokens: Column) -> Column:
+    """Word 5-shingles: rare enough that the inverted index never explodes
+    on the hot-key problem frequent shingles cause at scale."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (SHINGLE - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + k) for k in range(SHINGLE)]
+        ),
+    )
+
+
+def _minhash(shingles: Column, j: int) -> Column:
+    """j-th minhash: lexicographic min of 8-hex-digit md5 prefixes —
+    fixed-width lowercase hex compares identically to the numeric value,
+    so no cross-engine hex->int conversion is needed."""
+    return F.array_min(
+        F.transform(
+            shingles,
+            lambda s: F.substring(F.md5(F.concat(F.lit(f"{j}:"), s).cast("binary")), 1, 8),
+        )
+    )
+
+
+_SHINGLES_SQL = (
+    "list_transform(range(1, len(tokens) - {m}), i -> "
+    + " || ' ' || ".join(f"tokens[i+{k}]" for k in range(SHINGLE))
+    + ")"
+).format(m=SHINGLE - 2)
+# range(1, L - (SHINGLE-2)) is end-exclusive -> i in [1, L-SHINGLE+1]
+
+
+def _minhash_sql(j: int) -> str:
+    return (
+        f"list_min(list_transform(shingles, s -> substring(md5('{j}:' || s), 1, 8)))"
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM corpus
+    ), sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles
+        FROM toks WHERE len(tokens) >= {SHINGLE}
+    ), sigs AS (
+        SELECT doc_id,
+               {", ".join(f"{_minhash_sql(j)} AS mh{j}" for j in range(N_HASHES))}
+        FROM sh
+    ), bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, mh{2*b} || mh{2*b+1} AS band_key FROM sigs"
+            for b in range(N_BANDS)
+        )}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: shingle -> 8 minhashes -> 4 band keys ->
+    bucket self-join. Candidate pairs = docs sharing any band. The planted
+    tail-append dups share most shingles, so >=1 band collides; unrelated
+    random docs share none."""
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.select("doc_id", _tokens(F.col("text")).alias("tokens")).where(
+        F.size("tokens") >= SHINGLE
+    )
+    sh = toks.select("doc_id", _shingles(F.col("tokens")).alias("shingles"))
+    sigs = sh.select(
+        "doc_id", *[_minhash(F.col("shingles"), j).alias(f"mh{j}") for j in range(N_HASHES)]
+    )
+    bands = None
+    for b in range(N_BANDS):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM corpus
+    ), sh AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles
+        FROM toks WHERE len(tokens) >= {SHINGLE}
+    ), inv AS (
+        SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh
+        FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_inter,
+               any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (na + nb - n_inter), 4) AS jaccard
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.7
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted shingle index: explode
+    distinct shingles, self-join on shingle (rare keys only), count the
+    intersection per pair, |union| = na + nb - inter. Threshold 0.7."""
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.select("doc_id", _tokens(F.col("text")).alias("tokens")).where(
+        F.size("tokens") >= SHINGLE
+    )
+    sh = toks.select(
+        "doc_id", F.array_distinct(_shingles(F.col("tokens"))).alias("shingles")
+    )
+    inv = sh.select(
+        "doc_id", F.explode("shingles").alias("shingle"), F.size("shingles").alias("n_sh")
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.any_value(F.col("a.n_sh")).alias("na"),
+            F.any_value(F.col("b.n_sh")).alias("nb"),
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return inter.where(jac >= 0.7).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+N_SIMHASH_BITS = 16
+_HEXES = "0123456789abcdef"
+
+
+def _bit_expr_spark(tok: Column, b: int) -> Column:
+    nibble = F.substring(F.md5(tok.cast("binary")), 1 + b // 4, 1)
+    val = F.instr(F.lit(_HEXES), nibble) - 1
+    return F.shiftright(val, 3 - b % 4).bitwiseAND(F.lit(1))
+
+
+def _bit_expr_sql(b: int) -> str:
+    return (
+        f"(((strpos('{_HEXES}', substring(md5(t), {1 + b // 4}, 1)) - 1) >> {3 - b % 4}) & 1)"
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (
+        SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tokens
+        FROM corpus WHERE length(trim(text)) > 0
+    ), bits AS (
+        SELECT doc_id,
+            {", ".join(
+                f"list_sum(list_transform(tokens, t -> 2 * {_bit_expr_sql(b)} - 1)) AS s{b}"
+                for b in range(N_SIMHASH_BITS)
+            )}
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN s{b} >= 0 THEN 1 ELSE 0 END) * {1 << b}" for b in range(N_SIMHASH_BITS))}
+                AS BIGINT) AS simhash
+    FROM bits
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens: per bit, sum +/-1 votes from
+    each token's md5 bit; the sign gives the fingerprint bit. Hamming-near
+    docs get equal/close fingerprints (the planted dups differ in <=3
+    tokens out of ~100, so their votes rarely flip a bit)."""
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tokens")
+    )
+    def _vote_sum(b: int):
+        return F.aggregate(
+            F.transform(F.col("tokens"), lambda t: 2 * _bit_expr_spark(t, b) - 1),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias(f"s{b}")
+
+    sums = toks.select("doc_id", *[_vote_sum(b) for b in range(N_SIMHASH_BITS)])
+    fingerprint = None
+    for b in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, 1).otherwise(0) * (1 << b)
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH sampled AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings WHERE vec_id % 17 = 0
+        UNION ALL
+        SELECT vec_id + 10000000 AS vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) AS emb
+        FROM embeddings WHERE vec_id % 51 = 0
+    ), pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+        FROM sampled a JOIN sampled b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(cos, 6) AS cosine
+    FROM pairs WHERE cos >= 0.99
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: label-partitioned sampled pairs with cosine >=
+    0.99 — finds exactly the planted scaled clones (scaling preserves
+    cosine). The label equi-join keeps the pair space partitioned; the
+    full-scale path is the LSH-bucketed variant (queries_sim.lsh_bucket_ann)."""
+    from tcdb_spark.plans.queries_sim import cosine_sim
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    base = e.where(F.col("vec_id") % 17 == 0).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    clones = e.where(F.col("vec_id") % 51 == 0).select(
+        (F.col("vec_id") + 10000000).alias("vec_id"),
+        "label",
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 2.0).alias("emb"),
+    )
+    sampled = base.unionByName(clones)
+    a, b = sampled.alias("a"), sampled.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine_sim(F.col("a.emb"), F.col("b.emb")).alias("cos"),
+    )
+    return pairs.where(F.col("cos") >= 0.99).select(
+        "vec_a", "vec_b", F.round("cos", 6).alias("cosine")
+    )

@@ -1,0 +1,114 @@
+"""Incremental / streaming pipelines (SURVEY.md §2.10).
+
+The reference is cron micro-batch: shell wrappers re-download everything,
+a content-hash ledger detects new data, natural-key upserts make replay
+idempotent, and a backfill flag widens the freshness window
+(tcdb/pipeline/master_bdeck.sh, bdeck.py:88-112, adeck.py:69-76). The
+Structured-Streaming mapping:
+
+- source trigger        -> file source + Trigger.AvailableNow
+- new-data detection    -> file-source exactly-once tracking (+ ledger)
+- late data / backfill  -> event-time watermark (48 h) / watermark off
+- exactly-once upsert   -> foreachBatch -> natural-key MERGE
+- 6 h synoptic cycles   -> tumbling window(ts, '6 hours')
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tcdb_spark.sources.atcf import parse_bdeck_lines
+from tcdb_spark.sources.warehouse import Warehouse
+
+
+def windowed_cycle_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "6 hours",
+    watermark: str = "48 hours",
+) -> DataFrame:
+    """Tumbling synoptic-cycle aggregation with a late-data watermark —
+    the streaming form of fn-cycle-floor + per-cycle rollup
+    (tcdb/pipeline/adeck.py:243-246; 48 h = the reference's re-write
+    skip window, tcdb/pipeline/adeck.py:96-98). Works on both batch and
+    streaming frames (withWatermark is a no-op in batch)."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return src.groupBy(F.window(F.col(ts_col), window).alias("cycle_window")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def stream_bdeck_ingest(
+    spark: SparkSession,
+    raw_dir: str,
+    warehouse: Warehouse,
+    run_id_prefix: str = "STREAM_BDECK",
+    checkpoint_dir: str | None = None,
+    now=None,
+):
+    """Incremental b-deck ingest: watch a landing directory for deck
+    files, parse each micro-batch, MERGE via foreachBatch — the
+    exactly-once composition of §2.8 upserts with the §2.10 file source.
+    Replays are harmless because every write is a natural-key MERGE.
+
+    Returns the started StreamingQuery (AvailableNow: drains the backlog
+    then stops — the cron-equivalent trigger).
+    """
+    from tcdb_spark.jobs.bdeck import run_bdeck_job
+
+    lines = (
+        spark.readStream.format("text")
+        .schema(T.StructType([T.StructField("value", T.StringType())]))
+        .load(raw_dir)
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        parsed = parse_bdeck_lines(batch_df)
+        run_bdeck_job(
+            batch_df.sparkSession, parsed, warehouse, f"{run_id_prefix}__{epoch_id}", now=now
+        )
+
+    writer = (
+        lines.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{warehouse.root}/_checkpoints/bdeck",
+        )
+    )
+    return writer.start()
+
+
+def run_incremental(
+    spark: SparkSession,
+    raw_dir: str,
+    warehouse: Warehouse,
+    timeout_s: int = 120,
+    now=None,
+) -> None:
+    """One cron tick: drain all new files, block until done."""
+    q = stream_bdeck_ingest(spark, raw_dir, warehouse, now=now)
+    q.awaitTermination(timeout_s)
+
+
+def stream_windowed_counts_to_memory(
+    spark: SparkSession, events: DataFrame, name: str = "cycle_counts"
+):
+    """Streaming windowed agg smoke harness (memory sink, complete mode)."""
+    agg = windowed_cycle_counts(events)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
