@@ -28,8 +28,13 @@ HEADLINE = [
     "join_entity_resolution",
     "merge_upsert",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "text_quality_score",
     "text_lang_id",
+    "fn_cycle_floor",
     "sim_topk_cosine",
     "sim_ann_lsh",
 ]

@@ -60,16 +60,24 @@ def _shingles(tokens: Column) -> Column:
     )
 
 
-def _minhash(shingles: Column, j: int) -> Column:
-    """j-th minhash: lexicographic min of 8-hex-digit md5 prefixes —
+def _shingle_hashes(shingles: Column) -> Column:
+    """64 hex chars per shingle: md5(s) || md5('x'||s). The 8 minhash
+    functions are the eight 8-char windows — two md5 calls per shingle
+    instead of eight (md5 dominates the runtime here)."""
+    return F.transform(
+        shingles,
+        lambda s: F.concat(
+            F.md5(s.cast("binary")),
+            F.md5(F.concat(F.lit("x"), s).cast("binary")),
+        ),
+    )
+
+
+def _minhash(hashes: Column, j: int) -> Column:
+    """j-th minhash: lexicographic min of the j-th 8-hex-digit window —
     fixed-width lowercase hex compares identically to the numeric value,
     so no cross-engine hex->int conversion is needed."""
-    return F.array_min(
-        F.transform(
-            shingles,
-            lambda s: F.substring(F.md5(F.concat(F.lit(f"{j}:"), s).cast("binary")), 1, 8),
-        )
-    )
+    return F.array_min(F.transform(hashes, lambda h: F.substring(h, 1 + 8 * j, 8)))
 
 
 _SHINGLES_SQL = (
@@ -80,10 +88,11 @@ _SHINGLES_SQL = (
 # range(1, L - (SHINGLE-2)) is end-exclusive -> i in [1, L-SHINGLE+1]
 
 
+_SHINGLE_HASHES_SQL = "list_transform(shingles, s -> md5(s) || md5('x' || s))"
+
+
 def _minhash_sql(j: int) -> str:
-    return (
-        f"list_min(list_transform(shingles, s -> substring(md5('{j}:' || s), 1, 8)))"
-    )
+    return f"list_min(list_transform(hashes, h -> substring(h, {1 + 8 * j}, 8)))"
 
 
 @register(
@@ -96,10 +105,12 @@ def _minhash_sql(j: int) -> str:
     ), sh AS (
         SELECT doc_id, {_SHINGLES_SQL} AS shingles
         FROM toks WHERE len(tokens) >= {SHINGLE}
+    ), hs AS (
+        SELECT doc_id, {_SHINGLE_HASHES_SQL} AS hashes FROM sh
     ), sigs AS (
         SELECT doc_id,
                {", ".join(f"{_minhash_sql(j)} AS mh{j}" for j in range(N_HASHES))}
-        FROM sh
+        FROM hs
     ), bands AS (
         {" UNION ALL ".join(
             f"SELECT doc_id, {b} AS band, mh{2*b} || mh{2*b+1} AS band_key FROM sigs"
@@ -121,17 +132,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens") >= SHINGLE
     )
     sh = toks.select("doc_id", _shingles(F.col("tokens")).alias("shingles"))
-    sigs = sh.select(
-        "doc_id", *[_minhash(F.col("shingles"), j).alias(f"mh{j}") for j in range(N_HASHES)]
+    hs = sh.select("doc_id", _shingle_hashes(F.col("shingles")).alias("hashes"))
+    sigs = hs.select(
+        "doc_id", *[_minhash(F.col("hashes"), j).alias(f"mh{j}") for j in range(N_HASHES)]
+    ).persist()  # barrier: the band explode + self-join must not re-inline the md5 pipeline
+    # ONE pass: explode the 4 band keys per doc (a union of selects would
+    # recompute the md5 pipeline once per band), then persist so the
+    # self-join's two branches don't each recompute the signatures.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
     )
-    bands = None
-    for b in range(N_BANDS):
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("band_key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    bands = (
+        sigs.select("doc_id", F.explode(band_structs).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+        .persist()
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -181,9 +202,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = corpus.select("doc_id", _tokens(F.col("text")).alias("tokens")).where(
         F.size("tokens") >= SHINGLE
     )
+    # persist the shingle arrays BEFORE exploding: projection collapse
+    # would otherwise re-inline the whole shingling into the Generate and
+    # recompute it per exploded row (and again per self-join branch)
     sh = toks.select(
         "doc_id", F.array_distinct(_shingles(F.col("tokens"))).alias("shingles")
-    )
+    ).persist()
     inv = sh.select(
         "doc_id", F.explode("shingles").alias("shingle"), F.size("shingles").alias("n_sh")
     )
@@ -211,15 +235,17 @@ N_SIMHASH_BITS = 16
 _HEXES = "0123456789abcdef"
 
 
-def _bit_expr_spark(tok: Column, b: int) -> Column:
-    nibble = F.substring(F.md5(tok.cast("binary")), 1 + b // 4, 1)
+def _bit_expr_spark(h: Column, b: int) -> Column:
+    """Bit b of a precomputed md5 hex string (one md5 per token, not one
+    per token per bit — md5 dominates the runtime)."""
+    nibble = F.substring(h, 1 + b // 4, 1)
     val = F.instr(F.lit(_HEXES), nibble) - 1
     return F.shiftright(val, 3 - b % 4).bitwiseAND(F.lit(1))
 
 
 def _bit_expr_sql(b: int) -> str:
     return (
-        f"(((strpos('{_HEXES}', substring(md5(t), {1 + b // 4}, 1)) - 1) >> {3 - b % 4}) & 1)"
+        f"(((strpos('{_HEXES}', substring(h, {1 + b // 4}, 1)) - 1) >> {3 - b % 4}) & 1)"
     )
 
 
@@ -230,13 +256,15 @@ def _bit_expr_sql(b: int) -> str:
     toks AS (
         SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tokens
         FROM corpus WHERE length(trim(text)) > 0
+    ), hashed AS (
+        SELECT doc_id, list_transform(tokens, t -> md5(t)) AS hashes FROM toks
     ), bits AS (
         SELECT doc_id,
             {", ".join(
-                f"list_sum(list_transform(tokens, t -> 2 * {_bit_expr_sql(b)} - 1)) AS s{b}"
+                f"list_sum(list_transform(hashes, h -> 2 * {_bit_expr_sql(b)} - 1)) AS s{b}"
                 for b in range(N_SIMHASH_BITS)
             )}
-        FROM toks
+        FROM hashed
     )
     SELECT doc_id,
            CAST({" + ".join(f"(CASE WHEN s{b} >= 0 THEN 1 ELSE 0 END) * {1 << b}" for b in range(N_SIMHASH_BITS))}
@@ -253,14 +281,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = corpus.where(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tokens")
     )
+    hashed = toks.select(
+        "doc_id",
+        F.transform(F.col("tokens"), lambda t: F.md5(t.cast("binary"))).alias("hashes"),
+    )
+
     def _vote_sum(b: int):
         return F.aggregate(
-            F.transform(F.col("tokens"), lambda t: 2 * _bit_expr_spark(t, b) - 1),
+            F.transform(F.col("hashes"), lambda h: 2 * _bit_expr_spark(h, b) - 1),
             F.lit(0),
             lambda acc, x: acc + x,
         ).alias(f"s{b}")
 
-    sums = toks.select("doc_id", *[_vote_sum(b) for b in range(N_SIMHASH_BITS)])
+    sums = hashed.select("doc_id", *[_vote_sum(b) for b in range(N_SIMHASH_BITS)])
     fingerprint = None
     for b in range(N_SIMHASH_BITS):
         term = F.when(F.col(f"s{b}") >= 0, 1).otherwise(0) * (1 << b)
