@@ -1,0 +1,72 @@
+"""Validation / constraint catalog entries (SURVEY.md §2.9) over the
+driver testdata."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tcdb_spark.operators.validation import (
+    RangeRule,
+    check_fk_orphans,
+    check_range_coerce,
+    check_unique,
+)
+from tcdb_spark.plans.catalog import load_tables, register
+
+
+@register(
+    "check_range_coerce",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value BETWEEN 0 AND 100 THEN value ELSE NULL END AS value,
+           CASE WHEN value IS NULL OR (value BETWEEN 850 AND 1050) OR value = 0
+                THEN coalesce(value, 1000.0) ELSE 1000.0 END AS pressure_like
+    FROM (SELECT event_id, value FROM events) t
+    """,
+)
+def check_range_coerce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lenient range validation: out-of-range -> null (velocity-style) or
+    default (pressure-style, None -> 1000) — tcdb/validation.py:6-33."""
+    e = load_tables(spark, sf_dir, "events")["events"].select("event_id", "value")
+    coerced = check_range_coerce(e, [RangeRule("value", 0, 100)])
+    pressure = check_range_coerce(
+        e.select("event_id", F.col("value").alias("pressure_like")),
+        [RangeRule("pressure_like", 850, 1050, also_allowed=(0,), default=1000)],
+    )
+    return coerced.join(pressure, on="event_id")
+
+
+@register(
+    "check_unique_violations",
+    oracle="""
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+    """,
+)
+def check_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness audit (db/init_db_base.sql:137-145 unique indexes):
+    l_orderkey is NOT unique in lineitem -> every multi-line order is a
+    violation group; (l_orderkey, l_linenumber) would return empty."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return check_unique(li, ["l_orderkey"])
+
+
+@register(
+    "check_fk_orphans",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+    """,
+)
+def check_fk_orphans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan audit (db/init_db_base.sql:124-135; skip-if-missing
+    tcdb/etl/process_obs.py:62-65): orders whose customer is absent —
+    the quarantine set (empty when integrity holds)."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    orders = t["orders"].select("o_orderkey", F.col("o_custkey"))
+    parent = t["customer"].select(F.col("c_custkey"))
+    orphans = check_fk_orphans(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), parent, "c_custkey", "c_custkey"
+    )
+    return orphans.select("o_orderkey", F.col("c_custkey").alias("o_custkey"))

@@ -1,0 +1,87 @@
+"""Sinks (SURVEY.md §2.1): partitioned columnar/CSV/JSON writes replacing
+the reference's file-per-group Python loops.
+
+- The per-(init, model) CSV splitting loop (tcdb/pipeline/adeck.py:93-111)
+  becomes ONE ``partitionBy("init_date", "model").parquet/csv`` write —
+  the partitioned layout IS the file-per-group contract, produced by the
+  executors in parallel.
+- JSON document sinks (invest files tcdb/models/invest.py:175-209,
+  per-datetime observation JSONs tcdb/pipeline/process_obs.py:93-103,
+  full-table dumps test.py:23-43) become ``to_json(struct(...))`` /
+  ``write.json`` with ISO-8601 timestamps (the json_encode contract,
+  tcdb/utils.py:8-47).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ISO = "yyyy-MM-dd'T'HH:mm:ss"
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned write: one directory per group, written in parallel
+    (replaces tcdb/pipeline/adeck.py:93-111's per-group to_csv loop)."""
+    w = df.write.mode(mode).partitionBy(*partition_by)
+    getattr(w, fmt)(path)
+
+
+def json_encode_row(df: DataFrame, exclude: list[str] | None = None) -> DataFrame:
+    """Serialize each row to one JSON document column ``json`` with
+    ISO-8601 timestamps — the reference's ``json_encode`` behavior
+    (datetime -> isoformat, tcdb/utils.py:8-47) without per-row Python."""
+    exclude = set(exclude or [])
+    cols: list[Column] = []
+    for name, dtype in df.dtypes:
+        if name in exclude:
+            continue
+        if dtype.startswith("timestamp"):
+            cols.append(F.date_format(F.col(name), ISO).alias(name))
+        else:
+            cols.append(F.col(name))
+    return df.withColumn("json", F.to_json(F.struct(*cols)))
+
+
+def write_json_documents(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Line-delimited JSON export (full-table dumps, test.py:23-43)."""
+    out = df
+    for name, dtype in df.dtypes:
+        if dtype.startswith("timestamp"):
+            out = out.withColumn(name, F.date_format(F.col(name), ISO))
+    out.write.mode(mode).json(path)
+
+
+def invest_documents(storms: DataFrame, observations: DataFrame) -> DataFrame:
+    """Invest JSON view: one document per invest storm with its latest
+    observation inlined — the read-modify-write invest file
+    (tcdb/models/invest.py:175-209) as a MERGE-maintained table + JSON
+    projection instead of driver-side file surgery."""
+    from pyspark.sql.window import Window as W
+
+    latest_obs = (
+        observations.withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("storm_id").orderBy(F.col("datetime_utc").desc())
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            "storm_id",
+            F.col("datetime_utc").alias("obs_time"),
+            "latitude",
+            "longitude",
+            "intensity_kts",
+            "mslp_mb",
+        )
+    )
+    invests = storms.where(F.col("nhc_number") >= 90)
+    joined = invests.join(latest_obs, on="storm_id", how="left")
+    return json_encode_row(joined, exclude=["run_id", "last_update"])

@@ -1,0 +1,93 @@
+"""Sink + dataset-assembly tests (SURVEY.md §2.1 sinks, §2.6
+reshape-denormalize)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tcdb_spark.datasets import storm_observations, storm_tracks
+from tcdb_spark.jobs.adeck import run_adeck_job
+from tcdb_spark.jobs.bdeck import run_bdeck_job
+from tcdb_spark.plans.queries_atcf import BDECK_LINES
+from tcdb_spark.sources.atcf import parse_adeck_lines, parse_bdeck_lines
+from tcdb_spark.sources.sinks import (
+    invest_documents,
+    json_encode_row,
+    write_json_documents,
+    write_partitioned,
+)
+from tcdb_spark.sources.warehouse import Warehouse
+
+
+def _lines(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "value string")
+
+
+@pytest.fixture()
+def loaded_wh(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    now = F.lit("2022-09-26 12:00:00").cast("timestamp")
+    run_bdeck_job(spark, parse_bdeck_lines(_lines(spark, BDECK_LINES)), wh, "B__1", now=now)
+    adeck = [
+        "AL, 09, 2022092600, 01, OFCL, 0, 251N, 740W, 35, 1003, TS, 34, NEQ, 60, 40, 30, 50, x",
+        "AL, 09, 2022092600, 01, OFCL, 12, 258N, 748W, 45, 998, TS, 34, NEQ, 70, 50, 40, 60, x",
+        "AL, 09, 2022092600, 02, AVNO, 0, 252N, 741W, 33, 1004, , , , , , , , x",
+    ]
+    run_adeck_job(spark, parse_adeck_lines(_lines(spark, adeck)), wh, "A__1")
+    return wh
+
+
+def test_partitioned_write(spark, tmp_path, loaded_wh):
+    steps = loaded_wh.read("steps").withColumn("hour_part", F.col("hour"))
+    out = str(tmp_path / "parts")
+    write_partitioned(steps, out, ["hour_part"])
+    import os
+
+    dirs = {d for d in os.listdir(out) if d.startswith("hour_part=")}
+    assert dirs == {"hour_part=0", "hour_part=12"}
+    back = spark.read.parquet(out)
+    assert back.count() == steps.count()
+
+
+def test_json_encode_iso_timestamps(spark, loaded_wh):
+    storms = loaded_wh.read("storms")
+    enc = json_encode_row(storms, exclude=["run_id", "last_update"])
+    doc = json.loads(enc.where(F.col("nhc_id") == "AL092022").first()["json"])
+    assert doc["start_date"] == "2022-09-26T00:00:00"  # isoformat contract
+    assert doc["name"] == "TS-Ian"
+    assert "run_id" not in doc
+
+
+def test_write_json_documents(spark, tmp_path, loaded_wh):
+    out = str(tmp_path / "json")
+    write_json_documents(loaded_wh.read("storms"), out)
+    back = spark.read.json(out)
+    assert back.count() == 3
+    assert back.where(F.col("start_date") == "2022-09-26T00:00:00").count() == 2
+
+
+def test_invest_documents(spark, loaded_wh):
+    docs = invest_documents(loaded_wh.read("storms"), loaded_wh.read("observations"))
+    rows = docs.collect()
+    assert len(rows) == 1  # only the EP91 invest
+    doc = json.loads(rows[0]["json"])
+    assert doc["nhc_id"] == "EP912022"
+    assert doc["intensity_kts"] == 25.0  # latest obs inlined
+
+
+def test_storm_tracks_dataset(spark, loaded_wh):
+    df = storm_tracks(loaded_wh, nhc_id="AL092022")
+    rows = df.collect()
+    assert {r["model"] for r in rows} == {"OFCL", "AVNO"}
+    ofcl12 = [r for r in rows if r["model"] == "OFCL" and r["hour"] == 12][0]
+    assert str(ofcl12["valid_utc"]) == "2022-09-26 12:00:00"
+    assert "run_id" not in df.columns
+
+    only_ofcl = storm_tracks(loaded_wh, nhc_id="AL092022", models=["OFCL"])
+    assert {r["model"] for r in only_ofcl.collect()} == {"OFCL"}
+
+    obs = storm_observations(loaded_wh, nhc_id="AL092022")
+    assert obs.count() == 2 and "run_id" not in obs.columns
