@@ -16,3 +16,4 @@ from tcdb_spark.plans import queries_dedup_near  # noqa: F401,E402
 from tcdb_spark.plans import queries_multimodal  # noqa: F401,E402
 from tcdb_spark.plans import queries_ensemble  # noqa: F401,E402
 from tcdb_spark.plans import queries_validation  # noqa: F401,E402
+from tcdb_spark.plans import queries_sql  # noqa: F401,E402
