@@ -1,0 +1,93 @@
+"""Similarity-search operators: IVF (inverted-file) approximate
+nearest-neighbor — the trained-quantizer counterpart of the LSH-bucketed
+path (plans/queries_sim.lsh_bucket_ann), per SURVEY.md §2.12 sim-topk.
+
+Index = KMeans coarse quantizer (pyspark.ml, fixed seed) assigning every
+vector to a centroid bucket; search probes the ``nprobe`` nearest buckets
+per query and runs exact cosine top-k inside. At 100 TB the index table
+is partitioned by bucket so a probe touches only nprobe/k_centroids of
+the data; recall tunes with nprobe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
+def ivf_build(emb: DataFrame, k_centroids: int = 16, seed: int = 42):
+    """Train the coarse quantizer and bucket every vector.
+
+    Returns (indexed_df with ``bucket`` column, centroids list[list[float]]).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    train = base.withColumn("features", array_to_vector("emb"))
+    model = KMeans(k=k_centroids, seed=seed, featuresCol="features", predictionCol="bucket").fit(train)
+    indexed = model.transform(train).select("vec_id", "emb", "bucket")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return indexed, centroids
+
+
+def ivf_search(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Probe the nprobe nearest centroid buckets per query, exact cosine
+    top-k inside. ``queries``: (q_id, q_emb array<double>)."""
+    cents = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
+    # per query: distances to every centroid -> nprobe smallest bucket ids
+    with_d = queries.withColumn(
+        "__dists",
+        F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(c, F.col("q_emb"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+        ),
+    )
+    n_cent = len(centroids)
+    probe = with_d.withColumn(
+        "bucket",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(n_cent - 1)),
+                        lambda i: F.struct(
+                            F.element_at(F.col("__dists"), i + 1).alias("d"),
+                            i.alias("bucket"),
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            )
+        ),
+    ).select("q_id", "q_emb", F.col("bucket.bucket").alias("bucket"))
+
+    cand = indexed.join(probe, on="bucket").where(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id", "vec_id", _cosine(F.col("q_emb"), F.col("emb")).alias("cos")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank_in_group", F.row_number().over(w).cast("int"))
+        .where(F.col("rank_in_group") <= k)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank_in_group")
+    )

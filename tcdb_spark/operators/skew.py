@@ -1,0 +1,70 @@
+"""Skew-handling aggregation (100 TB design note: hot grouping keys).
+
+AQE's skew-join handling covers joins; for aggregations with pathological
+key skew the classic fix is salting: explode each hot key into
+``n_salts`` sub-keys, partially aggregate, then finish on the true key.
+Results are identical to a plain groupBy — the property the oracle
+checks — while the heavy shuffle spreads over n_salts× more partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_salts: int = 8,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Two-phase salted aggregation: sum/count per key.
+
+    ``salt_source`` must be a deterministic column (default: a hash of all
+    input columns) — never rand(), which breaks retry determinism.
+    """
+    salt = (
+        F.pmod(salt_source if salt_source is not None else F.xxhash64(*df.columns), F.lit(n_salts))
+    ).alias("__salt")
+    partial = (
+        df.select(*keys, F.col(value_col), salt)
+        .groupBy(*keys, "__salt")
+        .agg(
+            F.sum(value_col).alias("__psum"),
+            F.count(F.lit(1)).alias("__pcnt"),
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__psum").alias("sum_value"),
+        F.sum("__pcnt").alias("n"),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    gap_minutes: float = 30.0,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same key exceeds ``gap_minutes``. Classic
+    lag + conditional cumsum over one window — a single shuffle on the
+    key (batch twin of streaming ``session_window``)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    gap_s = gap_minutes * 60.0
+    new_sess = (
+        F.col(ts_col).cast("double")
+        - F.lag(F.col(ts_col).cast("double")).over(w)
+        > gap_s
+    )
+    return df.withColumn(
+        session_col,
+        F.sum(F.when(F.coalesce(new_sess, F.lit(False)), 1).otherwise(0)).over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )

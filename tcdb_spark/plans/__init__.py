@@ -17,3 +17,4 @@ from tcdb_spark.plans import queries_multimodal  # noqa: F401,E402
 from tcdb_spark.plans import queries_ensemble  # noqa: F401,E402
 from tcdb_spark.plans import queries_validation  # noqa: F401,E402
 from tcdb_spark.plans import queries_sql  # noqa: F401,E402
+from tcdb_spark.plans import queries_analytics  # noqa: F401,E402

@@ -1,0 +1,108 @@
+"""Additional analytics catalog entries: sessionization, exact
+percentiles, vocabulary building, salted aggregation equivalence —
+rounding out §2.5/§2.7 plus training-pipeline text stats (§2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tcdb_spark.operators.skew import salted_sum_count, sessionize
+from tcdb_spark.plans.catalog import load_tables, register
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, event_id, ts,
+               epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_s
+        FROM events
+    )
+    SELECT user_id, event_id, ts,
+           CAST(sum(CASE WHEN coalesce(gap_s, 0) > 1800 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+    FROM lagged
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min), lag + conditional running sum —
+    the batch twin of streaming session_window."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    out = sessionize(e, ["user_id"], "ts", gap_minutes=30.0)
+    return out.select("user_id", "event_id", "ts", F.col("session_id").cast("bigint").alias("session_id"))
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the linear-interpolation definition).
+    At 100 TB the approximate twin is percentile_approx with a bounded
+    sketch — exact is the oracle-able correctness baseline."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token
+        FROM documents WHERE length(trim(text)) > 0
+    ), df AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS doc_freq FROM toks GROUP BY token
+    )
+    SELECT token, doc_freq,
+           CAST(row_number() OVER (ORDER BY doc_freq DESC, token ASC) AS INTEGER) AS rank
+    FROM df
+    QUALIFY rank <= 20
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with document frequencies, top-20 — the
+    dictionary-building pass of a text pipeline (map-side distinct
+    explode + one count shuffle)."""
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = W.orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+    )
+
+
+@register(
+    "agg_salted_equivalence",
+    oracle="""
+    SELECT user_id, round(sum(value), 2) AS sum_value, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_salted_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation must equal the plain groupBy the
+    oracle runs — the skew-mitigation path verified for correctness."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    out = salted_sum_count(e, ["user_id"], "value", n_salts=8)
+    return out.select("user_id", F.round("sum_value", 2).alias("sum_value"), "n")

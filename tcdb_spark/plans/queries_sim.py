@@ -138,3 +138,20 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     q = e.where(F.col("vec_id") < N_QUERIES)
     return lsh_bucket_ann(e, q)
+
+
+@register("sim_ann_ivf")  # trained quantizer -> approximate; rows-only check
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: KMeans coarse quantizer (fixed seed), probe the
+    3 nearest of 16 buckets per query, exact cosine top-k inside
+    (operators/similarity.py). The scale path beside LSH banding."""
+    from tcdb_spark.operators.similarity import ivf_build, ivf_search
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    indexed, centroids = ivf_build(e, k_centroids=16, seed=42)
+    indexed = indexed.persist()
+    q = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("q_emb"))
+    )
+    return ivf_search(indexed, centroids, q, k=K, nprobe=3)

@@ -9,8 +9,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from tcdb_spark.session import get_spark
 
-    s = get_spark("tcdb-tests", cpus=8, shuffle_partitions=4)
+    wh = str(tmp_path_factory.mktemp("spark_warehouse"))
+    s = get_spark(
+        "tcdb-tests",
+        cpus=8,
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
