@@ -58,6 +58,26 @@ def write_json_documents(df: DataFrame, path: str, mode: str = "overwrite") -> N
     out.write.mode(mode).json(path)
 
 
+def export_tables(warehouse, out_dir: str, tables: list[str], fmt: str = "csv") -> dict[str, int]:
+    """Validation-export dump of warehouse tables (db/sql_export.py:1-29:
+    per-table CSV snapshots for golden comparison). Timestamps ISO-8601
+    for stable text round-trips. Returns per-table row counts."""
+    counts = {}
+    for t in tables:
+        df = warehouse.read(t)
+        out = df
+        for name, dtype in df.dtypes:
+            if dtype.startswith("timestamp"):
+                out = out.withColumn(name, F.date_format(F.col(name), ISO))
+        w = out.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", True).csv(f"{out_dir}/{t}")
+        else:
+            getattr(w, fmt)(f"{out_dir}/{t}")
+        counts[t] = df.count()
+    return counts
+
+
 def invest_documents(storms: DataFrame, observations: DataFrame) -> DataFrame:
     """Invest JSON view: one document per invest storm with its latest
     observation inlined — the read-modify-write invest file

@@ -1,0 +1,106 @@
+"""Custom stateful streaming operator (SURVEY.md §2.10): the
+invest/named-storm lifecycle as a keyed state machine.
+
+The reference tracks storm state across cron ticks implicitly — via DB
+reads (status Active/Archive sweeps, tcdb/pipeline/routines.py:14-31) and
+the invest->named transition (tcdb/etl/process_storms.py:63-168). The
+Structured-Streaming-native form is ``applyInPandasWithState`` keyed by
+the storm natural key: per micro-batch the handler folds new observations
+into (last_seen, peak_intensity, status, was_invest) state, emits a
+transition row whenever the lifecycle changes, and a GroupStateTimeout
+archives storms that stop reporting.
+
+This is the documented Pandas-UDF slow path — used precisely where
+built-in operators cannot express cross-batch keyed state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+OUTPUT_SCHEMA = (
+    "nhc_id string, event string, at timestamp, intensity_kts double, "
+    "was_invest boolean"
+)
+STATE_SCHEMA = (
+    "last_seen long, peak double, status string, was_invest boolean"
+)
+
+INVEST_MIN = 90
+ARCHIVE_AFTER_H = 24
+
+
+def lifecycle_fn(
+    key: tuple[str], pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Fold observation micro-batches into per-storm lifecycle state and
+    emit transition events: genesis, invest_upgraded, intensified (new
+    peak in a >=10 kt step), archived (timeout)."""
+    (nhc_id,) = key
+
+    if state.hasTimedOut:
+        last_seen, peak, status, was_invest = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "nhc_id": [nhc_id],
+                "event": ["archived"],
+                "at": [pd.Timestamp(last_seen, unit="s")],
+                "intensity_kts": [peak],
+                "was_invest": [was_invest],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values("datetime_utc")
+    if state.exists:
+        last_seen, peak, status, was_invest = state.get
+    else:
+        last_seen, peak, status, was_invest = 0, 0.0, "new", None
+
+    events: list[tuple[str, pd.Timestamp, float]] = []
+    for _, r in rows.iterrows():
+        ts = r["datetime_utc"]
+        nhc_number = int(r["nhc_number"])
+        wind = float(r["intensity_kts"]) if pd.notna(r["intensity_kts"]) else 0.0
+        is_invest = nhc_number >= INVEST_MIN
+        if status == "new":
+            events.append(("genesis", ts, wind))
+            status = "active"
+            was_invest = is_invest
+        elif was_invest and not is_invest:
+            events.append(("invest_upgraded", ts, wind))
+            was_invest = False
+        if wind >= peak + 10.0 and peak > 0:
+            events.append(("intensified", ts, wind))
+        peak = max(peak, wind)
+        last_seen = max(last_seen, int(ts.timestamp()))
+
+    state.update((last_seen, peak, status, bool(was_invest)))
+    state.setTimeoutDuration(ARCHIVE_AFTER_H * 3600 * 1000)
+
+    if events:
+        yield pd.DataFrame(
+            {
+                "nhc_id": [nhc_id] * len(events),
+                "event": [n for n, _, _ in events],
+                "at": [t for _, t, _ in events],
+                "intensity_kts": [w for _, _, w in events],
+                "was_invest": [bool(was_invest)] * len(events),
+            }
+        )
+
+
+def storm_lifecycle_stream(observations, timeout: str = "ProcessingTimeTimeout"):
+    """Wire the state machine over a (streaming or batch-test) frame with
+    columns (nhc_id, nhc_number, datetime_utc, intensity_kts)."""
+    return observations.groupBy("nhc_id").applyInPandasWithState(
+        lifecycle_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -91,3 +91,14 @@ def test_storm_tracks_dataset(spark, loaded_wh):
 
     obs = storm_observations(loaded_wh, nhc_id="AL092022")
     assert obs.count() == 2 and "run_id" not in obs.columns
+
+
+def test_export_tables(spark, tmp_path, loaded_wh):
+    from tcdb_spark.sources.sinks import export_tables
+
+    out = str(tmp_path / "export")
+    counts = export_tables(loaded_wh, out, ["storms", "observations"])
+    assert counts == {"storms": 3, "observations": 4}
+    back = spark.read.option("header", True).csv(f"{out}/storms")
+    assert back.count() == 3
+    assert back.where(F.col("start_date") == "2022-09-26T00:00:00").count() == 2
