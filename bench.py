@@ -55,12 +55,17 @@ def main() -> None:
     # warm up the JVM/codegen/file-listing paths once
     run_once(QUERIES["q1_pricing_summary"](spark, sf_dir))
 
+    # best of two runs per query: one-shot timings on a shared local JVM
+    # are noisy (GC, page cache); min is the stable estimator
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        run_once(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_once(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
