@@ -281,19 +281,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = corpus.where(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tokens")
     )
-    hashed = toks.select(
-        "doc_id",
-        F.transform(F.col("tokens"), lambda t: F.md5(t.cast("binary"))).alias("hashes"),
+    # explode + plain sum aggregates instead of higher-order array folds:
+    # HOF lambdas are interpreted per element (no codegen), which made the
+    # fold version ~3x slower; this shape is whole-stage-codegen end to end
+    # with map-side partial aggregation on doc_id.
+    exploded = toks.select("doc_id", F.explode("tokens").alias("token"))
+    # dictionary trick: hash each DISTINCT token once, precompute its 16
+    # ±1 votes, broadcast-join back — md5 runs |vocab| times instead of
+    # |doc,token| times, and the per-row work is a codegen'd hash lookup.
+    h = F.md5(F.col("token").cast("binary"))
+    nib = [F.instr(F.lit(_HEXES), F.substring(h, p + 1, 1)) - 1 for p in range(4)]
+    token_votes = exploded.select("token").distinct().select(
+        "token",
+        *[
+            (2 * F.shiftright(nib[b // 4], 3 - b % 4).bitwiseAND(F.lit(1)) - 1).alias(f"v{b}")
+            for b in range(N_SIMHASH_BITS)
+        ],
     )
-
-    def _vote_sum(b: int):
-        return F.aggregate(
-            F.transform(F.col("hashes"), lambda h: 2 * _bit_expr_spark(h, b) - 1),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).alias(f"s{b}")
-
-    sums = hashed.select("doc_id", *[_vote_sum(b) for b in range(N_SIMHASH_BITS)])
+    sums = (
+        exploded.join(F.broadcast(token_votes), on="token")
+        .groupBy("doc_id")
+        .agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(N_SIMHASH_BITS)])
+    )
     fingerprint = None
     for b in range(N_SIMHASH_BITS):
         term = F.when(F.col(f"s{b}") >= 0, 1).otherwise(0) * (1 << b)

@@ -1,0 +1,140 @@
+"""Completeness entries: the full window-rank family (SURVEY.md §2.7
+note: "expose in engine API"), outer/semi/anti join family (the implicit
+outer-join semantics of §2.4/§2.8), distinct aggregation, and rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tcdb_spark.plans.catalog import load_tables, register
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER w AS INTEGER) AS rn,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           round(lag(o_totalprice) OVER w, 2) AS prev_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY rn <= 5
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / running sum / lag in one window
+    spec — the §2.7 rank family exposed end to end."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+            F.round(
+                F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+            ).alias("running_total"),
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        )
+        .where(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "join_outer_family",
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_name,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END AS INTEGER) AS customer_missing
+    FROM customer c
+    FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2, 4
+    """,
+)
+def join_outer_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join + null-side accounting — the explicit form of the
+    MERGE's unmatched-left/unmatched-right semantics (§2.8)."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"].alias("c"), t["orders"].alias("o")
+    j = c.join(o, F.col("c.c_custkey") == F.col("o.o_custkey"), "full_outer")
+    return j.groupBy(
+        F.coalesce(F.col("c.c_custkey"), F.col("o.o_custkey")).alias("custkey"),
+        F.col("c.c_name").alias("c_name"),
+        F.when(F.col("c.c_custkey").isNull(), 1).otherwise(0).cast("int").alias("customer_missing"),
+    ).agg(F.count(F.col("o.o_orderkey")).alias("n_orders"))
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+    SELECT c_custkey, 'has_orders' AS side FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT c_custkey, 'no_orders' AS side FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti — the reference's one_or_none existence gates
+    (tcdb/etl/atcf_forecasts.py:75-82) as set operations."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    orders = t["orders"].select(F.col("o_custkey").alias("c_custkey"))
+    has = t["customer"].join(orders, on="c_custkey", how="left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("side")
+    )
+    not_has = t["customer"].join(orders, on="c_custkey", how="left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("side")
+    )
+    return has.unionByName(not_has)
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-distinct aggregation (Spark expands to a partial
+    dedup + final agg; the approximate twin at 100 TB is
+    approx_count_distinct, not oracle-able bit-for-bit)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_rollup_counts",
+    oracle="""
+    SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy counts (region -> nation -> total) — one shuffle
+    for the whole drill-down path (§2.5 grouping-sets superset)."""
+    t = load_tables(spark, sf_dir, "customer", "nation", "region")
+    j = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    return j.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n"))
