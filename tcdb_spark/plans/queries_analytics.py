@@ -106,3 +106,90 @@ def agg_salted_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
     out = salted_sum_count(e, ["user_id"], "value", n_salts=8)
     return out.select("user_id", F.round("sum_value", 2).alias("sum_value"), "n")
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents WHERE length(trim(text)) > 0
+    ), tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY token
+    ), n AS (SELECT count(*) AS n_docs FROM documents WHERE length(trim(text)) > 0)
+    SELECT doc_id, token,
+           round(tf * ln((SELECT n_docs FROM n) / CAST(df AS DOUBLE)), 6) AS tfidf,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY tf * ln((SELECT n_docs FROM n) / CAST(df AS DOUBLE)) DESC,
+                        token ASC) AS INTEGER) AS rank
+    FROM tf JOIN df USING (token)
+    QUALIFY rank <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-3 terms per document: term-frequency groupBy +
+    broadcast document-frequency dim + window top-k — the text-pipeline
+    relevance-scoring pass, fully codegen'd (no HOFs)."""
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    docs = d.where(F.length(F.trim(F.col("text"))) > 0)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(dfreq), on="token").withColumn(
+        "tfidf_raw", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "token", F.round("tfidf_raw", 6).alias("tfidf"), "rank")
+    )
+
+
+@register(
+    "grouped_map_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma,
+               count(*) AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s USING (user_id)
+    WHERE s.n > 1 AND s.sigma > 0
+    """,
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization via applyInPandas (grouped-map Pandas UDF,
+    SURVEY.md §2.11 surface) — checked against the pure-SQL z-score. The
+    built-in-function twin would be a window avg/stddev; the grouped-map
+    path exists for logic pandas expresses and SQL can't."""
+    import pandas as pd
+
+    e = load_tables(spark, sf_dir, "events")["events"].select("event_id", "user_id", "value")
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) <= 1:
+            return pdf.iloc[0:0][["event_id", "user_id"]].assign(zscore=[])
+        sigma = pdf["value"].std(ddof=1)
+        if not sigma > 0:
+            return pdf.iloc[0:0][["event_id", "user_id"]].assign(zscore=[])
+        z = (pdf["value"] - pdf["value"].mean()) / sigma
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z.round(4)}
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        normalize, schema="event_id long, user_id long, zscore double"
+    )

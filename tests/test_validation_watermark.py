@@ -1,0 +1,107 @@
+"""Validation operator tests + streaming watermark late-data semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tcdb_spark.operators.validation import (
+    PRESSURE,
+    RangeRule,
+    VELOCITY,
+    assert_valid,
+    check_range_coerce,
+    check_range_strict,
+    observed_violations,
+)
+
+
+def test_check_range_modes(spark):
+    df = spark.createDataFrame(
+        [(1, 999.0, 50.0), (2, 400.0, 50.0), (3, None, 300.0), (4, 0.0, 0.0)],
+        "id int, mslp_mb double, intensity_kts double",
+    )
+    strict = check_range_strict(df, [PRESSURE, VELOCITY])
+    assert strict == {"mslp_mb": 1, "intensity_kts": 1}
+
+    coerced = {r["id"]: (r["mslp_mb"], r["intensity_kts"]) for r in
+               check_range_coerce(df, [PRESSURE, VELOCITY]).collect()}
+    assert coerced[1] == (999.0, 50.0)
+    assert coerced[2][0] == 1000.0          # out of range -> default
+    assert coerced[3] == (1000.0, None)     # None -> default; 300 kt -> null
+    assert coerced[4] == (0.0, 0.0)         # 0 mb explicitly allowed
+
+    with pytest.raises(ValueError, match="mslp_mb"):
+        assert_valid(df, [PRESSURE])
+
+
+def test_observed_violations_piggyback(spark):
+    df = spark.createDataFrame(
+        [(i, float(i * 100)) for i in range(6)], "id int, intensity_kts double"
+    )
+    out, obs = observed_violations(df, [VELOCITY])
+    # the observation rides the consumer's own action — no second scan
+    assert out.count() == 6
+    assert obs.get == {"bad_intensity_kts": 3}  # 300, 400, 500
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg across two AvailableNow restarts: an
+    event arriving behind the watermark must NOT reopen its finalized
+    window (SURVEY.md §2.10 late-data contract; 48h analog is the
+    reference's re-write skip window)."""
+    src = tmp_path / "stream_src"
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    src.mkdir()
+    t = dt.datetime(2024, 1, 1, 10, 0)
+
+    def run_batch():
+        schema = "event_id long, ts timestamp, value double"
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("w_start"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = [
+        (1, t, 1.0),
+        (2, t + dt.timedelta(minutes=10), 1.0),
+        (3, t + dt.timedelta(hours=3), 1.0),   # advances watermark to 12:00
+    ]
+    spark.createDataFrame(batch1, "event_id long, ts timestamp, value double").write.mode(
+        "append"
+    ).parquet(str(src))
+    run_batch()
+    first = {str(r["w_start"]): r["n"] for r in spark.read.parquet(out_dir).collect()}
+    assert first.get("2024-01-01 10:00:00") == 2  # finalized with 2 events
+
+    # batch 2: one event 2h behind the watermark (dropped), one fresh
+    batch2 = [
+        (4, t + dt.timedelta(minutes=5), 1.0),     # LATE -> dropped
+        (5, t + dt.timedelta(hours=6), 1.0),       # advances watermark further
+    ]
+    spark.createDataFrame(batch2, "event_id long, ts timestamp, value double").write.mode(
+        "append"
+    ).parquet(str(src))
+    run_batch()
+    final = {}
+    for r in spark.read.parquet(out_dir).collect():
+        final[str(r["w_start"])] = final.get(str(r["w_start"]), 0) + r["n"]
+    # the 10:00 window was NOT re-emitted or incremented by the late event
+    assert final["2024-01-01 10:00:00"] == 2
+    # the 13:00 window (batch1 event 3) got finalized by the new watermark
+    assert final.get("2024-01-01 13:00:00") == 1
