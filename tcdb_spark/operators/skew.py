@@ -48,14 +48,17 @@ def sessionize(
     ts_col: str,
     gap_minutes: float = 30.0,
     session_col: str = "session_id",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time since
     the previous event of the same key exceeds ``gap_minutes``. Classic
     lag + conditional cumsum over one window — a single shuffle on the
-    key (batch twin of streaming ``session_window``)."""
+    key (batch twin of streaming ``session_window``). Pass ``tiebreak``
+    when timestamps can collide within a key (ordering must be total)."""
     from pyspark.sql.window import Window as W
 
-    w = W.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = W.partitionBy(*keys).orderBy(*order)
     gap_s = gap_minutes * 60.0
     new_sess = (
         F.col(ts_col).cast("double")

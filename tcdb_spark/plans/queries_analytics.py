@@ -17,12 +17,12 @@ from tcdb_spark.plans.catalog import load_tables, register
     oracle="""
     WITH lagged AS (
         SELECT user_id, event_id, ts,
-               epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_s
+               epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
         FROM events
     )
     SELECT user_id, event_id, ts,
            CAST(sum(CASE WHEN coalesce(gap_s, 0) > 1800 THEN 1 ELSE 0 END)
-                OVER (PARTITION BY user_id ORDER BY ts
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS session_id
     FROM lagged
@@ -32,7 +32,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min), lag + conditional running sum —
     the batch twin of streaming session_window."""
     e = load_tables(spark, sf_dir, "events")["events"]
-    out = sessionize(e, ["user_id"], "ts", gap_minutes=30.0)
+    out = sessionize(e, ["user_id"], "ts", gap_minutes=30.0, tiebreak="event_id")
     return out.select("user_id", "event_id", "ts", F.col("session_id").cast("bigint").alias("session_id"))
 
 

@@ -169,3 +169,31 @@ def test_ingest_ledger(spark, wh):
         [("bal092022.dat", "line1\nline2\nline3")], "source_name string, content string"
     )
     assert admit_new(spark, wh, hash_files(files3), run_id="L__3").count() == 1
+
+
+def test_adeck_freshness_and_backfill(spark, wh):
+    run_bdeck_job(spark, parse_bdeck_lines(_lines(spark, BDECK_LINES)), wh, "B__1", now=NOW())
+    lines = [
+        "AL, 09, 2022092600, 01, OFCL, 0, 251N, 740W, 35, 1003, TS, 34, NEQ, 60, 40, 30, 50, x",
+    ]
+    parsed = parse_adeck_lines(_lines(spark, lines))
+    # ref_time 3 days later: forecast older than 24h -> filtered out
+    stale = run_adeck_job(
+        spark, parsed, wh, run_id="A__F", ref_time="2022-09-29 00:00:00", freshness_hours=24
+    )
+    assert stale == {"forecasts": 0, "tracks": 0, "steps": 0}
+    # backfill widens the window to infinity (tcdb/pipeline/adeck.py:69-76)
+    back = run_adeck_job(
+        spark, parsed, wh, run_id="A__B", ref_time="2022-09-29 00:00:00",
+        freshness_hours=24, backfill=True,
+    )
+    assert back == {"forecasts": 1, "tracks": 1, "steps": 1}
+
+
+def test_jdbc_gated(spark):
+    import pytest as _pytest
+
+    from tcdb_spark.sources.jdbc import read_jdbc_table
+
+    with _pytest.raises(NotImplementedError, match="JDBC driver"):
+        read_jdbc_table(spark, "jdbc:mysql://localhost/tcdb", "storms")
