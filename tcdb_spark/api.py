@@ -1,0 +1,104 @@
+"""Engine facade — the one-stop user API for switching from the reference.
+
+The reference's daily surface is: run the cron pipelines
+(master_bdeck.sh / master_adeck.sh / master_maintnence.sh), query the
+MySQL tables (db/*.sql), and assemble per-storm datasets
+(StormDataset.fromStorm). The equivalents:
+
+    eng = Engine(spark, "/data/warehouse")
+    eng.ingest_bdeck("/landing/bdecks/")        # scan+merge (or .tick() streaming)
+    eng.ingest_adeck("/landing/adecks/", ref_time=...)
+    eng.maintain()                              # archive sweep + invest GC
+    eng.table("storms").where(...)              # any table as a DataFrame
+    eng.storm_tracks("AL092022", models=["OFCL"])
+    eng.sql("SELECT ... FROM storms JOIN ...")  # ANSI SQL over the catalog
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tcdb_spark.sources.warehouse import Warehouse
+
+TABLES = [
+    "storms", "observations", "forecasts", "tracks", "steps", "ingest_ledger",
+]
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, warehouse_root: str):
+        self.spark = spark
+        self.warehouse = Warehouse(spark, warehouse_root)
+
+    # --- ingest ----------------------------------------------------------
+
+    def _run_id(self, kind: str) -> str:
+        # run-id format of the reference (tcdb/etl/process_obs.py:23):
+        # JOBTYPE__ISO_TS
+        return f"{kind}__{dt.datetime.utcnow().isoformat(timespec='seconds')}"
+
+    def ingest_bdeck(self, path: str, now=None) -> dict[str, int]:
+        from tcdb_spark.jobs.bdeck import run_bdeck_job
+        from tcdb_spark.sources.atcf import read_bdeck
+
+        return run_bdeck_job(
+            self.spark, read_bdeck(self.spark, path), self.warehouse,
+            self._run_id("BDECK"), now=now,
+        )
+
+    def ingest_adeck(self, path: str, ref_time=None, backfill: bool = False) -> dict[str, int]:
+        from tcdb_spark.jobs.adeck import run_adeck_job
+        from tcdb_spark.sources.atcf import read_adeck
+
+        return run_adeck_job(
+            self.spark, read_adeck(self.spark, path), self.warehouse,
+            self._run_id("ADECK"), ref_time=ref_time, backfill=backfill,
+        )
+
+    def tick(self, landing_dir: str, now=None) -> None:
+        """One incremental streaming tick over a landing directory."""
+        from tcdb_spark.streaming.pipeline import run_incremental
+
+        run_incremental(self.spark, landing_dir, self.warehouse, now=now)
+
+    def maintain(self, now=None) -> dict[str, int]:
+        from tcdb_spark.jobs.maintenance import remove_old_invests, update_active_systems
+
+        archived = update_active_systems(
+            self.spark, self.warehouse, self._run_id("MAINT"), now=now
+        )
+        removed = remove_old_invests(self.spark, self.warehouse, now=now)
+        return {"archived": archived, **removed}
+
+    # --- query -----------------------------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        return self.warehouse.read(name)
+
+    def register_views(self) -> None:
+        """Expose every warehouse table to spark.sql (db/*.sql parity)."""
+        for t in TABLES:
+            if self.warehouse.exists(t):
+                self.warehouse.read(t).createOrReplaceTempView(t)
+
+    def sql(self, query: str) -> DataFrame:
+        self.register_views()
+        return self.spark.sql(query)
+
+    def storm_tracks(self, nhc_id: str | None = None, **kwargs) -> DataFrame:
+        from tcdb_spark.datasets import storm_tracks
+
+        return storm_tracks(self.warehouse, nhc_id=nhc_id, **kwargs)
+
+    def storm_observations(self, nhc_id: str | None = None) -> DataFrame:
+        from tcdb_spark.datasets import storm_observations
+
+        return storm_observations(self.warehouse, nhc_id=nhc_id)
+
+    def export(self, out_dir: str, tables: list[str] | None = None, fmt: str = "csv"):
+        from tcdb_spark.sources.sinks import export_tables
+
+        present = [t for t in (tables or TABLES) if self.warehouse.exists(t)]
+        return export_tables(self.warehouse, out_dir, present, fmt=fmt)

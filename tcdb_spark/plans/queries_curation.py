@@ -1,0 +1,102 @@
+"""Composite training-data curation pipeline (SURVEY.md §2.12 capstone):
+quality filter -> language filter -> exact dedup -> near-dup removal ->
+token budget accounting, as ONE declarative plan with a full SQL oracle.
+
+This is the shape a 100 TB pretraining-data job takes: every stage is a
+filter/groupBy/window over the same scan lineage, so Catalyst fuses the
+quality and language predicates into the scan and the two dedups are the
+only shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tcdb_spark.plans.catalog import load_tables, register
+
+MIN_TOKENS = 20
+MAX_STOPWORD_RATIO = 0.40
+LANGS = ("en", "es", "de")
+STOP = ("the", "a", "of", "and", "to", "in", "is")
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, source, text,
+               regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents WHERE length(trim(text)) > 0
+    ), scored AS (
+        SELECT doc_id, lang, source, text, len(tokens) AS n_tokens,
+               CAST(len(list_filter(tokens, t -> t IN {STOP!r})) AS DOUBLE)
+                   / len(tokens) AS stop_ratio
+        FROM base
+    ), quality AS (
+        SELECT * FROM scored
+        WHERE n_tokens >= {MIN_TOKENS}
+          AND stop_ratio <= {MAX_STOPWORD_RATIO}
+          AND lang IN {LANGS!r}
+    ), exact_dedup AS (
+        SELECT * FROM quality
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ), fp AS (
+        SELECT *, substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 12)
+                  AS fingerprint
+        FROM exact_dedup
+    ), near_dedup AS (
+        SELECT * FROM fp
+        QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(stop_ratio), 4) AS avg_stop_ratio
+    FROM near_dedup
+    GROUP BY lang, source
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter (quality + language) -> exact dedup -> fingerprint near-dedup
+    -> per-(lang, source) corpus accounting."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    base = d.where(F.length(F.trim(F.col("text"))) > 0).withColumn(
+        "tokens", F.split(F.trim(F.col("text")), r"\s+")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOP])
+    scored = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size("tokens").alias("n_tokens"),
+        (
+            F.size(F.filter("tokens", lambda t: F.array_contains(stop_arr, t))).cast("double")
+            / F.size("tokens")
+        ).alias("stop_ratio"),
+    )
+    quality = scored.where(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("stop_ratio") <= MAX_STOPWORD_RATIO)
+        & F.col("lang").isin(*LANGS)
+    )
+    w_exact = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    exact = quality.withColumn("__rn", F.row_number().over(w_exact)).where(
+        F.col("__rn") == 1
+    ).drop("__rn")
+    fingerprint = F.substring(
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").cast("binary")),
+        1,
+        12,
+    )
+    w_near = W.partitionBy(fingerprint).orderBy("doc_id")
+    near = exact.withColumn("__rn", F.row_number().over(w_near)).where(
+        F.col("__rn") == 1
+    ).drop("__rn")
+    return near.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+    )

@@ -1,0 +1,49 @@
+"""Engine facade end-to-end: the 'switch from the reference' surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tcdb_spark.api import Engine
+from tcdb_spark.plans.queries_atcf import BDECK_LINES
+
+
+def test_engine_facade(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "bal092022.dat").write_text("\n".join(BDECK_LINES[:3]))
+    (landing / "bep912022.dat").write_text(BDECK_LINES[3])
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    now = F.lit("2022-09-26 12:00:00").cast("timestamp")
+    counts = eng.ingest_bdeck(str(landing), now=now)
+    assert counts["storms"] == 2
+
+    adeck = tmp_path / "adeck"
+    adeck.mkdir()
+    (adeck / "aal092022.dat").write_text(
+        "AL, 09, 2022092600, 01, OFCL, 0, 251N, 740W, 35, 1003, TS, 34, NEQ, 60, 40, 30, 50, x\n"
+        "AL, 09, 2022092600, 01, OFCL, 12, 258N, 748W, 45, 998, TS, 34, NEQ, 70, 50, 40, 60, x\n"
+    )
+    fcounts = eng.ingest_adeck(str(adeck))
+    assert fcounts == {"forecasts": 1, "tracks": 1, "steps": 2}
+
+    # SQL over the catalog (db/*.sql parity)
+    row = eng.sql(
+        """
+        SELECT s.nhc_id, count(st.hour) AS n_steps
+        FROM storms s JOIN tracks t ON s.storm_id = t.storm_id
+                      JOIN steps st ON t.track_id = st.track_id
+        GROUP BY s.nhc_id
+        """
+    ).first()
+    assert row["nhc_id"] == "AL092022" and row["n_steps"] == 2
+
+    tracks = eng.storm_tracks("AL092022", models=["OFCL"])
+    assert tracks.count() == 2
+
+    res = eng.maintain(now=F.lit("2022-11-06 00:00:00").cast("timestamp"))
+    assert res["removed_storms"] == 1  # the EP91 invest aged out
+
+    exported = eng.export(str(tmp_path / "exp"), ["storms"])
+    assert exported == {"storms": 1}
