@@ -1,0 +1,68 @@
+"""Iterative graph operators — connected components for duplicate
+clustering (§2.12 extension; generalizes the reference's pairwise
+duplicate pruning, tcdb/pipeline/fs_utils.py:23-56, which only ever
+compares adjacent versions and so cannot group transitive duplicates).
+
+Spark-first design: label propagation by repeated min-join.  Each round
+every node takes the minimum label among itself and its neighbors, so
+labels converge to the component-minimum node id in O(graph diameter)
+rounds.  Near-duplicate clusters are tiny cliques (diameter 1-2), so in
+the dedup use case this terminates in 2-3 rounds regardless of corpus
+size; each round is one shuffle on the edge key.  ``localCheckpoint``
+truncates the growing lineage so round N's plan does not replay rounds
+1..N-1, and convergence is detected with a single scalar aggregate
+(labels only ever decrease, so the label sum strictly decreases until
+the fixpoint).  For adversarial long-path graphs, swap the propagation
+step for the large-star/small-star rewrite (Kiveris et al., "Connected
+Components in MapReduce and Beyond") — same join primitive, O(log^2 n)
+rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """Return (id, label) with label = min node id of the connected
+    component. Only nodes that appear in ``edges`` are labelled
+    (isolated nodes are by definition their own singleton cluster)."""
+    sym = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("node").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    if prev_sum is None:  # no edges at all
+        sym.unpersist()
+        return labels
+    for _ in range(max_iter):
+        nbr_min = sym.join(labels, sym.nbr == labels.id).groupBy("node").agg(
+            F.min("label").alias("nbr_label")
+        )
+        labels = (
+            labels.join(nbr_min, labels.id == nbr_min.node, "left")
+            .select(
+                labels.id,
+                F.least(
+                    labels.label, F.coalesce(F.col("nbr_label"), labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels
