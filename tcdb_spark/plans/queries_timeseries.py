@@ -1,0 +1,156 @@
+"""Time-series regularization over the ``events`` stream: resample an
+irregular per-key series onto a fixed grid — linear interpolation and
+last-observation-carried-forward (LOCF).
+
+This is the Spark-first generalization of the reference's ensemble-track
+axis alignment (tcdb/etl/syntracks.py:110-127 builds a regular
+valid-time axis and NaN-fills tracks onto it): instead of a per-object
+xarray reindex, the whole corpus is regularized in one declarative plan
+(window lead + generated integer grid + explode), which scales to any
+number of keys with exactly one shuffle (the per-key window).
+
+Cross-engine exactness (DEVNOTES.md): grid points are integer hour
+indices derived with integer ceil-division from epoch microseconds (no
+float rounding anywhere in grid placement), and the interpolated value
+is the identical expression tree ``v1 + (v2 - v1) * (dt/DT)`` in both
+engines — per-row IEEE arithmetic is bit-identical, so no rounding is
+needed on the output either.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tcdb_spark.plans.catalog import load_tables, register
+
+_US_PER_H = 3_600_000_000
+
+
+@register(
+    "resample_interp_1h",
+    oracle=f"""
+    WITH dedup AS (
+        SELECT user_id, ts, value FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ), seg AS (
+        SELECT user_id, ts, value,
+               lead(ts) OVER w AS ts2, lead(value) OVER w AS v2
+        FROM dedup WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        QUALIFY ts2 IS NOT NULL
+    ), idx AS (
+        SELECT user_id, ts, value, ts2, v2,
+               (epoch_us(ts) + {_US_PER_H - 1}) // {_US_PER_H} AS i0,
+               (epoch_us(ts2) - 1) // {_US_PER_H} AS i1
+        FROM seg
+    ), pts AS (
+        SELECT user_id, ts, value, ts2, v2, unnest(range(i0, i1 + 1)) AS i
+        FROM idx WHERE i0 <= i1
+    )
+    SELECT user_id,
+           make_timestamp(i * {_US_PER_H}) AS grid_ts,
+           value + (v2 - value)
+                 * (CAST(i * {_US_PER_H} - epoch_us(ts) AS DOUBLE)
+                    / CAST(epoch_us(ts2) - epoch_us(ts) AS DOUBLE)) AS val
+    FROM pts
+    """,
+)
+def resample_interp_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear interpolation of ``value`` onto an hourly grid:
+    every grid hour strictly inside a consecutive-event segment gets
+    ``v1 + (v2-v1) * dt/DT``.  One window shuffle on user_id; grid
+    generation and interpolation are per-row codegen'd expressions, so
+    the plan is identical at 100 TB with the shuffle partitioned by key."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    wd = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    dedup = (
+        e.withColumn("__rn", F.row_number().over(wd))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    seg = (
+        dedup.select(
+            "user_id",
+            "ts",
+            "value",
+            F.lead("ts").over(w).alias("ts2"),
+            F.lead("value").over(w).alias("v2"),
+        )
+        .where(F.col("ts2").isNotNull())
+        .withColumn("e1", F.unix_micros("ts"))
+        .withColumn("e2", F.unix_micros("ts2"))
+        .withColumn("i0", F.expr(f"(e1 + {_US_PER_H - 1}) div {_US_PER_H}"))
+        .withColumn("i1", F.expr(f"(e2 - 1) div {_US_PER_H}"))
+        .where(F.col("i0") <= F.col("i1"))  # Spark sequence reverses when i0 > i1
+    )
+    pts = seg.select(
+        "user_id",
+        "value",
+        "v2",
+        "e1",
+        "e2",
+        F.explode(F.sequence("i0", "i1")).alias("i"),
+    )
+    gus = F.col("i") * _US_PER_H
+    return pts.select(
+        "user_id",
+        F.timestamp_micros(gus).alias("grid_ts"),
+        (
+            F.col("value")
+            + (F.col("v2") - F.col("value"))
+            * ((gus - F.col("e1")).cast("double") / (F.col("e2") - F.col("e1")).cast("double"))
+        ).alias("val"),
+    )
+
+
+@register(
+    "resample_locf_1h",
+    oracle=f"""
+    WITH dedup AS (
+        SELECT user_id, ts, value FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ), seg AS (
+        SELECT user_id, ts, value, lead(ts) OVER w AS ts2
+        FROM dedup WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        QUALIFY ts2 IS NOT NULL
+    ), idx AS (
+        SELECT user_id, value,
+               (epoch_us(ts) + {_US_PER_H - 1}) // {_US_PER_H} AS i0,
+               (epoch_us(ts2) - 1) // {_US_PER_H} AS i1
+        FROM seg
+    )
+    SELECT user_id, make_timestamp(unnest(range(i0, i1 + 1)) * {_US_PER_H}) AS grid_ts,
+           value AS val
+    FROM idx WHERE i0 <= i1
+    """,
+)
+def resample_locf_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward onto the hourly grid: each grid
+    hour takes the most recent event value at or before it (within the
+    observed span).  Same plan shape as the interpolation variant minus
+    the value arithmetic — downsampling for dashboards/feature tables."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    wd = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    dedup = (
+        e.withColumn("__rn", F.row_number().over(wd))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    seg = (
+        dedup.select("user_id", "ts", "value", F.lead("ts").over(w).alias("ts2"))
+        .where(F.col("ts2").isNotNull())
+        .withColumn("e1", F.unix_micros("ts"))
+        .withColumn("e2", F.unix_micros("ts2"))
+        .withColumn("i0", F.expr(f"(e1 + {_US_PER_H - 1}) div {_US_PER_H}"))
+        .withColumn("i1", F.expr(f"(e2 - 1) div {_US_PER_H}"))
+        .where(F.col("i0") <= F.col("i1"))
+    )
+    pts = seg.select("user_id", "value", F.explode(F.sequence("i0", "i1")).alias("i"))
+    return pts.select(
+        "user_id",
+        F.timestamp_micros(F.col("i") * _US_PER_H).alias("grid_ts"),
+        F.col("value").alias("val"),
+    )

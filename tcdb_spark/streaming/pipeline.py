@@ -45,6 +45,23 @@ def windowed_cycle_counts(
     )
 
 
+def stream_dedup_events(
+    events: DataFrame,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, drop
+    re-deliveries — the streaming form of the reference's content-hash
+    ingest skip (tcdb/pipeline/fs_utils.py:10-21) without an external
+    ledger table.  ``dropDuplicatesWithinWatermark`` keys the dedup
+    state by ``keys`` and evicts a key's state once the watermark passes
+    its event time, so state is bounded by the watermark horizon instead
+    of growing with the whole history — the property that makes this
+    viable on an unbounded 100 TB/day stream."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
 def stream_bdeck_ingest(
     spark: SparkSession,
     raw_dir: str,

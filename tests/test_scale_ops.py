@@ -82,3 +82,31 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert j.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_sketch_aggregates_error_bounds(spark):
+    """At 100 TB, exact COUNT(DISTINCT) and exact percentiles are
+    shuffle-all-rows operations; HLL++ and t-digest style sketches are
+    the scale path. Assert their error stays inside the configured
+    bounds against exact answers on a known distribution."""
+    df = spark.range(100_000).select(
+        (F.col("id") % 9973).alias("k"),          # 9973 distinct keys
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    row = df.agg(
+        F.approx_count_distinct("k", rsd=0.02).alias("approx_k"),
+        F.countDistinct("k").alias("exact_k"),
+        F.percentile_approx("v", 0.5, 10_000).alias("p50"),
+        F.expr("percentile(v, 0.5)").alias("p50_exact"),
+    ).first()
+    assert abs(row["approx_k"] - row["exact_k"]) / row["exact_k"] < 0.05
+    assert abs(row["p50"] - row["p50_exact"]) <= 1.0
+
+
+def test_approx_count_distinct_is_deterministic(spark):
+    """The HLL sketch must be run-to-run deterministic (same data, same
+    rsd) so incremental pipelines don't flap."""
+    df = spark.range(50_000).select((F.col("id") % 4211).alias("k"))
+    a = df.agg(F.approx_count_distinct("k").alias("n")).first()["n"]
+    b = df.repartition(7).agg(F.approx_count_distinct("k").alias("n")).first()["n"]
+    assert a == b

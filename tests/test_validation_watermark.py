@@ -105,3 +105,51 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert final["2024-01-01 10:00:00"] == 2
     # the 13:00 window (batch1 event 3) got finalized by the new watermark
     assert final.get("2024-01-01 13:00:00") == 1
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: re-delivered events within the
+    watermark horizon are dropped across micro-batch restarts, first
+    arrival wins — the streaming ledger of §2.8 dedup-file-content."""
+    from tcdb_spark.streaming.pipeline import stream_dedup_events
+
+    src = tmp_path / "dedup_src"
+    ckpt = str(tmp_path / "dedup_ckpt")
+    out_dir = str(tmp_path / "dedup_out")
+    src.mkdir()
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    schema = "event_id long, ts timestamp, value double"
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream_dedup_events(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = [
+        (1, t, 1.0),
+        (1, t, 99.0),                       # in-batch duplicate -> dropped
+        (2, t + dt.timedelta(minutes=10), 2.0),
+        (3, t + dt.timedelta(hours=3), 3.0),
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(str(src))
+    run_batch()
+    got = {r["event_id"]: r["value"] for r in spark.read.parquet(out_dir).collect()}
+    assert set(got) == {1, 2, 3} and got[1] == 1.0  # first arrival won
+
+    batch2 = [
+        (3, t + dt.timedelta(hours=3), 33.0),   # re-delivery within horizon -> dropped
+        (4, t + dt.timedelta(hours=3, minutes=30), 4.0),
+    ]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(str(src))
+    run_batch()
+    rows = spark.read.parquet(out_dir).collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3, 4]  # event 3 NOT duplicated, event 4 appended
