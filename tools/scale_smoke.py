@@ -62,6 +62,83 @@ def main():
         results,
     )
 
+    # contamination shape: n/10 docs x 16 shingle hashes, 10% eval split;
+    # explode -> distinct train index -> shuffle join on shingle -> re-agg
+    n_docs = n // 10
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda j: F.xxhash64((F.col("id") % (n_docs // 20)) * 31 + j),
+        ).alias("sh"),
+    )
+    ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    train = (
+        ex.where(F.col("doc_id") % 10 != 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ev = ex.where(F.col("doc_id") % 10 == 0)
+    timed(
+        f"contamination shingle join, {n_docs} docs x 16 shingles",
+        ev.join(train, "shingle", "left").groupBy("doc_id").agg(F.count("__hit")),
+        results,
+    )
+
+    # connected components over 20M edges (path components of 5 nodes,
+    # diameter 4 -> ~5 label-propagation rounds, one shuffle each)
+    from tcdb_spark.operators.graph import connected_components
+
+    edges = (
+        spark.range(20_000_000)
+        .where(F.col("id") % 5 != 4)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    t0 = time.perf_counter()
+    cc = connected_components(edges)
+    n_clusters = cc.select("label").distinct().count()
+    results.append(("connected components, 16M edges / 20M nodes", round(time.perf_counter() - t0, 2)))
+    print(f"cc clusters: {n_clusters}", flush=True)
+
+    # resample shape: window lead over 25M events / 250k keys + grid explode
+    nev = n // 4
+    ev2 = spark.range(nev).select(
+        (F.col("id") / 100).cast("long").alias("key"),
+        F.timestamp_seconds(F.lit(1700000000) + (F.col("id") % 100) * 3700).alias("ts"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("key").orderBy("ts")
+    seg = (
+        ev2.select(
+            "key", "ts", "v",
+            F.lead("ts").over(w).alias("ts2"),
+            F.lead("v").over(w).alias("v2"),
+        )
+        .where(F.col("ts2").isNotNull())
+        .withColumn("e1", F.unix_micros("ts"))
+        .withColumn("e2", F.unix_micros("ts2"))
+        .withColumn("i0", F.expr("(e1 + 3599999999) div 3600000000"))
+        .withColumn("i1", F.expr("(e2 - 1) div 3600000000"))
+        .where(F.col("i0") <= F.col("i1"))
+    )
+    pts = seg.select("key", "v", "v2", "e1", "e2", F.explode(F.sequence("i0", "i1")).alias("i"))
+    timed(
+        f"resample interp window+explode, {nev} events / {nev // 100} keys",
+        pts.select(
+            "key",
+            F.timestamp_micros(F.col("i") * 3600000000).alias("grid_ts"),
+            (
+                F.col("v")
+                + (F.col("v2") - F.col("v"))
+                * ((F.col("i") * 3600000000 - F.col("e1")).cast("double") / (F.col("e2") - F.col("e1")).cast("double"))
+            ).alias("val"),
+        ),
+        results,
+    )
+
     with open("/root/repo/SCALE_SMOKE.md", "w") as f:
         f.write("# SCALE SMOKE — core plan shapes at 10^8 rows (local[32])\n\n")
         f.write(f"`python tools/scale_smoke.py {n}` — generated in-memory with\n")
@@ -74,9 +151,14 @@ def main():
             "aggregation collapses the hot key map-side before the shuffle;\n"
             "the salted variant shows the two-phase fallback for algebraic\n"
             "aggs where partials can't collapse (e.g. exact distincts). The\n"
-            "broadcast join never shuffles the fact table. Numbers are\n"
-            "single-node; on a cluster the same plans scale out by\n"
-            "partition count.\n"
+            "broadcast join never shuffles the fact table. The contamination\n"
+            "join shuffles both sides on the shingle key (the canonical\n"
+            "decontamination shape — neither side broadcastable at corpus\n"
+            "scale). Connected components converges in O(diameter) rounds of\n"
+            "one shuffle each with localCheckpoint lineage truncation. The\n"
+            "resample shape is one window sort-shuffle, then pure per-row\n"
+            "grid generation. Numbers are single-node; on a cluster the same\n"
+            "plans scale out by partition count.\n"
         )
     print("wrote SCALE_SMOKE.md")
 
