@@ -47,6 +47,7 @@ def merge(
     audit_ts: Column | None = None,
     update_guards: Column | None = None,
     dedupe_incoming: bool = True,
+    null_safe_keys: bool = False,
 ) -> DataFrame:
     """Pure-Spark MERGE: returns the post-merge table as a DataFrame.
 
@@ -68,6 +69,11 @@ def merge(
         dedupe_incoming: drop duplicate incoming natural keys first
             (deterministic arbitrary-last semantics should be imposed
             upstream via latest_per_key when ordering matters).
+        null_safe_keys: join keys with ``<=>`` instead of ``=``. Off by
+            default: natural keys are NOT NULL by DDL in the reference
+            (db/init_db_base.sql:137-145), and a null-safe join rewrites
+            the key to ``(coalesce(k), isnull(k))``, which defeats
+            bucket/partition co-location of the table side.
     """
     audit_cols = {"run_id", "last_update"}
     shared = [c for c in incoming.columns if c in set(current.columns)]
@@ -80,7 +86,11 @@ def merge(
     cur = current.alias("cur")
     inc = inc.alias("inc")
 
-    joined = cur.join(inc, on=[F.col(f"cur.{k}").eqNullSafe(F.col(f"inc.{k}")) for k in keys], how="full_outer")
+    if null_safe_keys:
+        on = [F.col(f"cur.{k}").eqNullSafe(F.col(f"inc.{k}")) for k in keys]
+    else:
+        on = [F.col(f"cur.{k}") == F.col(f"inc.{k}") for k in keys]
+    joined = cur.join(inc, on=on, how="full_outer")
 
     # presence flags: a side exists iff its key columns are non-null
     cur_exists = F.col(f"cur.{keys[0]}").isNotNull()

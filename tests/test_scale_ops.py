@@ -110,3 +110,49 @@ def test_approx_count_distinct_is_deterministic(spark):
     a = df.agg(F.approx_count_distinct("k").alias("n")).first()["n"]
     b = df.repartition(7).agg(F.approx_count_distinct("k").alias("n")).first()["n"]
     assert a == b
+
+
+def test_warehouse_bucketed_merge_colocated(spark, tmp_path):
+    """A warehouse table written bucketed on its natural key MERGEs
+    without shuffling the (100 TB) table side: the only Exchange in the
+    merge plan belongs to the small incoming batch."""
+    from tcdb_spark.operators.merge import merge
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    obs = spark.range(0, 10_000).select(
+        F.col("id").alias("storm_id"), (F.col("id") % 50).cast("double").alias("wind")
+    )
+    v = wh.write_bucketed("observations", obs, ["storm_id"], n_buckets=4)
+    assert v == 1
+    cur = wh.read("observations")
+    incoming = spark.range(9_000, 11_000).select(
+        F.col("id").alias("storm_id"), F.lit(99.0).alias("wind")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        merged = merge(cur, incoming, keys=["storm_id"], dedupe_incoming=False)
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan  # incoming side only
+        assert merged.count() == 11_000
+        assert merged.where(F.col("storm_id") == 9_500).first()["wind"] == 99.0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+    # a second bucketed version supersedes the first at the pointer swap
+    v2 = wh.write_bucketed("observations", incoming, ["storm_id"], n_buckets=4)
+    assert v2 == 2 and wh.read("observations").count() == 2_000
+
+    # a fresh session has an empty in-memory catalog: read() must
+    # re-register from the marker spec and keep the bucketed (no
+    # table-side Exchange) plan
+    spark.sql("DROP TABLE IF EXISTS wh_observations__v2")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        re_read = wh.read("observations")
+        assert re_read.count() == 2_000
+        merged2 = merge(re_read, incoming, keys=["storm_id"], dedupe_incoming=False)
+        plan2 = merged2._jdf.queryExecution().executedPlan().toString()
+        assert plan2.count("Exchange") == 1, plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
