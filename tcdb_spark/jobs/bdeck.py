@@ -116,8 +116,16 @@ def run_bdeck_job(
     warehouse: Warehouse,
     run_id: str,
     now=None,
+    bucket_obs: bool = False,
+    n_buckets: int = 16,
 ) -> dict[str, int]:
     """Full b-deck batch: storms MERGE then observations MERGE.
+
+    ``bucket_obs`` writes observations hash-bucketed by storm_id (sorted
+    by the natural key) — the at-scale layout: the next run's MERGE and
+    every storm-keyed join read co-located buckets and leave the fact
+    side un-shuffled (requireAllClusterKeysForCoPartition=false lets the
+    storm_id bucketing serve the composite-key join).
 
     Returns {'storms': n, 'observations': n} row counts after merge.
     """
@@ -160,7 +168,16 @@ def run_bdeck_job(
     )
     existing_obs = warehouse.read("observations", OBSERVATIONS_SCHEMA)
     merged_obs = merge(existing_obs, keyed, keys=["storm_id", "datetime_utc"], run_id=run_id)
-    warehouse.write("observations", merged_obs)
+    if bucket_obs:
+        warehouse.write_bucketed(
+            "observations",
+            merged_obs,
+            ["storm_id"],
+            n_buckets=n_buckets,
+            sort_cols=["storm_id", "datetime_utc"],
+        )
+    else:
+        warehouse.write("observations", merged_obs)
 
     return {
         "storms": warehouse.read("storms").count(),

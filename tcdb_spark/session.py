@@ -35,6 +35,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # A scan bucketed on a PREFIX of the join keys (observations
+        # bucketed by storm_id, MERGE on storm_id+datetime_utc) counts
+        # as co-partitioned — the other side shuffles on the subset and
+        # the 100 TB table side never does.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

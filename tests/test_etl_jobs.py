@@ -62,6 +62,30 @@ def test_bdeck_job_end_to_end_and_idempotent(spark, wh):
     assert first["latitude"] == 25.1 and first["intensity_kts"] == 35.0
 
 
+def test_bdeck_job_bucketed_layout_same_results(spark, wh, tmp_path):
+    """bucket_obs=True is a pure layout change: identical counts and
+    per-row values vs the plain path, idempotent on replay, and the
+    second run's MERGE reads the bucketed v1 through the catalog."""
+    parsed = parse_bdeck_lines(_lines(spark, BDECK_LINES))
+    counts1 = run_bdeck_job(
+        spark, parsed, wh, run_id="BDECK__t1", now=NOW(), bucket_obs=True, n_buckets=4
+    )
+    assert counts1 == {"storms": 3, "observations": 4}
+    counts2 = run_bdeck_job(
+        spark, parsed, wh, run_id="BDECK__t2", now=NOW(), bucket_obs=True, n_buckets=4
+    )
+    assert counts2 == counts1
+
+    plain = Warehouse(spark, str(tmp_path / "wh_plain"))
+    run_bdeck_job(spark, parsed, plain, run_id="BDECK__t1", now=NOW())
+    cols = sorted(
+        c for c in plain.read("observations").columns if c not in ("run_id", "last_update")
+    )
+    a = {tuple(r) for r in wh.read("observations").select(*cols).collect()}
+    b = {tuple(r) for r in plain.read("observations").select(*cols).collect()}
+    assert a == b
+
+
 def test_adeck_job_after_bdeck(spark, wh):
     run_bdeck_job(spark, parse_bdeck_lines(_lines(spark, BDECK_LINES)), wh, "B__1", now=NOW())
     # make an adeck batch for the AL09 storm (fixture ADECK_LINES is AL05
