@@ -166,9 +166,18 @@ def run_bdeck_job(
         )
         .drop("basin", "nhc_number", "start_date", "end_date")
     )
-    existing_obs = warehouse.read("observations", OBSERVATIONS_SCHEMA)
-    merged_obs = merge(existing_obs, keyed, keys=["storm_id", "datetime_utc"], run_id=run_id)
-    if bucket_obs:
+    if bucket_obs and warehouse.is_bucketed("observations"):
+        # incremental path: the batch only rewrites buckets its storm_ids
+        # hash into; every other bucket file is carried forward by link —
+        # O(touched buckets) per batch instead of O(table)
+        warehouse.merge_scoped(
+            "observations", keyed, keys=["storm_id", "datetime_utc"], run_id=run_id
+        )
+    elif bucket_obs:
+        existing_obs = warehouse.read("observations", OBSERVATIONS_SCHEMA)
+        merged_obs = merge(
+            existing_obs, keyed, keys=["storm_id", "datetime_utc"], run_id=run_id
+        )
         warehouse.write_bucketed(
             "observations",
             merged_obs,
@@ -177,6 +186,10 @@ def run_bdeck_job(
             sort_cols=["storm_id", "datetime_utc"],
         )
     else:
+        existing_obs = warehouse.read("observations", OBSERVATIONS_SCHEMA)
+        merged_obs = merge(
+            existing_obs, keyed, keys=["storm_id", "datetime_utc"], run_id=run_id
+        )
         warehouse.write("observations", merged_obs)
 
     return {

@@ -8,15 +8,46 @@ written last, so readers never see a half-written version and MERGE
 atomic at the pointer swap. Old versions are retained (cheap time travel,
 mirrors the reference's timestamped data-lake file versions,
 tcdb/pipeline/bdeck.py:96-103).
+
+Concurrency contract: **single writer per table**. The pointer swap gives
+crash atomicity (readers never see a torn version) but not writer
+isolation — two concurrent writers would both read version n and race on
+``v=n+1`` and the ``_LATEST`` pointer. The reference has the same contract
+(one pipeline process per deck, tcdb/pipeline/run.py); on a real lakehouse
+the table format's optimistic commit protocol replaces it.
+
+Incremental cost: ``write``/``write_bucketed`` rewrite the whole table per
+version — O(table) bytes per batch, the 100 TB killer. ``merge_scoped``
+fixes that for bucketed tables: only buckets containing touched keys are
+re-merged and rewritten; untouched bucket files are hard-linked into the
+new version (O(touched buckets) bytes + O(files) metadata), which is what
+MERGE INTO does on a real lakehouse (rewrite matched files, keep the rest).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Spark bucketed file names carry the bucket id as the trailing _NNNNN
+# group before the codec extensions: part-00000-<uuid>_00003.c000.snappy.parquet
+_BUCKET_ID_RE = re.compile(r"_(\d+)(?:\.\w+)*$")
+
+
+def bucket_id_expr(bucket_cols: list[str], n_buckets: int):
+    """The exact expression Spark uses to place a row in a bucket:
+    ``pmod(murmur3_hash(cols), n)`` (HashPartitioning.partitionIdExpression).
+    ``F.hash`` is the same Murmur3 with the same seed, so this computes the
+    physical bucket id of any row without writing it — the basis for
+    bucket-scoped MERGE (verified against written file names in
+    tests/test_scale_ops.py)."""
+    return F.pmod(F.hash(*[F.col(c) for c in bucket_cols]), F.lit(n_buckets))
 
 
 class Warehouse:
@@ -40,6 +71,10 @@ class Warehouse:
 
     def exists(self, table: str) -> bool:
         return self.current_version(table) is not None
+
+    def is_bucketed(self, table: str) -> bool:
+        v = self.current_version(table)
+        return v is not None and os.path.exists(self._bucket_marker(table, v))
 
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
         """Latest version, or an empty frame with ``schema`` if absent.
@@ -117,6 +152,142 @@ class Warehouse:
             f.write(str(v))
         os.replace(tmp, self._pointer(table))
         return v
+
+    def _bucket_spec(self, table: str, v: int) -> dict:
+        with open(self._bucket_marker(table, v)) as f:
+            return json.load(f)
+
+    def _version_files(self, table: str, v: int) -> list[str]:
+        path = os.path.join(self._dir(table), f"v={v}")
+        return [
+            n
+            for n in sorted(os.listdir(path))
+            if not n.startswith(("_", ".")) and n.endswith(".parquet")
+        ]
+
+    @staticmethod
+    def _file_bucket_id(fname: str) -> int:
+        m = _BUCKET_ID_RE.search(fname)
+        if m is None:
+            raise ValueError(f"not a bucketed data file: {fname}")
+        return int(m.group(1))
+
+    def merge_scoped(
+        self,
+        table: str,
+        incoming: DataFrame,
+        keys: list[str],
+        **merge_kwargs,
+    ) -> dict:
+        """Bucket-scoped MERGE: upsert ``incoming`` into a bucketed table
+        rewriting ONLY the buckets its keys hash into.
+
+        The reference touches only drifted rows per batch
+        (tcdb/etl/process_obs.py:70-91); a full-table rewrite per hourly
+        batch is the vanilla-parquet anti-scale failure mode this removes.
+        Procedure (all file moves are hard links — no data copy):
+
+        1. bucket ids touched = distinct ``pmod(hash(bucket_cols), n)``
+           over the incoming batch (≤ n_buckets ints, trivial collect);
+        2. stage the touched buckets' files as their own bucketed catalog
+           table (bucket ids live in file names, so a partial set of
+           buckets is still a valid bucketed table — absent buckets read
+           empty) and MERGE incoming into it: the table side stays
+           co-located, zero Exchange;
+        3. write the merged touched buckets bucketed into ``v=n+1``, then
+           hard-link every untouched bucket file from ``v=n`` beside them;
+        4. swap the pointer.
+
+        Requires the table's bucket columns to be a subset of ``keys``
+        (same-key rows must share a bucket or the scoped join misses
+        matches). Returns stats: {'version', 'touched_buckets',
+        'rewritten_files', 'carried_files', 'n_buckets'}.
+        """
+        from tcdb_spark.operators.merge import merge as _merge
+
+        v_old = self.current_version(table)
+        if v_old is None or not os.path.exists(self._bucket_marker(table, v_old)):
+            raise ValueError(
+                f"merge_scoped requires an existing bucketed version of {table}; "
+                "write one with write_bucketed first"
+            )
+        spec = self._bucket_spec(table, v_old)
+        bucket_cols, n_buckets = spec["bucket_cols"], spec["n_buckets"]
+        if not set(bucket_cols).issubset(keys):
+            raise ValueError(
+                f"bucket cols {bucket_cols} must be a subset of merge keys {keys}"
+            )
+        schema = T.StructType.fromJson(spec["schema"])
+
+        touched = {
+            r[0]
+            for r in incoming.select(
+                bucket_id_expr(bucket_cols, n_buckets).alias("b")
+            ).distinct().collect()
+        }
+        old_path = os.path.join(self._dir(table), f"v={v_old}")
+        old_files = self._version_files(table, v_old)
+        touched_files = [f for f in old_files if self._file_bucket_id(f) in touched]
+        carried_files = [f for f in old_files if self._file_bucket_id(f) not in touched]
+
+        v_new = v_old + 1
+        new_path = os.path.join(self._dir(table), f"v={v_new}")
+        stage_path = os.path.join(self._dir(table), f"_stage_scope_v{v_new}")
+        stage_name = f"wh_{table}__scope_v{v_new}"
+        new_name = self._catalog_name(table, v_new)
+        try:
+            # stage the touched buckets as a bucketed external table so the
+            # MERGE join reads them co-located (no table-side Exchange)
+            if touched_files:
+                shutil.rmtree(stage_path, ignore_errors=True)
+                os.makedirs(stage_path)
+                for f in touched_files:
+                    os.link(os.path.join(old_path, f), os.path.join(stage_path, f))
+                self.spark.sql(f"DROP TABLE IF EXISTS {stage_name}")
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+                )
+                sort = ", ".join(f"`{c}`" for c in spec["sort_cols"])
+                cluster = ", ".join(f"`{c}`" for c in bucket_cols)
+                self.spark.sql(
+                    f"CREATE TABLE {stage_name} ({cols}) USING parquet "
+                    f"CLUSTERED BY ({cluster}) SORTED BY ({sort}) "
+                    f"INTO {n_buckets} BUCKETS LOCATION '{stage_path}'"
+                )
+                current_touched = self.spark.table(stage_name)
+            else:
+                current_touched = self.spark.createDataFrame([], schema)
+
+            merged = _merge(current_touched, incoming, keys, **merge_kwargs)
+            # parquet resolves columns by name, but keep the table order so
+            # every version shares one visible schema
+            merged = merged.select(*[f.name for f in schema.fields])
+
+            self.spark.sql(f"DROP TABLE IF EXISTS {new_name}")
+            w = merged.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+            w = w.sortBy(*spec["sort_cols"])
+            w.option("path", new_path).format("parquet").saveAsTable(new_name)
+            for f in carried_files:
+                os.link(os.path.join(old_path, f), os.path.join(new_path, f))
+            # the saveAsTable cached its file listing before the links landed
+            self.spark.catalog.refreshTable(new_name)
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {stage_name}")
+            shutil.rmtree(stage_path, ignore_errors=True)
+
+        with open(self._bucket_marker(table, v_new), "w") as f:
+            json.dump(spec, f)
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v_new))
+        os.replace(tmp, self._pointer(table))
+        return {
+            "version": v_new,
+            "touched_buckets": sorted(touched),
+            "rewritten_files": len(touched_files),
+            "carried_files": len(carried_files),
+            "n_buckets": n_buckets,
+        }
 
     def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Write the next version and repoint. The full write lands before

@@ -156,3 +156,109 @@ def test_warehouse_bucketed_merge_colocated(spark, tmp_path):
         assert plan2.count("Exchange") == 1, plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+def test_bucket_id_expr_matches_file_assignment(spark, tmp_path):
+    """bucket_id_expr must reproduce Spark's physical bucket placement
+    exactly — merge_scoped's file pruning is only sound if
+    pmod(hash(cols), n) is the id baked into every written file name."""
+    from tcdb_spark.sources.warehouse import Warehouse, bucket_id_expr
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("storm_id"), (F.col("id") % 7).cast("double").alias("wind")
+    )
+    wh.write_bucketed("t", df, ["storm_id"], n_buckets=8)
+    rows = (
+        wh.read("t")
+        .select(
+            "storm_id",
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("fname"),
+            bucket_id_expr(["storm_id"], 8).alias("computed"),
+        )
+        .collect()
+    )
+    assert len(rows) == 5_000
+    for r in rows:
+        assert Warehouse._file_bucket_id(r["fname"]) == r["computed"], r
+
+
+def test_merge_scoped_rewrites_only_touched_buckets(spark, tmp_path):
+    """A small incoming batch must rewrite < all bucket files, carry the
+    rest forward as links, and produce a table identical to the
+    full-rewrite MERGE."""
+    from tcdb_spark.operators.merge import merge
+    from tcdb_spark.sources.warehouse import Warehouse, bucket_id_expr
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.range(0, 10_000).select(
+        F.col("id").alias("storm_id"),
+        (F.col("id") % 50).cast("double").alias("wind"),
+    )
+    wh.write_bucketed("observations", base, ["storm_id"], n_buckets=8)
+
+    # keys chosen to land in a strict subset of buckets: updates + inserts
+    incoming = spark.createDataFrame(
+        [(3, 99.0), (3 + 8 * 100, 99.0), (10_000 + 5, 99.0)],
+        "storm_id long, wind double",
+    )
+    n_touched = incoming.select(bucket_id_expr(["storm_id"], 8)).distinct().count()
+    assert n_touched < 8
+
+    expected = {
+        (r["storm_id"], r["wind"])
+        for r in merge(
+            wh.read("observations"), incoming, keys=["storm_id"], dedupe_incoming=False
+        ).collect()
+    }
+
+    stats = wh.merge_scoped("observations", incoming, keys=["storm_id"], dedupe_incoming=False)
+    assert stats["version"] == 2
+    assert len(stats["touched_buckets"]) == n_touched
+    assert stats["carried_files"] > 0, "no files carried — scoped rewrite degenerated to full"
+
+    got_df = wh.read("observations")
+    got = {(r["storm_id"], r["wind"]) for r in got_df.collect()}
+    assert got == expected
+    assert got_df.count() == 10_001
+
+    # scoped-merge output is still a first-class bucketed version: the next
+    # MERGE over it shuffles only the incoming side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        nxt = spark.createDataFrame([(4, 1.0)], "storm_id long, wind double")
+        merged = merge(wh.read("observations"), nxt, keys=["storm_id"], dedupe_incoming=False)
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_merge_scoped_chains_and_handles_empty_touch(spark, tmp_path):
+    """Repeated scoped merges stack correctly (v2 carries v1 links, v3
+    carries v2's), and a batch that only inserts brand-new buckets still
+    works."""
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.range(0, 1_000).select(
+        F.col("id").alias("storm_id"), F.lit(1.0).alias("wind")
+    )
+    wh.write_bucketed("obs", base, ["storm_id"], n_buckets=4)
+    wh.merge_scoped(
+        "obs",
+        spark.createDataFrame([(5, 2.0)], "storm_id long, wind double"),
+        keys=["storm_id"],
+        dedupe_incoming=False,
+    )
+    stats = wh.merge_scoped(
+        "obs",
+        spark.createDataFrame([(6, 3.0), (2_000, 4.0)], "storm_id long, wind double"),
+        keys=["storm_id"],
+        dedupe_incoming=False,
+    )
+    assert stats["version"] == 3
+    df = wh.read("obs")
+    assert df.count() == 1_001
+    assert df.where(F.col("storm_id") == 5).first()["wind"] == 2.0
+    assert df.where(F.col("storm_id") == 6).first()["wind"] == 3.0
+    assert df.where(F.col("storm_id") == 2_000).first()["wind"] == 4.0
