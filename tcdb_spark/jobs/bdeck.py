@@ -57,24 +57,17 @@ def stage_storms(
         F.coalesce(F.col("matched_storm_id"), _storm_identity(F.col("nhc_id"), F.col("start_date"))),
     )
 
-    # duplicate-invest sightings keep the existing named identity
-    # (namedStormSearch branch, tcdb/etl/process_storms.py:128-168)
+    # an invest that matched an existing named storm has transitioned —
+    # the reference makes NO updates in this case (investSearch returns
+    # None and the record is skipped, tcdb/etl/process_storms.py:95-98,
+    # 212-214), so the staged row is dropped, not merged
+    staged = staged.where(F.col("match_rule") != "duplicate_invest")
+
     ex_idt = existing.select(
         F.col("storm_id"),
-        F.col("nhc_id").alias("__ex_nhc_id"),
-        F.col("nhc_number").alias("__ex_nhc_number"),
-        F.col("name").alias("__ex_name"),
-        F.col("season").alias("__ex_season"),
         F.col("annual_id").alias("__ex_annual_id"),
     )
     staged = staged.join(F.broadcast(ex_idt), on="storm_id", how="left")
-    is_dup = F.col("match_rule") == "duplicate_invest"
-    staged = (
-        staged.withColumn("nhc_id", F.when(is_dup, F.col("__ex_nhc_id")).otherwise(F.col("nhc_id")))
-        .withColumn("nhc_number", F.when(is_dup, F.col("__ex_nhc_number")).otherwise(F.col("nhc_number")))
-        .withColumn("name", F.when(is_dup, F.col("__ex_name")).otherwise(F.col("name")))
-        .withColumn("season", F.when(is_dup, F.col("__ex_season")).otherwise(F.col("season")))
-    )
 
     staged = staged.join(
         F.broadcast(regions.select(F.col("short_name").alias("basin"), "region_id")),

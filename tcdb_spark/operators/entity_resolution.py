@@ -27,7 +27,10 @@ from pyspark.sql.window import Window as W
 
 from tcdb_spark.functions.scalar import haversine
 
-INVEST_MIN = 90   # nhc_number >= 90 -> invest (tcdb/etl/process_storms.py:87,150)
+INVEST_MIN = 90   # incoming nhc_number >= 90 -> invest (tcdb/etl/process_storms.py:211)
+UPGRADE_SEARCH_MIN = 70  # existing invests searched for upgrade use >= 70
+                         # (tcdb/etl/process_storms.py:149 — looser than the
+                         # incoming gate, catching renumbered invests)
 NAMED_MAX = 50    # nhc_number <= 50 -> named  (tcdb/pipeline/routines.py:53)
 MATCH_NM = 100.0  # distance threshold (tcdb/etl/process_storms.py:56)
 DRIFT_H = 24.0    # start-date drift window (tcdb/etl/process_storms.py:104-117)
@@ -99,8 +102,10 @@ def resolve_storms(incoming: DataFrame, existing: DataFrame) -> DataFrame:
          (>= INVEST_MIN) within 100 nm / 24 h    -> invest's storm_id,
          incoming identity (name, nhc_id) wins;
       3. incoming invest (>= INVEST_MIN) matching an existing named storm
-         is a duplicate sighting                 -> named storm's key,
-         existing identity kept (update positions only);
+         has already transitioned -> labeled ``duplicate_invest`` so the
+         caller DROPS it (the reference makes no updates to transitioned
+         invests: investSearch returns None and the record is skipped,
+         tcdb/etl/process_storms.py:95-98,212-214);
       4. otherwise                               -> brand-new storm.
 
     Output: incoming columns + ``matched_storm_id`` (null -> insert) +
@@ -109,7 +114,13 @@ def resolve_storms(incoming: DataFrame, existing: DataFrame) -> DataFrame:
     inc = incoming.alias("inc")
     ex = existing.alias("ex")
 
-    # Rule 1: exact nhc_id, banded start date ------------------------------
+    # Rule 1: exact nhc_id, banded start date; multiple in-band existing
+    # rows resolve deterministically by (start-date delta, storm_id) — the
+    # same tiebreak discipline as _nearest_in_band, so ties cannot flap
+    # with arrival order
+    exact_w = W.partitionBy("nhc_id").orderBy(
+        F.col("__delta_s").asc(), F.col("matched_storm_id").asc()
+    )
     exact = (
         inc.join(ex, on=[F.col("inc.nhc_id") == F.col("ex.nhc_id")], how="inner")
         .where(
@@ -117,13 +128,21 @@ def resolve_storms(incoming: DataFrame, existing: DataFrame) -> DataFrame:
                 F.unix_timestamp("inc.start_date") - F.unix_timestamp("ex.start_date")
             ) <= int(DRIFT_H * 3600)
         )
-        .select(F.col("inc.nhc_id").alias("nhc_id"), F.col("ex.storm_id").alias("matched_storm_id"))
-        .dropDuplicates(["nhc_id"])
+        .select(
+            F.col("inc.nhc_id").alias("nhc_id"),
+            F.col("ex.storm_id").alias("matched_storm_id"),
+            F.abs(
+                F.unix_timestamp("inc.start_date") - F.unix_timestamp("ex.start_date")
+            ).alias("__delta_s"),
+        )
+        .withColumn("__rn", F.row_number().over(exact_w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__delta_s")
     )
 
     # Rule 2: named incoming <- existing invest ----------------------------
     named_inc = incoming.where(F.col("nhc_number") <= NAMED_MAX)
-    invests_ex = existing.where(F.col("nhc_number") >= INVEST_MIN)
+    invests_ex = existing.where(F.col("nhc_number") >= UPGRADE_SEARCH_MIN)
     upgrades = _nearest_in_band(
         named_inc.withColumnRenamed("nhc_id", "inc_nhc_id"),
         invests_ex.select("storm_id", "basin", "start_date", "start_lat", "start_lon"),

@@ -98,7 +98,10 @@ def merge(
 
     changed = changed_predicate("cur", "inc", compare_cols)
     if update_guards is not None:
-        changed = changed & update_guards
+        # a guard comparing against a NULL current column yields NULL,
+        # which when() treats as false — that would silently freeze rows
+        # with e.g. cur.end_date IS NULL. NULL guard => update allowed.
+        changed = changed & F.coalesce(update_guards, F.lit(True))
     take_incoming = inc_exists & (~cur_exists | changed)
 
     out_cols: list[Column] = []

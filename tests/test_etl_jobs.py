@@ -221,3 +221,54 @@ def test_jdbc_gated(spark):
 
     with _pytest.raises(NotImplementedError, match="JDBC driver"):
         read_jdbc_table(spark, "jdbc:mysql://localhost/tcdb", "storms")
+
+
+def test_upgrade_matches_invests_numbered_70_to_89(spark):
+    """The existing-invest search for an upgrade uses nhc_number >= 70
+    (tcdb/etl/process_storms.py:149), looser than the >= 90 incoming
+    gate — a renumbered 75 invest must still be matched."""
+    existing = spark.createDataFrame(
+        [(7, "AL752022", 75, "AL", 2022, dt.datetime(2022, 9, 24), dt.datetime(2022, 9, 25, 18), 24.8, -73.6)],
+        "storm_id long, nhc_id string, nhc_number int, basin string, season int, "
+        "start_date timestamp, end_date timestamp, start_lat double, start_lon double",
+    )
+    incoming = spark.createDataFrame(
+        [("AL092022", 9, "AL", 2022, dt.datetime(2022, 9, 24, 6), dt.datetime(2022, 9, 26, 6), 25.1, -74.0)],
+        existing.drop("storm_id").schema,
+    )
+    out = resolve_storms(incoming, existing).first()
+    assert out["match_rule"] == "upgrade" and out["matched_storm_id"] == 7
+
+
+def test_transitioned_invest_is_dropped_from_staging(spark):
+    """An incoming invest that matches an existing named storm has
+    transitioned: the reference skips the record entirely (investSearch
+    returns None, tcdb/etl/process_storms.py:95-98,212-214) — it must NOT
+    merge its payload onto the named storm."""
+    from tcdb_spark.dims import regions_df
+    from tcdb_spark.jobs.bdeck import stage_storms
+
+    existing = spark.createDataFrame(
+        [(42, 1, 1, 9, "AL092022", 2022, dt.datetime(2022, 9, 24),
+          dt.datetime(2022, 9, 26, 6), "Active", "Ian", 25.1, -74.0)],
+        "storm_id long, annual_id int, region_id int, nhc_number int, nhc_id string, "
+        "season int, start_date timestamp, end_date timestamp, status string, "
+        "name string, start_lat double, start_lon double",
+    )
+    incoming = spark.createDataFrame(
+        [
+            # transitioned invest: same start date + position as Ian -> drop
+            ("AL952022", 95, "AL", 2022, dt.datetime(2022, 9, 24),
+             dt.datetime(2022, 9, 26, 12), "INVEST", 25.2, -74.1),
+            # unrelated fresh invest far away -> staged as new
+            ("EP902022", 90, "EP", 2022, dt.datetime(2022, 9, 25),
+             dt.datetime(2022, 9, 26), "INVEST", 15.0, -110.0),
+        ],
+        "nhc_id string, nhc_number int, basin string, season int, "
+        "start_date timestamp, end_date timestamp, name string, "
+        "start_lat double, start_lon double",
+    )
+    staged = stage_storms(incoming, existing, regions_df(spark), now=NOW())
+    ids = [r["nhc_id"] for r in staged.collect()]
+    assert "AL952022" not in ids, "transitioned invest must be dropped, not merged"
+    assert "EP902022" in ids

@@ -100,3 +100,21 @@ def test_latest_wins_dedupe(spark):
     )
     out = latest_wins_dedupe(staged, ["k"], ["version"]).orderBy("k").collect()
     assert [(r["k"], r["v"]) for r in out] == [(1, "new"), (2, "only")]
+
+
+def test_update_guard_null_current_still_updates(spark):
+    """A guard comparing against a NULL current column must not freeze the
+    row: NULL guard -> update allowed (guards only BLOCK on a definite
+    False, mirroring the reference's 'newer end_date wins' which never
+    fires against a missing date)."""
+    current = spark.createDataFrame(
+        [(1, "a", 10.0, None, "run0", TS)],
+        "k int, name string, v double, end_date timestamp, run_id string, last_update timestamp",
+    )
+    incoming = spark.createDataFrame(
+        [(1, "a", 99.0, dt.datetime(2022, 6, 1))],
+        "k int, name string, v double, end_date timestamp",
+    )
+    guard = F.col("inc.end_date") >= F.col("cur.end_date")
+    out = merge(current, incoming, keys=["k"], run_id="run1", update_guards=guard).first()
+    assert out["v"] == 99.0 and out["run_id"] == "run1"
