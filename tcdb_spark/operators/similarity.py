@@ -23,8 +23,18 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
+def _l2_normalize(arr):
+    n = F.sqrt(F.aggregate(F.transform(arr, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return F.transform(arr, lambda x: x / n)
+
+
 def ivf_build(emb: DataFrame, k_centroids: int = 16, seed: int = 42):
     """Train the coarse quantizer and bucket every vector.
+
+    Vectors are L2-normalized before KMeans (spherical quantization): the
+    search ranks by cosine, and on the unit sphere euclidean order IS
+    cosine order (||a-b||^2 = 2 - 2cos), so buckets line up with the
+    metric being searched. Raw embeddings are kept for exact re-ranking.
 
     Returns (indexed_df with ``bucket`` column, centroids list[list[float]]).
     """
@@ -32,7 +42,7 @@ def ivf_build(emb: DataFrame, k_centroids: int = 16, seed: int = 42):
     from pyspark.ml.functions import array_to_vector
 
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    train = base.withColumn("features", array_to_vector("emb"))
+    train = base.withColumn("features", array_to_vector(_l2_normalize(F.col("emb"))))
     model = KMeans(k=k_centroids, seed=seed, featuresCol="features", predictionCol="bucket").fit(train)
     indexed = model.transform(train).select("vec_id", "emb", "bucket")
     centroids = [c.tolist() for c in model.clusterCenters()]
@@ -49,13 +59,14 @@ def ivf_search(
     """Probe the nprobe nearest centroid buckets per query, exact cosine
     top-k inside. ``queries``: (q_id, q_emb array<double>)."""
     cents = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
-    # per query: distances to every centroid -> nprobe smallest bucket ids
-    with_d = queries.withColumn(
+    # per query: distances to every centroid -> nprobe smallest bucket ids.
+    # queries are normalized to match the spherical quantizer (ivf_build)
+    with_d = queries.withColumn("__qn", _l2_normalize(F.col("q_emb"))).withColumn(
         "__dists",
         F.transform(
             cents,
             lambda c: F.aggregate(
-                F.zip_with(c, F.col("q_emb"), lambda a, b: (a - b) * (a - b)),
+                F.zip_with(c, F.col("__qn"), lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda s, x: s + x,
             ),
