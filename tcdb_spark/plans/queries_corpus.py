@@ -163,6 +163,9 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIGRAM_DF_CAP = 100  # trigrams in more train docs than this are boilerplate
+
+
 @register(
     "contamination_check",
     oracle=f"""
@@ -173,7 +176,8 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ex AS (
         SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM tri
     ), train AS (
-        SELECT DISTINCT shingle FROM ex WHERE doc_id % 10 <> 0
+        SELECT shingle FROM ex WHERE doc_id % 10 <> 0
+        GROUP BY shingle HAVING count(*) <= {TRIGRAM_DF_CAP}
     ), ev AS (
         SELECT doc_id, n_sh, shingle FROM ex WHERE doc_id % 10 = 0
     )
@@ -186,11 +190,15 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: for every eval document (held-out
     split = doc_id % 10 == 0), count how many of its distinct word
-    trigrams also occur anywhere in the train split.  The canonical
-    shape at 100 TB: explode distinct shingles, build the train shingle
-    index once, one shuffle join on the shingle key (neither side is
-    broadcastable), aggregate back per eval doc.  Frequent-shingle skew
-    is bounded because both sides are per-doc DISTINCT."""
+    trigrams also occur in the train split with document frequency <=
+    ``TRIGRAM_DF_CAP``.  The df cap (one HAVING on the index-building
+    aggregation — it subsumes the DISTINCT) drops boilerplate trigrams
+    that would otherwise (a) count every eval doc as "contaminated" by
+    phrases like "one of the" and (b) concentrate the join's shuffle on
+    a handful of hot keys at crawl scale.  The canonical shape at
+    100 TB: explode distinct shingles, build the train shingle index
+    once, one shuffle join on the shingle key (neither side is
+    broadcastable), aggregate back per eval doc."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
     toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id", _tokens(F.col("text")).alias("tokens")
@@ -203,8 +211,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()  # barrier: train index + eval probe must not re-run the n-gram pipeline
     train = (
         ex.where(F.col("doc_id") % 10 != 0)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))  # rows are per-doc distinct
+        .where(F.col("__df") <= TRIGRAM_DF_CAP)
         .select("shingle")
-        .distinct()
         .withColumn("__hit", F.lit(1))
     )
     ev = ex.where(F.col("doc_id") % 10 == 0)

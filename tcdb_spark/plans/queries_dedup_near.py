@@ -168,6 +168,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+NGRAM_DF_CAP = 50  # drop shingles present in more docs than this
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -178,9 +181,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sh AS (
         SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles
         FROM toks WHERE len(tokens) >= {SHINGLE}
+    ), inv0 AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), hot AS (
+        SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) > {NGRAM_DF_CAP}
+    ), kept AS (
+        SELECT doc_id, shingle FROM inv0
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
     ), inv AS (
-        SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh
-        FROM sh
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY doc_id) AS n_sh
+        FROM kept
     ), inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(count(*) AS BIGINT) AS n_inter,
@@ -196,8 +207,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over an inverted shingle index: explode
-    distinct shingles, self-join on shingle (rare keys only), count the
-    intersection per pair, |union| = na + nb - inter. Threshold 0.7."""
+    distinct shingles, drop hot shingles (document frequency >
+    ``NGRAM_DF_CAP`` — boilerplate carries no signal and makes the
+    self-join quadratic on the hot key at crawl scale), self-join on the
+    remaining rare keys, count the intersection per pair,
+    |union| = na + nb - inter over the capped sets. Threshold 0.7."""
+    from pyspark.sql.window import Window as W
+
+    from tcdb_spark.operators.textdedup import drop_hot_keys
+
     corpus = _corpus(spark, sf_dir)
     toks = corpus.select("doc_id", _tokens(F.col("text")).alias("tokens")).where(
         F.size("tokens") >= SHINGLE
@@ -208,9 +226,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = toks.select(
         "doc_id", F.array_distinct(_shingles(F.col("tokens"))).alias("shingles")
     ).persist()
-    inv = sh.select(
-        "doc_id", F.explode("shingles").alias("shingle"), F.size("shingles").alias("n_sh")
+    kept = drop_hot_keys(
+        sh.select("doc_id", F.explode("shingles").alias("shingle")),
+        "shingle",
+        NGRAM_DF_CAP,
     )
+    # |capped shingle set| per doc, so jaccard is exact over what joined
+    inv = kept.withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(

@@ -44,6 +44,32 @@ def test_lsh_recall_vs_bruteforce(spark):
         assert recall >= 0.8, f"LSH recall@5 at {sf}: {recall}"
 
 
+def test_hot_shingle_cap_bounds_pair_join(spark):
+    """A planted boilerplate shingle (df = n_docs) would contribute
+    df^2/2 candidate pairs to the inverted-index self-join — quadratic
+    on one shuffle key. drop_hot_keys removes it BEFORE the join, so
+    the pair count collapses to what the rare shingles produce."""
+    from tcdb_spark.operators.textdedup import drop_hot_keys, hot_keys
+
+    n = 5000
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    inv = docs.select("doc_id", F.lit("the same old boilerplate line").alias("shingle")).unionByName(
+        docs.select("doc_id", F.concat(F.lit("unique-"), F.col("doc_id")).alias("shingle"))
+    )
+    assert [r["shingle"] for r in hot_keys(inv, "shingle", 50).collect()] == [
+        "the same old boilerplate line"
+    ]
+    kept = drop_hot_keys(inv, "shingle", 50)
+    assert kept.count() == n  # only the unique shingles survive
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    # uncapped this join is ~12.5M rows from the hot key alone
+    assert pairs.count() == 0
+
+
 def test_salted_sum_equals_plain(spark):
     df = spark.createDataFrame(
         [(i % 3, float(i)) for i in range(100)], "k int, v double"
