@@ -1,13 +1,15 @@
 """Ensemble-path catalog entries (SURVEY.md §2.1 scan-mat-ensemble,
 §2.4 join-track-assignment, §2.5 agg-ensemble-mean, §2.6
 pivot-ensemble-matrix) — golden-checked over the deterministic fake
-ensemble (sources/mat_ensemble.py stands in for scipy loadmat, which is
-not in this image).
+ensemble.  scan_mat_ensemble round-trips through a REAL MAT 5 file
+(written and parsed by the pure-stdlib sources/mat5.py), so the golden
+covers actual byte-level ingestion, not just the struct conversion.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -119,7 +121,15 @@ _STEPS_TYPES = [("hour", "INTEGER"), ("latitude", "DOUBLE"), ("intensity_kts", "
 def scan_mat_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-format ensemble ingestion -> rounded step rows (toStepDict,
     tcdb/etl/syntracks.py:378-389) for a 2-member, 2-step slice.
-    Exercises structs_to_rows (NaN -> NULL) + syntrack_steps rounding."""
-    df = fake_ensemble_df(spark, n_ens=3, n_steps=2, init=_INIT)
+    The slice is written as a real compressed MAT 5 file and parsed back
+    (sources/mat5.py), then structs_to_rows (NaN -> NULL) +
+    syntrack_steps rounding produce the golden-checked rows."""
+    import tempfile
+
+    from tcdb_spark.sources.mat_ensemble import read_mat_ensemble, write_fake_mat
+
+    path = os.path.join(tempfile.gettempdir(), "tcdb_spark_ECMWF_2022090100.mat")
+    write_fake_mat(path, n_ens=3, n_steps=2, init=_INIT, compress=True)
+    df = read_mat_ensemble(spark, path, model="ECMWF", init=_INIT)
     steps = syntrack_steps(drop_empty_tracks(df))
     return steps.select("hour", "latitude", "intensity_kts")
