@@ -1,13 +1,16 @@
 """Dimension seed data (reference: db/init_db_base.sql:11-42 seeds 6
-regions + 5 data sources; the model catalog comes from
-db/insert_full_models.sql / settings.yml:28-52 — a representative subset
-here; the engine treats models as an open dimension upserted on sight).
+regions + 5 data sources; the 492-technique model catalog and the a-deck
+ingestion allowlist live in dims_models.py, extracted from
+db/insert_full_models.sql / settings.yml; the engine still treats models
+as an open dimension upserted on sight for uncataloged techniques).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from tcdb_spark.dims_models import ADECK_MODELS, MODEL_CATALOG
 
 REGIONS = [
     (1, "North Atlantic", "AL", "L"),
@@ -26,12 +29,9 @@ DATA_SOURCES = [
     (5, "Japan Meteorological Agency", "JMA"),
 ]
 
-# model allowlist (settings.yml:28-52 technique codes)
-MODEL_TECHS = [
-    "OFCL", "CARQ", "BEST", "AVNO", "AVNI", "EMX", "EMXI", "EGRR", "EGRI",
-    "HWRF", "HMON", "CMC", "NVGM", "UKX", "CTCX", "TVCN", "TVCA", "SHIP",
-    "DSHP", "LGEM", "TABS", "TABM", "TABD",
-]
+# a-deck ingestion allowlist (settings.yml adeck.models), plus the
+# deck bookkeeping techniques every pipeline keeps (CARQ carrier, BEST)
+MODEL_TECHS = ADECK_MODELS + ["CARQ", "BEST"]
 
 
 def regions_df(spark: SparkSession) -> DataFrame:
@@ -47,7 +47,9 @@ def data_sources_df(spark: SparkSession) -> DataFrame:
 
 
 def models_df(spark: SparkSession) -> DataFrame:
-    rows = [(i + 1, t, t) for i, t in enumerate(MODEL_TECHS)]
+    """The full 492-technique catalog; model_id is the 1-based catalog
+    position (stable: the catalog is append-only data)."""
+    rows = [(i + 1, ln, sn) for i, (ln, sn) in enumerate(MODEL_CATALOG)]
     return spark.createDataFrame(
         rows, "model_id long, long_name string, short_name string"
     ).withColumn("last_update", F.current_timestamp())

@@ -139,3 +139,48 @@ def pivot_wind_radii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = spark.createDataFrame([(l,) for l in BDECK_LINES], "value string")
     parsed = parse_bdeck_lines(lines)
     return pivot_wind_radii(parsed, ["BASIN", "SNUM", "DATETIME"])
+
+
+# --- full model-catalog enrichment (dims_models.py, 492 techniques) -------
+
+_CATALOG_EXPECTED = [
+    ("AVNO", 1, "GFS Model", True, True),
+    ("CARQ", 1, "Combined ARQ Position", True, True),
+    ("JTWC", 1, "JTWC official forecast", True, True),
+    ("OFCL", 3, "NHC official forecast", True, True),
+    ("TEST", 1, None, False, False),
+]
+_CATALOG_TYPES = [
+    ("tech", "VARCHAR"), ("n", "BIGINT"), ("long_name", "VARCHAR"),
+    ("in_catalog", "BOOLEAN"), ("in_allowlist", "BOOLEAN"),
+]
+
+
+@register("dim_model_catalog", oracle=_values_oracle(_CATALOG_EXPECTED, _CATALOG_TYPES))
+def dim_model_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-technique counts enriched against the FULL 492-row model
+    catalog (db/insert_full_models.sql via dims_models.py) with the
+    a-deck allowlist as a flag.  LEFT join + in_catalog boolean: an
+    uncataloged technique (TEST) surfaces with a NULL long_name instead
+    of silently dropping — the failure mode a partial dim causes.  The
+    catalog is driver-side data, so it broadcasts; the fact side never
+    shuffles for the join."""
+    from tcdb_spark.dims import MODEL_TECHS, models_df
+
+    lines = spark.createDataFrame([(l,) for l in ADECK_LINES], "value string")
+    parsed = parse_adeck_lines(lines)
+    cat = models_df(spark).select(
+        F.col("short_name").alias("tech"), "long_name"
+    )
+    return (
+        parsed.groupBy(F.col("TECH").alias("tech"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(cat), "tech", "left")
+        .select(
+            "tech",
+            "n",
+            "long_name",
+            F.col("long_name").isNotNull().alias("in_catalog"),
+            F.col("tech").isin(MODEL_TECHS).alias("in_allowlist"),
+        )
+    )
