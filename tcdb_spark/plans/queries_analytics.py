@@ -193,3 +193,44 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(
         normalize, schema="event_id long, user_id long, zscore double"
     )
+
+
+@register(
+    "window_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma,
+               count(*) AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s USING (user_id)
+    WHERE s.n > 1 AND s.sigma > 0
+    """,
+)
+def window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in twin of grouped_map_zscore and the RECOMMENDED plan:
+    avg/stddev_samp over an unordered per-user window, pure column
+    expressions end-to-end — one shuffle on user_id, whole-stage codegen,
+    no Python serialization.  grouped_map_zscore stays catalogued as the
+    §2.11 applyInPandas surface demo; use this shape whenever the
+    per-group logic is expressible with built-ins."""
+    from pyspark.sql.window import Window as W
+
+    e = load_tables(spark, sf_dir, "events")["events"].select("event_id", "user_id", "value")
+    w = W.partitionBy("user_id")
+    mu = F.avg("value").over(w)
+    sigma = F.stddev_samp("value").over(w)
+    n = F.count(F.lit(1)).over(w)
+    return (
+        e.withColumn("__mu", mu)
+        .withColumn("__sigma", sigma)
+        .withColumn("__n", n)
+        .where((F.col("__n") > 1) & (F.col("__sigma") > 0))
+        .select(
+            "event_id",
+            "user_id",
+            F.round((F.col("value") - F.col("__mu")) / F.col("__sigma"), 4).alias("zscore"),
+        )
+    )
