@@ -58,10 +58,24 @@ def write_json_documents(df: DataFrame, path: str, mode: str = "overwrite") -> N
     out.write.mode(mode).json(path)
 
 
-def export_tables(warehouse, out_dir: str, tables: list[str], fmt: str = "csv") -> dict[str, int]:
+SINGLE_FILE_MAX_ROWS = 5_000_000  # past this, one task writing one file stalls
+
+
+def export_tables(
+    warehouse,
+    out_dir: str,
+    tables: list[str],
+    fmt: str = "csv",
+    single_file_max_rows: int = SINGLE_FILE_MAX_ROWS,
+) -> dict[str, int]:
     """Validation-export dump of warehouse tables (db/sql_export.py:1-29:
     per-table CSV snapshots for golden comparison). Timestamps ISO-8601
-    for stable text round-trips. Returns per-table row counts."""
+    for stable text round-trips. Returns per-table row counts.
+
+    Small tables coalesce to one file (the golden-diff use case wants a
+    single CSV); past ``single_file_max_rows`` the export writes
+    partitioned instead — an unguarded coalesce(1) funnels the whole
+    table through one task, which is a stall at warehouse scale."""
     counts = {}
     for t in tables:
         df = warehouse.read(t)
@@ -69,12 +83,15 @@ def export_tables(warehouse, out_dir: str, tables: list[str], fmt: str = "csv") 
         for name, dtype in df.dtypes:
             if dtype.startswith("timestamp"):
                 out = out.withColumn(name, F.date_format(F.col(name), ISO))
-        w = out.coalesce(1).write.mode("overwrite")
+        n = df.count()
+        if n <= single_file_max_rows:
+            out = out.coalesce(1)
+        w = out.write.mode("overwrite")
         if fmt == "csv":
             w.option("header", True).csv(f"{out_dir}/{t}")
         else:
             getattr(w, fmt)(f"{out_dir}/{t}")
-        counts[t] = df.count()
+        counts[t] = n
     return counts
 
 

@@ -102,3 +102,27 @@ def test_export_tables(spark, tmp_path, loaded_wh):
     back = spark.read.option("header", True).csv(f"{out}/storms")
     assert back.count() == 3
     assert back.where(F.col("start_date") == "2022-09-26T00:00:00").count() == 2
+
+
+def test_export_tables_partitions_past_single_file_cap(spark, tmp_path, loaded_wh):
+    """Above the row cap the export must NOT coalesce(1): one task
+    writing one giant file is a stall at warehouse scale."""
+    import glob
+
+    from tcdb_spark.sources.sinks import export_tables
+
+    small = str(tmp_path / "small")
+    export_tables(loaded_wh, small, ["observations"])
+    assert len(glob.glob(f"{small}/observations/part-*")) == 1  # golden-diff single CSV
+
+    class _Wh:  # multi-partition source: the case the cap protects
+        def read(self, _t):
+            return spark.range(100).repartition(4).withColumn("v", F.col("id") * 2)
+
+    big = str(tmp_path / "big")
+    counts = export_tables(_Wh(), big, ["wide"], single_file_max_rows=50)
+    assert counts == {"wide": 100}
+    parts = glob.glob(f"{big}/wide/part-*")
+    assert len(parts) > 1  # partitioned write, no single-task funnel
+    back = spark.read.option("header", True).csv(f"{big}/wide")
+    assert back.count() == 100
