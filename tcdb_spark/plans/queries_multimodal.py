@@ -10,13 +10,24 @@ from pyspark.sql import functions as F
 
 from tcdb_spark.plans.catalog import register
 from tcdb_spark.plans.queries_atcf import _values_oracle
-from tcdb_spark.sources.multimodal import FEATURE_DIM, _fake_features, extract_features
+from tcdb_spark.sources.multimodal import (
+    FEATURE_DIM,
+    _fake_features,
+    extract_features,
+    make_test_ppm,
+    make_test_wav,
+    media_features,
+)
 from tcdb_spark.sources.tcvitals import parse_tcvitals_lines
 
+# REAL formats (PPM pixels, WAV samples — decoded from actual bytes) plus
+# opaque payloads that exercise the stub fallback.
 _PAYLOADS = [
     (1, b"payload-one", "image"),
     (2, b"payload-two", "video"),
     (3, b"\x00\x01\x02binary\xff", "audio"),
+    (4, make_test_ppm(), "image/ppm"),
+    (5, make_test_wav(), "audio/wav"),
 ]
 
 # features are quantized to floor(v * 2^40) integers for the compare:
@@ -24,10 +35,18 @@ _PAYLOADS = [
 # literals (1 ULP off), so float literals can't ride in the oracle.
 _Q = float(2**40)
 
+
+def _expected_features(payload: bytes) -> list[float]:
+    return media_features(payload) or _fake_features(payload, FEATURE_DIM)
+
+
+import math as _math
+
 _MM_EXPECTED = [
-    (mid, mtype, len(payload), idx, int(v * _Q))
+    (mid, mtype, len(payload), idx, int(_math.floor(v * _Q)))  # floor, not
+    # truncate: must match F.floor for any negative feature value
     for mid, payload, mtype in _PAYLOADS
-    for idx, v in enumerate(_fake_features(payload, FEATURE_DIM))
+    for idx, v in enumerate(_expected_features(payload))
 ]
 
 _MM_TYPES = [
