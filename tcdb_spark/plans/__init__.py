@@ -22,3 +22,4 @@ from tcdb_spark.plans import queries_joins_windows  # noqa: F401,E402
 from tcdb_spark.plans import queries_curation  # noqa: F401,E402
 from tcdb_spark.plans import queries_corpus  # noqa: F401,E402
 from tcdb_spark.plans import queries_timeseries  # noqa: F401,E402
+from tcdb_spark.plans import queries_packing  # noqa: F401,E402
