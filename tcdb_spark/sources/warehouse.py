@@ -72,20 +72,41 @@ class Warehouse:
     def exists(self, table: str) -> bool:
         return self.current_version(table) is not None
 
+    def versions(self, table: str) -> list[int]:
+        """Committed versions still on disk (time-travel targets)."""
+        d = self._dir(table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(p.split("=", 1)[1]) for p in os.listdir(d) if p.startswith("v=")
+        )
+
     def is_bucketed(self, table: str) -> bool:
         v = self.current_version(table)
         return v is not None and os.path.exists(self._bucket_marker(table, v))
 
-    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
-        """Latest version, or an empty frame with ``schema`` if absent.
+    def read(
+        self,
+        table: str,
+        schema: T.StructType | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Latest version (or time-travel to ``version`` — old versions
+        are retained until vacuumed, so any committed state stays
+        queryable), or an empty frame with ``schema`` if absent.
         Bucketed versions are read through the session catalog — bucket
         metadata only exists there, and it is what lets joins/MERGEs on
         the bucket key skip their Exchange."""
-        v = self.current_version(table)
+        current = self.current_version(table)
+        v = version if version is not None else current
         if v is None:
             if schema is None:
                 raise FileNotFoundError(f"table {table} missing and no schema given")
             return self.spark.createDataFrame([], schema)
+        if current is None or v > current or v < 1:
+            raise FileNotFoundError(
+                f"table {table} has no version {v} (current: {current})"
+            )
         if os.path.exists(self._bucket_marker(table, v)):
             return self.spark.table(self._ensure_registered(table, v))
         return self.spark.read.parquet(os.path.join(self._dir(table), f"v={v}"))

@@ -118,3 +118,32 @@ def test_update_guard_null_current_still_updates(spark):
     guard = F.col("inc.end_date") >= F.col("cur.end_date")
     out = merge(current, incoming, keys=["k"], run_id="run1", update_guards=guard).first()
     assert out["v"] == 99.0 and out["run_id"] == "run1"
+
+
+def test_warehouse_time_travel(spark, tmp_path):
+    """Old versions stay queryable: read(version=n) returns the exact
+    pre-merge state after a later merge commits, and versions() lists
+    every committed version."""
+    import pytest
+
+    from tcdb_spark.operators.merge import merge
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t0 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "storm_id long, wind double"
+    )
+    wh.write("observations", t0)
+    incoming = spark.createDataFrame(
+        [(2, 99.0), (3, 30.0)], "storm_id long, wind double"
+    )
+    merged = merge(wh.read("observations"), incoming, keys=["storm_id"], dedupe_incoming=False)
+    wh.write("observations", merged)
+
+    assert wh.versions("observations") == [1, 2]
+    latest = {r["storm_id"]: r["wind"] for r in wh.read("observations").collect()}
+    assert latest == {1: 10.0, 2: 99.0, 3: 30.0}
+    v1 = {r["storm_id"]: r["wind"] for r in wh.read("observations", version=1).collect()}
+    assert v1 == {1: 10.0, 2: 20.0}
+    with pytest.raises(FileNotFoundError, match="no version"):
+        wh.read("observations", version=5)
