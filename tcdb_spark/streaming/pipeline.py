@@ -129,3 +129,81 @@ def stream_windowed_counts_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+_CURATION_STOP = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def stream_corpus_curation(
+    spark: SparkSession,
+    raw_dir: str,
+    warehouse: Warehouse,
+    checkpoint_dir: str | None = None,
+    min_tokens: int = 20,
+    max_stop_ratio: float = 0.40,
+    langs: tuple[str, ...] = ("en", "es", "de"),
+    watermark: str = "24 hours",
+):
+    """Streaming twin of the ``curation_pipeline`` catalog query: docs
+    land as JSON files, each micro-batch applies the same quality/
+    language gates (stateless — fused into the scan), exact dedup runs
+    ACROSS batches via ``dropDuplicatesWithinWatermark`` on the content
+    hash (state bounded by the watermark horizon, not corpus history),
+    and ``foreachBatch`` MERGEs survivors into the warehouse on the
+    content hash so a replayed batch is a fixed point (exactly-once
+    under retry).  This is the incremental form a 100 TB/day corpus
+    intake takes: per-batch work is O(batch), dedup state is O(docs in
+    watermark), table growth is append-mostly MERGE."""
+    from tcdb_spark.operators.merge import merge
+
+    docs = spark.readStream.schema(CORPUS_SCHEMA).json(raw_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_CURATION_STOP))).cast("double")
+        / n_tokens
+    )
+    curated = (
+        docs.where(F.length(F.trim(F.col("text"))) > 0)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("stop_ratio", stop_ratio)
+        .where(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("stop_ratio") <= max_stop_ratio)
+            & F.col("lang").isin(*langs)
+        )
+        .withColumn("content_hash", F.md5(F.col("text").cast("binary")))
+    )
+    deduped = curated.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        wh_schema = batch_df.schema
+        cur = warehouse.read("corpus", schema=wh_schema)
+        merged = merge(
+            cur, batch_df, keys=["content_hash"], dedupe_incoming=True
+        )
+        warehouse.write("corpus", merged)
+
+    return (
+        deduped.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{warehouse.root}/_checkpoints/corpus",
+        )
+        .start()
+    )

@@ -153,3 +153,52 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == [1, 2, 3, 4]  # event 3 NOT duplicated, event 4 appended
+
+
+def test_stream_corpus_curation_two_ticks(spark, tmp_path):
+    """Streaming curation twin: quality/lang gates per batch, exact
+    dedup ACROSS ticks (dropDuplicatesWithinWatermark on content hash),
+    MERGE into the warehouse - a re-delivered duplicate text in tick 2
+    must not create a second corpus row."""
+    import json as _json
+
+    from tcdb_spark.sources.warehouse import Warehouse
+    from tcdb_spark.streaming.pipeline import stream_corpus_curation
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    good = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+
+    def tick(name, rows):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        q = stream_corpus_curation(
+            spark, str(src), wh, checkpoint_dir=str(tmp_path / "ckpt"), min_tokens=5
+        )
+        q.awaitTermination(120)
+
+    tick(
+        "b1.json",
+        [
+            {"doc_id": 1, "lang": "en", "source": "web", "text": good, "ts": "2024-01-01T10:00:00"},
+            {"doc_id": 2, "lang": "en", "source": "web", "text": "too short", "ts": "2024-01-01T10:00:00"},
+            {"doc_id": 3, "lang": "zz", "source": "web", "text": good + " other", "ts": "2024-01-01T10:00:00"},
+        ],
+    )
+    first = wh.read("corpus").collect()
+    assert {r["doc_id"] for r in first} == {1}  # quality + lang gates
+
+    tick(
+        "b2.json",
+        [
+            # same TEXT, new doc_id: cross-tick duplicate, must not land
+            {"doc_id": 9, "lang": "en", "source": "web", "text": good, "ts": "2024-01-01T11:00:00"},
+            {"doc_id": 4, "lang": "es", "source": "web", "text": good + " nueva", "ts": "2024-01-01T11:00:00"},
+        ],
+    )
+    final = {r["doc_id"]: r for r in wh.read("corpus").collect()}
+    assert set(final) == {1, 4}
+    assert final[1]["text"] == good  # original kept, re-delivery ignored
+    assert wh.versions("corpus") == [1, 2]
