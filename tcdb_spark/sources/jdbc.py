@@ -1,8 +1,13 @@
-"""JDBC source (SURVEY.md §2.1 scan-jdbc): the reference bulk-reads its
-MySQL tables for validation exports (db/sql_export.py:18
+"""JDBC source/sink (SURVEY.md §2.1 scan-jdbc): the reference bulk-reads
+its MySQL tables for validation exports (db/sql_export.py:18
 ``pd.read_sql_table``). The Spark equivalent is the stock JDBC reader
-with partitioned parallel pulls; no MySQL driver jar ships in this image,
-so the call is capability-gated.
+with partitioned parallel pulls and the batched JDBC writer.
+
+Exercised end-to-end against embedded Derby (whose jars ship with Spark
+for the Hive metastore) in tests/test_jdbc_roundtrip.py — real database,
+real driver, real range-sliced parallel connections. MySQL/Postgres only
+need their connector jar on ``spark.jars`` at deploy time; the gate
+below turns a missing driver into an actionable error.
 """
 
 from __future__ import annotations
@@ -43,4 +48,28 @@ def read_jdbc_table(
             "JDBC driver not on the classpath in this environment; add the "
             "connector jar (e.g. mysql-connector-j) via spark.jars at deploy "
             f"time. Underlying error: {exc}"
+        ) from exc
+
+
+def write_jdbc_table(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """JDBC bulk write (the validation-export half of db/sql_export.py):
+    one connection per partition, batched inserts. Same capability gate
+    as the reader."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    try:
+        writer.mode(mode).save()
+    except Exception as exc:
+        raise NotImplementedError(
+            "JDBC driver not on the classpath in this environment; add the "
+            "connector jar via spark.jars at deploy time. "
+            f"Underlying error: {exc}"
         ) from exc
