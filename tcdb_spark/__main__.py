@@ -1,0 +1,172 @@
+"""CLI entry points — the engine-side equivalents of the reference's
+pipeline commands (tcdb/pipeline/adeck.py:174-273, bdeck.py, master_*.sh
+cron wrappers).  Each subcommand composes a deck scan with its batch job
+over a versioned warehouse:
+
+    python -m tcdb_spark bdeck  --warehouse /data/wh --input 'decks/b*.dat'
+    python -m tcdb_spark adeck  --warehouse /data/wh --input 'decks/a*.dat' --backfill
+    python -m tcdb_spark syntrack --warehouse /data/wh --input 'mat/*.mat'
+    python -m tcdb_spark maintenance --warehouse /data/wh
+    python -m tcdb_spark export --warehouse /data/wh --out /data/export --tables storms
+
+HTTP download/landing is deliberately out of engine scope (SURVEY.md
+§2.1 source-http-listing): point --input at the landing directory a
+fetcher maintains; the file-source streaming twin
+(streaming/pipeline.py) covers continuous intake.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import sys
+
+
+def _spark():
+    from tcdb_spark.session import get_spark
+
+    return get_spark("tcdb-spark-cli")
+
+
+def _wh(spark, root: str):
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    return Warehouse(spark, root)
+
+
+def _run_id(prefix: str) -> str:
+    return f"{prefix}_{dt.datetime.now(dt.timezone.utc):%Y%m%d%H%M%S}"
+
+
+def cmd_bdeck(args) -> int:
+    from tcdb_spark.jobs.bdeck import run_bdeck_job
+    from tcdb_spark.sources.atcf import read_bdeck
+
+    spark = _spark()
+    counts = run_bdeck_job(
+        spark,
+        read_bdeck(spark, args.input),
+        _wh(spark, args.warehouse),
+        _run_id("CLI_BDECK"),
+        bucket_obs=args.bucket_obs,
+    )
+    print(counts)
+    return 0
+
+
+def cmd_adeck(args) -> int:
+    from tcdb_spark.jobs.adeck import run_adeck_job
+    from tcdb_spark.sources.atcf import read_adeck
+
+    spark = _spark()
+    counts = run_adeck_job(
+        spark,
+        read_adeck(spark, args.input),
+        _wh(spark, args.warehouse),
+        _run_id("CLI_ADECK"),
+        ref_time=None if args.backfill else dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+        backfill=args.backfill,
+    )
+    print(counts)
+    return 0
+
+
+def cmd_syntrack(args) -> int:
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.jobs.syntracks import run_syntrack_job
+    from tcdb_spark.operators.windows import latest_per_key
+    from tcdb_spark.sources.mat_ensemble import read_mat_ensemble_distributed
+
+    spark = _spark()
+    wh = _wh(spark, args.warehouse)
+    ensemble = read_mat_ensemble_distributed(spark, args.input)
+    # active invests + latest observed position, one per (model, init)
+    # in the loaded ensemble (the reference passes invests from the DB
+    # into parseSystemTracks; this is its set-based warehouse form)
+    storms = wh.read("storms")
+    obs = latest_per_key(
+        wh.read("observations"), ["storm_id"], ["datetime_utc"]
+    ).select("storm_id", "latitude", "longitude", "datetime_utc")
+    inv = (
+        storms.where((F.col("nhc_number") >= 90) & (F.col("status") == "Active"))
+        .join(obs, "storm_id")
+        .select(
+            F.col("annual_id").cast("int").alias("annual_id"),
+            F.col("name"),
+            F.col("latitude").alias("lat"),
+            F.col("longitude").alias("lon"),
+            F.col("datetime_utc").alias("valid"),
+        )
+    )
+    invests = ensemble.select("model", "init").distinct().crossJoin(F.broadcast(inv))
+    counts = run_syntrack_job(spark, ensemble, invests, wh, _run_id("CLI_SYNTRACK"))
+    print(counts)
+    return 0
+
+
+def cmd_maintenance(args) -> int:
+    from tcdb_spark.jobs.maintenance import remove_old_invests, update_active_systems
+
+    spark = _spark()
+    wh = _wh(spark, args.warehouse)
+    # now defaults to current_timestamp() inside the jobs (Column-typed)
+    a = update_active_systems(spark, wh, _run_id("CLI_MAINT"))
+    b = remove_old_invests(spark, wh)
+    print({"active_updates": a, "invests_removed": b})
+    return 0
+
+
+def cmd_export(args) -> int:
+    from tcdb_spark.sources.sinks import export_tables
+
+    spark = _spark()
+    counts = export_tables(_wh(spark, args.warehouse), args.out, args.tables, fmt=args.fmt)
+    print(counts)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tcdb_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--warehouse", required=True, help="versioned warehouse root")
+
+    b = sub.add_parser("bdeck", help="ingest best-track decks")
+    common(b)
+    b.add_argument("--input", required=True, help="deck file glob (text or .gz)")
+    b.add_argument("--bucket-obs", action="store_true", help="bucketed at-scale layout")
+    b.set_defaults(fn=cmd_bdeck)
+
+    a = sub.add_parser("adeck", help="ingest forecast decks")
+    common(a)
+    a.add_argument("--input", required=True)
+    a.add_argument("--backfill", action="store_true", help="disable the freshness window")
+    a.set_defaults(fn=cmd_adeck)
+
+    s = sub.add_parser("syntrack", help="ingest .mat ensembles")
+    common(s)
+    s.add_argument("--input", required=True, help="MODEL_YYYYMMDDHH.mat glob")
+    s.set_defaults(fn=cmd_syntrack)
+
+    m = sub.add_parser("maintenance", help="archive ended systems, drop stale invests")
+    common(m)
+    m.set_defaults(fn=cmd_maintenance)
+
+    e = sub.add_parser("export", help="dump warehouse tables for validation")
+    common(e)
+    e.add_argument("--out", required=True)
+    e.add_argument("--tables", nargs="+", required=True)
+    e.add_argument("--fmt", default="csv")
+    e.set_defaults(fn=cmd_export)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

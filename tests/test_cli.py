@@ -1,0 +1,46 @@
+"""CLI entry points (python -m tcdb_spark ...): deck file -> warehouse
+-> export, end to end through main(), reusing the live test session
+(get_spark returns the active session)."""
+
+import glob
+
+from tcdb_spark.__main__ import main
+
+BDECK = [
+    "AL, 09, 2022092600, , BEST, 0, 251N, 740W, 35, 1003, TS, 34, NEQ, 60, 40, 30, 50, 1010, 150, 30, 45, 0, L, 8, ab, 270, 8, IAN, D, 12, NEQ, 0, 0, 0, 0, ,",
+    "AL, 09, 2022092606, , BEST, 0, 258N, 748W, 45, 996, TS, 34, NEQ, 70, 50, 40, 60, 1009, 160, 25, 55, 0, L, 9, ab, 275, 9, IAN, D, 12, NEQ, 0, 0, 0, 0, ,",
+    "EP, 91, 2022092600, , BEST, 0, 151N, 1041W, 25, 1007, DB, 34, NEQ, 0, 0, 0, 0, 1009, 100, 40, 35, 0, E, 5, cd, 280, 6, INVEST, S, 0, , 0, 0, 0, 0, ,",
+]
+
+
+def test_cli_bdeck_maintenance_export(spark, tmp_path):
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    deck = tmp_path / "bal092022.dat"
+    deck.write_text("\n".join(BDECK) + "\n")
+    wh_root = str(tmp_path / "wh")
+    out = str(tmp_path / "export")
+
+    assert main(["bdeck", "--warehouse", wh_root, "--input", str(deck)]) == 0
+    wh = Warehouse(spark, wh_root)
+    assert wh.read("storms").count() == 2
+    assert wh.read("observations").count() == 3
+
+    # decks are years old -> maintenance archives both and removes the
+    # stale invest (cascade drops its observation)
+    assert main(["maintenance", "--warehouse", wh_root]) == 0
+    storms = {r["nhc_id"]: r["status"] for r in wh.read("storms").collect()}
+    assert storms == {"AL092022": "Archive"}
+    assert wh.read("observations").count() == 2
+
+    assert (
+        main(["export", "--warehouse", wh_root, "--out", out, "--tables", "storms"]) == 0
+    )
+    assert glob.glob(f"{out}/storms/part-*")
+
+
+def test_cli_parser_rejects_missing_args():
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["bdeck", "--warehouse", "/tmp/x"])  # --input required
