@@ -231,8 +231,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shingle",
         NGRAM_DF_CAP,
     )
-    # |capped shingle set| per doc, so jaccard is exact over what joined
-    inv = kept.withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    # |capped shingle set| per doc, so jaccard is exact over what joined.
+    # persist: this subtree (explode -> df agg -> anti-join -> window)
+    # feeds BOTH self-join branches and would compute twice (DEVNOTES #13)
+    inv = kept.withColumn(
+        "n_sh", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+    ).persist()
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(
