@@ -234,3 +234,41 @@ def window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("value") - F.col("__mu")) / F.col("__sigma"), 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH weekly AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week_idx
+        FROM events
+    ), firsts AS (
+        SELECT user_id, min(week_idx) AS cohort_week FROM weekly GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(w.week_idx - f.cohort_week AS INTEGER) AS weeks_since,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active
+    FROM weekly w JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    in every later week they return — the activation/retention triangle
+    every product-analytics stack computes.  Week index is integer
+    epoch arithmetic (no date_trunc: engines disagree on week start),
+    first-week via a min over a per-user window (one shuffle reused by
+    the cohort join), distinct-user counts per (cohort, offset)."""
+    from pyspark.sql.window import Window as W
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    weekly = e.select(
+        "user_id", F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("week_idx")
+    ).distinct()
+    cohort = F.min("week_idx").over(W.partitionBy("user_id"))
+    return (
+        weekly.withColumn("cohort_week", cohort)
+        .groupBy("cohort_week", (F.col("week_idx") - F.col("cohort_week")).cast("int").alias("weeks_since"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
