@@ -201,3 +201,89 @@ def seq_len_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# fixed classifier weights: [n_tokens/100, mean_token_len/10, stop_ratio,
+# digit_ratio, caps_ratio] -> quality logit (a stand-in for a distilled
+# fasttext-style quality model's linear head)
+_W = [0.8, 0.5, -1.2, -2.0, -1.5]
+_B = -0.3
+
+
+@register(
+    "quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    feats AS (
+        SELECT doc_id,
+               len(tokens) / 100.0 AS f_len,
+               (length(list_aggregate(tokens, 'string_agg', ''))
+                   / CAST(len(tokens) AS DOUBLE)) / 10.0 AS f_tok_len,
+               len(list_filter(tokens, t -> t IN
+                   ('the','a','of','and','to','in','is')))
+                   / CAST(len(tokens) AS DOUBLE) AS f_stop,
+               (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE) AS f_digit,
+               (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE) AS f_caps,
+               text
+        FROM toks WHERE len(tokens) > 0
+    )
+    SELECT doc_id,
+           round({_W[0]} * f_len + {_W[1]} * f_tok_len + {_W[2]} * f_stop
+                 + {_W[3]} * f_digit + {_W[4]} * f_caps + {_B}, 6) AS logit,
+           CAST(CASE WHEN {_W[0]} * f_len + {_W[1]} * f_tok_len + {_W[2]} * f_stop
+                 + {_W[3]} * f_digit + {_W[4]} * f_caps + {_B} > 0
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM feats
+    """,
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch inference with a broadcast linear model: a fixed weight
+    vector over cheap text features (token count, mean token length,
+    stopword/digit/caps ratios), evaluated as pure column arithmetic —
+    the 100 TB shape for a distilled quality model's linear head: no
+    UDF, no model server, one scan, embarrassingly parallel.  The
+    identical left-to-right multiply-add order on both engines makes
+    the logit bit-stable before rounding.  (A real deployment swaps the
+    literal weights for a broadcast variable and the features for model
+    embeddings; the plan shape is unchanged.)"""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = _tokens(F.col("text"))
+    base = (
+        d.where(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "text", toks.alias("tokens"))
+        .where(F.size("tokens") > 0)
+    )
+    n_tok = F.size("tokens").cast("double")
+    joined_len = F.length(F.concat_ws("", F.col("tokens"))).cast("double")
+    feats = [
+        n_tok / 100.0,
+        (joined_len / n_tok) / 10.0,
+        F.size(
+            F.filter(
+                F.col("tokens"),
+                lambda t: t.isin("the", "a", "of", "and", "to", "in", "is"),
+            )
+        ).cast("double")
+        / n_tok,
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), "[0-9]", "")))
+        .cast("double")
+        / F.length("text"),
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), "[A-Z]", "")))
+        .cast("double")
+        / F.length("text"),
+    ]
+    logit = F.lit(0.0)
+    for w, f in zip(_W, feats):
+        logit = logit + F.lit(w) * f
+    logit = logit + F.lit(_B)
+    return base.select(
+        "doc_id",
+        F.round(logit, 6).alias("logit"),
+        (logit > 0).cast("int").alias("keep"),
+    )
