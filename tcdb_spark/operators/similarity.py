@@ -102,3 +102,37 @@ def ivf_search(
         .where(F.col("rank_in_group") <= k)
         .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank_in_group")
     )
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Incremental index maintenance: bucket NEW vectors against the
+    EXISTING centroids — no retrain, no shuffle (the centroid table is a
+    literal array; assignment is an argmin column expression).  The
+    standard IVF lifecycle at 100 TB: train the quantizer once on a
+    sample, assign every arriving batch with this, re-train only on
+    measured drift (bucket-occupancy skew).  Output schema matches
+    ivf_build's index, so the new rows union/MERGE straight into it."""
+    cents = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    qn = _l2_normalize(F.col("emb"))
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(c, qn, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+    n_cent = len(centroids)
+    best = F.slice(
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(n_cent - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("bucket")),
+            )
+        ),
+        1,
+        1,
+    )[0]["bucket"]
+    return base.withColumn("bucket", best)

@@ -298,3 +298,34 @@ def test_merge_scoped_chains_and_handles_empty_touch(spark, tmp_path):
     assert df.where(F.col("storm_id") == 5).first()["wind"] == 2.0
     assert df.where(F.col("storm_id") == 6).first()["wind"] == 3.0
     assert df.where(F.col("storm_id") == 2_000).first()["wind"] == 4.0
+
+
+def test_ivf_assign_matches_trained_quantizer(spark):
+    """Incremental assignment must agree with the trained model's own
+    bucketing (same spherical metric, same centroids) - so a batch
+    assigned without retrain lands exactly where a full rebuild would
+    put it; a search over the incrementally-extended index then finds
+    the new vectors."""
+    from tcdb_spark.operators.similarity import ivf_assign, ivf_build, ivf_search
+    from tcdb_spark.plans.catalog import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    old = e.where(F.col("vec_id") < 150)
+    new = e.where(F.col("vec_id") >= 150)
+
+    indexed, centroids = ivf_build(e, k_centroids=8, seed=42)
+    model_buckets = {r["vec_id"]: r["bucket"] for r in indexed.collect()}
+    assigned = ivf_assign(new, centroids)
+    for r in assigned.collect():
+        assert r["bucket"] == model_buckets[r["vec_id"]], r["vec_id"]
+
+    # extend the old index incrementally; a new vector must be findable
+    base_index, cents = ivf_build(old, k_centroids=8, seed=42)
+    extended = base_index.unionByName(ivf_assign(new, cents))
+    probe_vec = new.limit(1).collect()[0]
+    q = spark.createDataFrame(
+        [(999_999, list(probe_vec["embedding"]))], "q_id long, q_emb array<double>"
+    )
+    hits = ivf_search(extended, cents, q, k=1, nprobe=2).collect()
+    assert hits and hits[0]["vec_id"] == probe_vec["vec_id"]  # exact self-match
