@@ -16,11 +16,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
 def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    return dot / (na * nb)
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def _l2_normalize(arr):
@@ -44,7 +49,11 @@ def ivf_build(emb: DataFrame, k_centroids: int = 16, seed: int = 42):
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     train = base.withColumn("features", array_to_vector(_l2_normalize(F.col("emb"))))
     model = KMeans(k=k_centroids, seed=seed, featuresCol="features", predictionCol="bucket").fit(train)
-    indexed = model.transform(train).select("vec_id", "emb", "bucket")
+    # ||emb|| stored in the index: cosine at search time is then one
+    # fold per candidate (the dot), not three
+    indexed = model.transform(train).select(
+        "vec_id", "emb", _norm(F.col("emb")).alias("nrm"), "bucket"
+    )
     centroids = [c.tolist() for c in model.clusterCenters()]
     return indexed, centroids
 
@@ -61,7 +70,9 @@ def ivf_search(
     cents = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
     # per query: distances to every centroid -> nprobe smallest bucket ids.
     # queries are normalized to match the spherical quantizer (ivf_build)
-    with_d = queries.withColumn("__qn", _l2_normalize(F.col("q_emb"))).withColumn(
+    with_d = queries.withColumn("q_nrm", _norm(F.col("q_emb"))).withColumn(
+        "__qn", _l2_normalize(F.col("q_emb"))
+    ).withColumn(
         "__dists",
         F.transform(
             cents,
@@ -90,11 +101,13 @@ def ivf_search(
                 nprobe,
             )
         ),
-    ).select("q_id", "q_emb", F.col("bucket.bucket").alias("bucket"))
+    ).select("q_id", "q_emb", "q_nrm", F.col("bucket.bucket").alias("bucket"))
 
     cand = indexed.join(probe, on="bucket").where(F.col("vec_id") != F.col("q_id"))
     scored = cand.select(
-        "q_id", "vec_id", _cosine(F.col("q_emb"), F.col("emb")).alias("cos")
+        "q_id",
+        "vec_id",
+        (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias("cos"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -135,4 +148,4 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
         1,
         1,
     )[0]["bucket"]
-    return base.withColumn("bucket", best)
+    return base.withColumn("nrm", _norm(F.col("emb"))).withColumn("bucket", best)

@@ -32,6 +32,14 @@ def cosine_sim(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def norm_of(a):
+    """||a|| as a column — precompute ONCE PER ROW on each side of a
+    similarity join: cosine then costs one fold per candidate pair
+    (the dot) instead of three. Bit-identical to cosine_sim: same
+    fold order, sqrt(dot(a,a)) * sqrt(dot(b,b)) unchanged."""
+    return F.sqrt(_dot(a, a))
+
+
 @register(
     "sim_topk_cosine",
     oracle=f"""
@@ -61,14 +69,24 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     base table, per-query window top-k. At 100 TB the base side stays
     partition-parallel; only k rows per query shuffle to the window."""
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("nrm", norm_of(F.col("emb")))
     q = base.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     pairs = (
         base.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", cosine_sim(F.col("q_emb"), F.col("emb")).alias("cos"))
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -155,8 +173,9 @@ def lsh_bucket_ann(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("emb"),
         )
+        .withColumn("nrm", norm_of(F.col("emb")))  # once per vector, not per pair
         .withColumn("__all_dots", _all_dots(F.col("emb")))
-        .select("vec_id", "emb", "__all_dots", tbl_idx)
+        .select("vec_id", "emb", "nrm", "__all_dots", tbl_idx)
         .withColumn("bucket", bucket_of_dots(table_dots(F.col("__all_dots"))))
         .drop("__all_dots")
     )
@@ -166,8 +185,9 @@ def lsh_bucket_ann(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").cast("array<double>").alias("q_emb"),
         )
+        .withColumn("q_nrm", norm_of(F.col("q_emb")))
         .withColumn("__all_dots", _all_dots(F.col("q_emb")))
-        .select("q_id", "q_emb", "__all_dots", tbl_idx)
+        .select("q_id", "q_emb", "q_nrm", "__all_dots", tbl_idx)
         .withColumn("__dots", table_dots(F.col("__all_dots")))
         .withColumn("__b0", bucket_of_dots(F.col("__dots")))
     )
@@ -198,14 +218,20 @@ def lsh_bucket_ann(
     if n_flip >= 2:  # double-flip of the two most marginal planes
         probes.append(flip(flip(F.col("__b0"), F.col("__order")[0]), F.col("__order")[1]))
     q = q.select(
-        "q_id", "q_emb", "tbl",
+        "q_id", "q_emb", "q_nrm", "tbl",
         F.explode(F.array_distinct(F.array(*probes))).alias("bucket"),
     )
 
     pairs = (
         base.join(F.broadcast(q), on=["tbl", "bucket"])
         .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", cosine_sim(F.col("q_emb"), F.col("emb")).alias("cos"))
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
         # the same pair surfaces from every agreeing table: dedup scalars
         # (cheap shuffle of (ids, cos) — embeddings do not ride along)
         .dropDuplicates(["q_id", "vec_id"])
