@@ -363,7 +363,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.99 — finds exactly the planted scaled clones (scaling preserves
     cosine). The label equi-join keeps the pair space partitioned; the
     full-scale path is the LSH-bucketed variant (queries_sim.lsh_bucket_ann)."""
-    from tcdb_spark.plans.queries_sim import cosine_sim
+    from tcdb_spark.plans.queries_sim import _dot, norm_of
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     base = e.where(F.col("vec_id") % 17 == 0).select(
@@ -374,7 +374,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 2.0).alias("emb"),
     )
-    sampled = base.unionByName(clones)
+    # norms once per row before the self-join: one fold per pair after
+    sampled = base.unionByName(clones).withColumn("nrm", norm_of(F.col("emb")))
     a, b = sampled.alias("a"), sampled.alias("b")
     pairs = a.join(
         b,
@@ -382,7 +383,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        cosine_sim(F.col("a.emb"), F.col("b.emb")).alias("cos"),
+        (_dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
+            "cos"
+        ),
     )
     return pairs.where(F.col("cos") >= 0.99).select(
         "vec_a", "vec_b", F.round("cos", 6).alias("cosine")
