@@ -207,3 +207,51 @@ def stream_corpus_curation(
         )
         .start()
     )
+
+
+EMBEDDING_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def stream_embedding_index(
+    spark: SparkSession,
+    raw_dir: str,
+    warehouse: Warehouse,
+    centroids: list[list[float]],
+    checkpoint_dir: str | None = None,
+):
+    """Streaming ANN index maintenance: embedding batches land as JSON,
+    each micro-batch is bucketed against the FIXED trained centroids
+    (operators/similarity.ivf_assign — argmin column math, no retrain,
+    no shuffle) and MERGEd into the warehouse ``ann_index`` table on
+    vec_id.  Composed with the IVF lifecycle: train the quantizer once
+    offline, keep assigning forever, retrain on measured occupancy
+    drift.  Search (ivf_search) reads the same table, so the index is
+    queryable between any two batches."""
+    from tcdb_spark.operators.merge import merge
+    from tcdb_spark.operators.similarity import ivf_assign
+
+    vecs = spark.readStream.schema(EMBEDDING_SCHEMA).json(raw_dir)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        assigned = ivf_assign(batch_df, centroids)
+        cur = warehouse.read("ann_index", schema=assigned.schema)
+        warehouse.write(
+            "ann_index", merge(cur, assigned, keys=["vec_id"], dedupe_incoming=True)
+        )
+
+    return (
+        vecs.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{warehouse.root}/_checkpoints/ann_index",
+        )
+        .start()
+    )

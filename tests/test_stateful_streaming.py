@@ -51,3 +51,49 @@ def test_storm_lifecycle_stream(spark, tmp_path):
     assert "invest_upgraded" in by_storm["AL092022"]
     assert "intensified" in by_storm["AL092022"]  # 25 -> 40+ jump
     assert by_storm["EP052022"] == ["genesis"]
+
+
+def test_stream_embedding_index_incremental(spark, tmp_path):
+    """Two embedding drops -> one queryable ANN index: each batch is
+    assigned to the fixed quantizer's buckets inside the stream
+    (ivf_assign) and MERGEd; a search after tick 2 finds a tick-2
+    vector, and re-delivered vec_ids do not duplicate."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.operators.similarity import ivf_build, ivf_search
+    from tcdb_spark.plans.catalog import load_tables
+    from tcdb_spark.sources.warehouse import Warehouse
+    from tcdb_spark.streaming.pipeline import stream_embedding_index
+
+    sf = "/root/testdata/sf0.001"
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    _, centroids = ivf_build(e, k_centroids=8, seed=42)
+    rows = e.select("vec_id", F.col("embedding").cast("array<double>")).collect()
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def drop(name, batch):
+        with open(src / name, "w") as fh:
+            for r in batch:
+                fh.write(_json.dumps({"vec_id": r["vec_id"], "embedding": list(r["embedding"])}) + "\n")
+        q = stream_embedding_index(
+            spark, str(src), wh, centroids, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+    drop("b1.json", rows[:100])
+    assert wh.read("ann_index").count() == 100
+    drop("b2.json", rows[90:150])  # 10 re-delivered + 50 new
+    idx = wh.read("ann_index")
+    assert idx.count() == 150  # idempotent on vec_id
+
+    probe = rows[120]
+    q = spark.createDataFrame(
+        [(999_999, list(probe["embedding"]))], "q_id long, q_emb array<double>"
+    )
+    hits = ivf_search(idx, centroids, q, k=1, nprobe=2).collect()
+    assert hits and hits[0]["vec_id"] == probe["vec_id"]
