@@ -99,3 +99,67 @@ def test_merge_laws(spark, current, incoming):
     assert got == expect
     twice = merge(once, inc, keys=["k"])
     assert {(r["k"], r["v"]) for r in twice.collect()} == set(got.items())
+
+
+# ---- MAT 5 container round-trip (sources/mat5.py) -------------------------
+
+_mat_scalar = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.integers(min_value=-(2**31), max_value=2**31 - 1).map(float),
+)
+_mat_value = st.one_of(
+    _mat_scalar,
+    st.lists(_mat_scalar, min_size=1, max_size=8),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0xFFFF,
+                               blacklist_categories=("Cs",)),
+        min_size=1, max_size=12,
+    ),
+    st.none(),
+)
+_mat_name = st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    variables=st.dictionaries(_mat_name, _mat_value, min_size=1, max_size=4),
+    fields=st.dictionaries(_mat_name, _mat_value, min_size=1, max_size=4),
+    compress=st.booleans(),
+)
+def test_mat5_roundtrip_property(variables, fields, compress):
+    """save_mat -> load_mat is the identity on scalars, float vectors,
+    unicode strings, None, and (1x1 and 1xN) struct arrays, compressed
+    or not."""
+    import io
+    import math
+
+    from tcdb_spark.sources import mat5
+
+    variables = dict(variables)
+    variables["s"] = [dict(fields), dict(fields)]  # 1x2 struct array
+    buf = io.BytesIO()
+    mat5.save_mat(buf, variables, compress=compress)
+    back = mat5.load_mat(buf.getvalue())
+
+    def check(expected, got):
+        if expected is None:
+            assert got is None
+        elif isinstance(expected, str):
+            assert got == expected
+        elif isinstance(expected, float):
+            assert got == expected or (math.isnan(expected) and math.isnan(got))
+        elif isinstance(expected, list) and expected and isinstance(expected[0], dict):
+            got_list = got if isinstance(got, list) else [got]
+            assert len(got_list) == len(expected)
+            for e, g in zip(expected, got_list):
+                for k, v in e.items():
+                    check(v, g[k])
+        else:  # numeric list
+            vals = [got] if not hasattr(got, "__len__") else list(got)
+            assert len(vals) == len(expected)
+            for e, g in zip(expected, vals):
+                check(float(e), float(g))
+
+    assert set(back) == set(variables)
+    for name, value in variables.items():
+        check(value, back[name])
