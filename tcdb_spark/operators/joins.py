@@ -121,41 +121,77 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     direction: str = "backward",
+    tolerance_hours: float | None = None,
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` (backward) per key group.
+    """As-of join per key group: ``backward`` takes the latest right row
+    with ``right_ts <= left_ts``; ``forward`` the earliest with
+    ``right_ts >= left_ts``; ``nearest`` whichever side is closer in
+    time (ties resolve backward).  ``tolerance_hours`` nulls matches
+    farther than the threshold — the reference's time_threshold
+    matching (tcdb/etl/syntracks.py:281-325,330-360).
 
-    Generalizes the reference's track-assignment "first step nearest in
-    time" matching (tcdb/etl/syntracks.py:281-325). Implemented as a
-    union + window sort (no cross product): tag both sides, sort by
-    (key, ts), carry the last-seen right values forward with
-    ``last(ignorenulls=True)``. One shuffle on the key, scale-safe.
+    Implemented as a union + window sort (no cross product): tag both
+    sides, sort by (key, ts), carry last-seen-backward and
+    first-seen-forward right values over the SAME sorted frame — one
+    shuffle on the key regardless of direction, scale-safe.
     """
-    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
     carried = [f"__r_{c}" for c in right_cols]
     rt = rt.select(
-        *on, "__side", "__ts", *[F.col(c).alias(a) for c, a in zip(right_cols, carried)]
+        *on, "__side", "__ts",
+        *[F.col(c).alias(a) for c, a in zip(right_cols, carried)],
+        F.col(right_ts).alias("__r_ts"),
     )
-    lt_cols = [c for c in left.columns]
-    lt = lt.select(*lt_cols, "__side", "__ts", *[F.lit(None).cast(rt.schema[a].dataType).alias(a) for a in carried])
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    lt = lt.select(
+        *left.columns, "__side", "__ts",
+        *[F.lit(None).cast(rt.schema[a].dataType).alias(a) for a in carried],
+        F.lit(None).cast(rt.schema["__r_ts"].dataType).alias("__r_ts"),
+    )
+    u = lt.unionByName(
+        rt.select(*on, "__side", "__ts", *carried, "__r_ts"), allowMissingColumns=True
+    )
 
+    # one sort serves both frames: backward = last over (-inf, 0],
+    # forward = first over [0, +inf) — right rows sort before left at
+    # equal ts so an exact-ts right row is visible to both directions
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    w_back = W.partitionBy(*on).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    w_fwd = W.partitionBy(*on).orderBy(*order).rowsBetween(0, W.unboundedFollowing)
+
+    all_carried = carried + ["__r_ts"]
+    for a in all_carried:
+        if direction in ("backward", "nearest"):
+            u = u.withColumn(f"__b_{a}", F.last(F.col(a), ignorenulls=True).over(w_back))
+        if direction in ("forward", "nearest"):
+            u = u.withColumn(f"__f_{a}", F.first(F.col(a), ignorenulls=True).over(w_fwd))
+
+    out = u.where(F.col("__side") == 1)
     if direction == "backward":
-        w = (
-            W.partitionBy(*on)
-            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-            .rowsBetween(W.unboundedPreceding, 0)
+        pick = {a: F.col(f"__b_{a}") for a in all_carried}
+    elif direction == "forward":
+        pick = {a: F.col(f"__f_{a}") for a in all_carried}
+    else:  # nearest: closer of the two matched timestamps, ties backward
+        d_back = F.col("__ts").cast("long") - F.col("__b___r_ts").cast("long")
+        d_fwd = F.col("__f___r_ts").cast("long") - F.col("__ts").cast("long")
+        use_back = F.col("__f___r_ts").isNull() | (
+            F.col("__b___r_ts").isNotNull() & (d_back <= d_fwd)
         )
-    else:
-        w = (
-            W.partitionBy(*on)
-            .orderBy(F.col("__ts").desc(), F.col("__side").asc())
-            .rowsBetween(W.unboundedPreceding, 0)
+        pick = {
+            a: F.when(use_back, F.col(f"__b_{a}")).otherwise(F.col(f"__f_{a}"))
+            for a in all_carried
+        }
+    for a in all_carried:
+        out = out.withColumn(a, pick[a])
+    if tolerance_hours is not None:
+        tol_s = int(tolerance_hours * 3600)
+        within = (
+            F.abs(F.col("__ts").cast("long") - F.col("__r_ts").cast("long")) <= tol_s
         )
-    u = lt.unionByName(rt.select(*on, "__side", "__ts", *carried), allowMissingColumns=True)
-    for c, a in zip(right_cols, carried):
-        u = u.withColumn(a, F.last(F.col(a), ignorenulls=True).over(w))
-    out = u.where(F.col("__side") == 1).drop("__side", "__ts")
+        for a in all_carried:
+            out = out.withColumn(a, F.when(within, F.col(a)))
+    out = out.drop("__side", "__ts", "__r_ts")
+    out = out.drop(*[c for c in out.columns if c.startswith("__b___") or c.startswith("__f___")])
     for c, a in zip(right_cols, carried):
         out = out.withColumnRenamed(a, c)
     return out

@@ -138,3 +138,42 @@ def agg_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
     ).join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
     return j.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+    pairs AS (
+        SELECT p.event_id, p.user_id, p.ts, c.click_ts,
+               abs(epoch(p.ts) - epoch(c.click_ts)) AS d,
+               CASE WHEN c.click_ts <= p.ts THEN 0 ELSE 1 END AS side
+        FROM p LEFT JOIN c USING (user_id)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN d <= 6 * 3600 THEN click_ts END AS click_ts
+    FROM pairs
+    QUALIFY row_number() OVER (
+        PARTITION BY event_id ORDER BY d ASC, side ASC) = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join with a 6 h tolerance: per purchase,
+    the closest click in EITHER direction (ties resolve backward),
+    nulled when farther than the threshold — exactly the reference's
+    time_threshold track matching (tcdb/etl/syntracks.py:330-360).
+    Same union+window plan as backward/forward: one shuffle on the
+    key, both direction frames over a single sort."""
+    from tcdb_spark.operators.joins import asof_join
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    purchases = e.where(F.col("event_type") == "purchase")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], "ts", "click_ts", ["click_ts"],
+        direction="nearest", tolerance_hours=6.0,
+    )
+    return out.select("event_id", "user_id", "ts", "click_ts")
