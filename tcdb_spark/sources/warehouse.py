@@ -107,6 +107,11 @@ class Warehouse:
             raise FileNotFoundError(
                 f"table {table} has no version {v} (current: {current})"
             )
+        if not os.path.isdir(os.path.join(self._dir(table), f"v={v}")):
+            raise FileNotFoundError(
+                f"table {table} version {v} was vacuumed "
+                f"(retained: {self.versions(table)})"
+            )
         if os.path.exists(self._bucket_marker(table, v)):
             return self.spark.table(self._ensure_registered(table, v))
         return self.spark.read.parquet(os.path.join(self._dir(table), f"v={v}"))
@@ -309,6 +314,97 @@ class Warehouse:
             "carried_files": len(carried_files),
             "n_buckets": n_buckets,
         }
+
+    def compact(self, table: str, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Rewrite the current version into right-sized files as version
+        n+1 (content-identical — only the file layout changes).
+
+        Incremental ingest fragments a table: every ``merge_scoped`` adds
+        a writer-task's worth of small files per touched bucket, and at
+        hourly cadence a year of batches is ~10^4 files per bucket — scan
+        wall-time becomes file-open overhead, the classic small-file
+        problem. Compaction is the standard lakehouse answer (OPTIMIZE /
+        rewrite_data_files); here:
+
+        - bucketed tables: repartition on the bucket key into exactly
+          ``n_buckets`` tasks (same murmur3 hash, so each task holds
+          exactly one bucket) and rewrite — ONE file per bucket, bucket
+          metadata preserved, MERGE stays shuffle-free;
+        - plain tables: round-robin repartition to
+          ``ceil(bytes / target_file_bytes)`` tasks.
+
+        Old version stays readable until vacuumed. Single-writer contract
+        applies. Returns {'version', 'files_before', 'files_after'}.
+        """
+        v_old = self.current_version(table)
+        if v_old is None:
+            raise FileNotFoundError(f"table {table} does not exist")
+        old_path = os.path.join(self._dir(table), f"v={v_old}")
+        files_before = sum(
+            1
+            for _, _, names in os.walk(old_path)
+            for n in names
+            if not n.startswith(("_", "."))
+        )
+        if os.path.exists(self._bucket_marker(table, v_old)):
+            spec = self._bucket_spec(table, v_old)
+            # read the files directly, NOT through the bucketed catalog
+            # table: a bucketed scan reports HashPartitioning(cols, n), so
+            # Catalyst elides the repartition as redundant while AQE's
+            # auto-bucketed-scan may simultaneously drop the bucketed read
+            # — the rows then land un-clustered and each writer task emits
+            # a file per bucket. A plain scan (UnknownPartitioning) forces
+            # the one real shuffle, giving exactly one file per bucket.
+            schema = T.StructType.fromJson(spec["schema"])
+            df = self.spark.read.schema(schema).parquet(old_path)
+            packed = df.repartition(spec["n_buckets"], *[F.col(c) for c in spec["bucket_cols"]])
+            v_new = self.write_bucketed(
+                table, packed, spec["bucket_cols"], spec["n_buckets"], spec["sort_cols"]
+            )
+        else:
+            df = self.read(table)
+            total_bytes = sum(
+                os.path.getsize(os.path.join(root, n))
+                for root, _, names in os.walk(old_path)
+                for n in names
+                if not n.startswith(("_", "."))
+            )
+            n_files = max(1, -(-total_bytes // target_file_bytes))
+            v_new = self.write(table, df.repartition(n_files))
+        new_path = os.path.join(self._dir(table), f"v={v_new}")
+        files_after = sum(
+            1
+            for _, _, names in os.walk(new_path)
+            for n in names
+            if not n.startswith(("_", "."))
+        )
+        return {"version": v_new, "files_before": files_before, "files_after": files_after}
+
+    def vacuum(self, table: str, keep_last: int = 1) -> list[int]:
+        """Delete all but the newest ``keep_last`` versions' directories
+        (retention). The current version is always kept. Hard-linked
+        files carried forward by ``merge_scoped`` stay alive through the
+        newer versions' links — removing an old directory only drops its
+        names, never bytes a retained version still references.
+        Time-travel reads of a vacuumed version raise FileNotFoundError.
+        Returns the removed version numbers."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        current = self.current_version(table)
+        if current is None:
+            return []
+        kept = set(sorted(self.versions(table))[-keep_last:]) | {current}
+        removed = []
+        for v in self.versions(table):
+            if v in kept:
+                continue
+            shutil.rmtree(os.path.join(self._dir(table), f"v={v}"), ignore_errors=True)
+            marker = self._bucket_marker(table, v)
+            if os.path.exists(marker):
+                os.remove(marker)
+                self.spark.sql(f"DROP TABLE IF EXISTS {self._catalog_name(table, v)}")
+            removed.append(v)
+        return removed
 
     def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Write the next version and repoint. The full write lands before

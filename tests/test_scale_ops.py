@@ -329,3 +329,103 @@ def test_ivf_assign_matches_trained_quantizer(spark):
     )
     hits = ivf_search(extended, cents, q, k=1, nprobe=2).collect()
     assert hits and hits[0]["vec_id"] == probe_vec["vec_id"]  # exact self-match
+
+
+def test_compact_bucketed_one_file_per_bucket(spark, tmp_path):
+    """Scoped merges fragment buckets over time; compaction must fold a
+    version back to one file per bucket with identical content and keep
+    the shuffle-free MERGE plan."""
+    from tcdb_spark.operators.merge import merge
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.range(0, 5_000).select(
+        F.col("id").alias("storm_id"), (F.col("id") % 9).cast("double").alias("wind")
+    )
+    wh.write_bucketed("obs", base, ["storm_id"], n_buckets=4)
+    # fragment: several scoped merges each add files to the touched buckets
+    for k in (1, 2, 3):
+        wh.merge_scoped(
+            "obs",
+            spark.createDataFrame([(k, 50.0 + k)], "storm_id long, wind double"),
+            keys=["storm_id"],
+            dedupe_incoming=False,
+        )
+    before = {(r["storm_id"], r["wind"]) for r in wh.read("obs").collect()}
+
+    stats = wh.compact("obs")
+    assert stats["files_after"] == 4, stats  # one per bucket
+    assert stats["files_after"] < stats["files_before"], stats
+    after_df = wh.read("obs")
+    assert {(r["storm_id"], r["wind"]) for r in after_df.collect()} == before
+
+    # compacted version is still bucketed: MERGE shuffles incoming only
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        nxt = spark.createDataFrame([(9, 1.0)], "storm_id long, wind double")
+        plan = (
+            merge(after_df, nxt, keys=["storm_id"], dedupe_incoming=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_compact_plain_table_by_target_bytes(spark, tmp_path):
+    """Plain-table compaction sizes the file count from real bytes."""
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 20_000).select(
+        F.col("id"), (F.col("id") * 2).alias("val")
+    ).repartition(16)  # deliberately over-filed
+    wh.write("t", df)
+    before = {(r["id"], r["val"]) for r in wh.read("t").collect()}
+    stats = wh.compact("t", target_file_bytes=10**9)
+    assert stats["files_after"] == 1, stats
+    assert {(r["id"], r["val"]) for r in wh.read("t").collect()} == before
+
+
+def test_vacuum_retention_and_linked_bytes_survive(spark, tmp_path):
+    """vacuum(keep_last=N) removes old version dirs; hard-linked carry
+    files in retained versions keep their bytes; vacuumed time travel
+    raises; retained versions stay readable."""
+    import pytest
+
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.range(0, 2_000).select(
+        F.col("id").alias("storm_id"), F.lit(1.0).alias("wind")
+    )
+    wh.write_bucketed("obs", base, ["storm_id"], n_buckets=4)
+    for k in (1, 2):  # v2, v3 carry most of v1's files as hard links
+        wh.merge_scoped(
+            "obs",
+            spark.createDataFrame([(k, 9.0)], "storm_id long, wind double"),
+            keys=["storm_id"],
+            dedupe_incoming=False,
+        )
+    assert wh.versions("obs") == [1, 2, 3]
+
+    removed = wh.vacuum("obs", keep_last=2)
+    assert removed == [1]
+    assert wh.versions("obs") == [2, 3]
+
+    # v1's bytes survive through v2/v3's links: full content still reads
+    df = wh.read("obs")
+    assert df.count() == 2_000
+    assert df.where(F.col("storm_id") == 1).first()["wind"] == 9.0
+    assert wh.read("obs", version=2).count() == 2_000
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="vacuumed"):
+        wh.read("obs", version=1)
+
+    # vacuum never removes the current version
+    assert wh.vacuum("obs", keep_last=1) == [2]
+    assert wh.read("obs").count() == 2_000
