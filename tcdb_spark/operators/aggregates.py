@@ -100,6 +100,41 @@ def child_counts(parent: DataFrame, child: DataFrame, key: str, out: str) -> Dat
     return parent.join(counts, on=key, how="left").fillna({out: 0})
 
 
+def rollup_partial(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Partial-aggregate one batch into mergeable rollup state
+    (count / sum / min / max — the distributive aggregates).
+
+    Incremental materialized-view maintenance: at 100 TB you never
+    recompute an aggregate table from the full fact history per ingest
+    tick; you partial-agg the new batch (map-side combine + one shuffle
+    over BATCH rows only) and fold it into the stored state with
+    :func:`rollup_merge`. avg derives as sum/n at read time. Aggregates
+    that are not distributive/algebraic (exact distinct, exact median)
+    can't ride this path — use their sketch forms (HLL++, KLL) whose
+    states merge the same way."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def rollup_merge(state: DataFrame, partial: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold a batch's partial rollup into the accumulated state:
+    union + re-aggregate (sum the counts/sums, min the mins, max the
+    maxes). One shuffle sized by |state groups| + |batch groups|, never
+    by fact rows; N-batch maintenance is associative, so the result is
+    identical to one groupBy over the concatenated facts (proven by the
+    ``rollup_incremental`` oracle and tests)."""
+    return state.unionByName(partial).groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
 def grouped_counts_cube(df: DataFrame, dims: list[str], measure: Column | None = None) -> DataFrame:
     """The reference's basin x model x storm count family generalized to a
     single ``cube()`` pass (SURVEY.md §2.5 note) — one shuffle for all

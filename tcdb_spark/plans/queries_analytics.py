@@ -237,6 +237,42 @@ def window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_incremental",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(sum(value) / count(*), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained aggregate table: the fact stream arrives
+    as 3 batches, each partial-aggregated and merged into the rollup
+    state (count/sum/min/max are distributive, so N-batch maintenance is
+    associative) — the oracle recomputes from scratch, proving
+    incremental == full recompute. This is how an aggregate stays fresh
+    at 100 TB: per tick you shuffle batch-sized partials, not history."""
+    from tcdb_spark.operators.aggregates import rollup_merge, rollup_partial
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    batches = [e.where(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)]
+    state = rollup_partial(batches[0], ["event_type"], "value")
+    for b in batches[1:]:
+        state = rollup_merge(state, rollup_partial(b, ["event_type"], "value"), ["event_type"])
+    return state.select(
+        "event_type",
+        "n",
+        F.round("sum_v", 2).alias("sum_value"),
+        F.col("min_v").alias("min_value"),
+        F.col("max_v").alias("max_value"),
+        F.round(F.col("sum_v") / F.col("n"), 4).alias("avg_value"),
+    )
+
+
+@register(
     "retention_cohorts",
     oracle="""
     WITH weekly AS (
