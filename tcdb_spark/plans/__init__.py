@@ -23,3 +23,4 @@ from tcdb_spark.plans import queries_curation  # noqa: F401,E402
 from tcdb_spark.plans import queries_corpus  # noqa: F401,E402
 from tcdb_spark.plans import queries_timeseries  # noqa: F401,E402
 from tcdb_spark.plans import queries_packing  # noqa: F401,E402
+from tcdb_spark.plans import queries_scd  # noqa: F401,E402
