@@ -1,0 +1,87 @@
+"""Z-order clustering: the Morton key must be a correct bit
+interleaving, the clustered write must preserve content, and — the
+point — row-group min/max statistics must prune a 2-D box predicate
+that a 1-D sort cannot prune on its second dimension."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tcdb_spark.sources.clustering import (
+    morton_key,
+    row_groups_matching,
+    write_zordered,
+    zorder_key,
+)
+
+
+def test_morton_key_interleaves_bits(spark):
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], "a long, b long")
+    out = df.select(morton_key([F.col("a"), F.col("b")], bits=4).alias("z")).collect()
+    # bit i of a -> key bit 2i; bit i of b -> key bit 2i+1
+    def ref(a, b):
+        z = 0
+        for i in range(4):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    got = [r["z"] for r in out]
+    assert got == [ref(0, 0), ref(1, 0), ref(0, 1), ref(3, 5)]
+
+
+def test_zorder_key_locality(spark):
+    """Nearby points in (x, y) get nearby keys: the key range spanned by
+    a small box is far smaller than the full key space."""
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") / 100).cast("long").alias("y")
+    )
+    keyed = df.withColumn("z", zorder_key(df, ["x", "y"], bits=8))
+    box = keyed.where((F.col("x") < 10) & (F.col("y") < 10))
+    full_span = keyed.agg(F.max("z") - F.min("z")).first()[0]
+    box_span = box.agg(F.max("z") - F.min("z")).first()[0]
+    assert box_span < full_span / 16, (box_span, full_span)
+
+
+def test_zordered_write_prunes_both_dimensions(spark, tmp_path):
+    """The skipping experiment: uniform 2-D data, 1% box predicate.
+    Sorted-by-x prunes x but reads ~everything for a y-only filter;
+    Z-order prunes BOTH; content survives clustering byte-for-byte."""
+    n = 400_000
+    df = spark.range(0, n).select(
+        F.col("id"),
+        F.pmod(F.hash(F.col("id")), F.lit(1000)).cast("double").alias("x"),
+        F.pmod(F.hash(F.col("id") + 7), F.lit(1000)).cast("double").alias("y"),
+    )
+    paths = {k: str(tmp_path / k) for k in ("plain", "xsort", "zorder")}
+    df.repartition(4).write.mode("overwrite").option(
+        "parquet.block.size", "65536"
+    ).parquet(paths["plain"])
+    df.repartitionByRange(4, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).option("parquet.block.size", "65536").parquet(paths["xsort"])
+    write_zordered(df, paths["zorder"], ["x", "y"], n_files=4, block_bytes=65536)
+
+    # content identical after clustering
+    back = spark.read.parquet(paths["zorder"])
+    assert back.count() == n
+    assert back.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
+
+    box = {"x": (0.0, 99.0), "y": (0.0, 99.0)}   # 1% of the plane
+    frac = {}
+    for k, p in paths.items():
+        hit, total = row_groups_matching(p, box)
+        assert total >= 8, f"{k}: too few row groups ({total}) for a meaningful test"
+        frac[k] = hit / total
+    # unclustered layout reads everything
+    assert frac["plain"] > 0.9, frac
+    # z-order must beat both: it prunes in x AND y
+    assert frac["zorder"] < 0.5, frac
+    assert frac["zorder"] < frac["xsort"] - 0.05 or frac["xsort"] < 0.2, frac
+
+    # y-only predicate: the x-sorted layout cannot prune, z-order can
+    ybox = {"y": (0.0, 99.0)}
+    yhit_x, ytot_x = row_groups_matching(paths["xsort"], ybox)
+    yhit_z, ytot_z = row_groups_matching(paths["zorder"], ybox)
+    assert yhit_x / ytot_x > 0.9, "x-sort unexpectedly pruned a y filter"
+    assert yhit_z / ytot_z < 0.6, (yhit_z, ytot_z)
