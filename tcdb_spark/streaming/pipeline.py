@@ -105,6 +105,50 @@ def stream_bdeck_ingest(
     return writer.start()
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: pair each left event with right
+    events for the same ``key`` whose event time lies within
+    ``±tolerance`` — e.g. observations matched to the model fix issued
+    around the same synoptic time (the streaming twin of
+    join-interval-24h, operators/joins.py interval_join).
+
+    Both sides carry a watermark and the join condition bounds the two
+    event times against each other; that pair is what lets Spark EVICT
+    buffered rows once the watermark passes their reach, so join state
+    is bounded by (rate × tolerance+watermark), not the stream history
+    — the only shape that survives an unbounded stream. ``how='left'``
+    additionally emits unmatched left rows (null right columns) once
+    the watermark proves no match can arrive.
+
+    Column names must be disjoint apart from ``key`` (alias/rename
+    upstream); the joined frame keeps one key column.
+    """
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {tolerance}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {tolerance}"))
+    )
+    joined = l.join(r, cond, how)
+    keep = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in right.columns if c != key
+    ]
+    return joined.select(*keep)
+
+
 def run_incremental(
     spark: SparkSession,
     raw_dir: str,

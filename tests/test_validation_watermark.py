@@ -202,3 +202,76 @@ def test_stream_corpus_curation_two_ticks(spark, tmp_path):
     assert set(final) == {1, 4}
     assert final[1]["text"] == good  # original kept, re-delivery ignored
     assert wh.versions("corpus") == [1, 2]
+
+
+def test_stream_stream_join_inner_and_outer(spark, tmp_path):
+    """Watermarked stream-stream join: inner matches pair within the
+    time tolerance; left-outer emits an unmatched left row with null
+    right columns only after the watermark proves no match can come."""
+    from tcdb_spark.streaming.pipeline import stream_stream_join
+
+    lsrc, rsrc = tmp_path / "l_src", tmp_path / "r_src"
+    lsrc.mkdir(), rsrc.mkdir()
+    t = dt.datetime(2024, 1, 1, 12, 0)
+    lschema = "storm_id long, obs_ts timestamp, wind double"
+    rschema = "storm_id long, fix_ts timestamp, model string"
+
+    def run(how, ckpt, out):
+        lstream = spark.readStream.schema(lschema).parquet(str(lsrc))
+        rstream = spark.readStream.schema(rschema).parquet(str(rsrc))
+        j = stream_stream_join(
+            lstream, rstream, key="storm_id", left_ts="obs_ts", right_ts="fix_ts",
+            tolerance="30 minutes", watermark="1 hour", how=how,
+        )
+        q = (
+            j.writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    lbatch = [
+        (1, t, 50.0),                                 # matches fix at 12:10
+        (2, t + dt.timedelta(minutes=5), 60.0),       # no fix -> outer-only row
+        (3, t + dt.timedelta(minutes=10), 70.0),      # fix exists but 2h away -> no match
+    ]
+    rbatch = [
+        (1, t + dt.timedelta(minutes=10), "HWRF"),
+        (3, t + dt.timedelta(hours=2), "GFS"),
+    ]
+    spark.createDataFrame(lbatch, lschema).write.mode("append").parquet(str(lsrc))
+    spark.createDataFrame(rbatch, rschema).write.mode("append").parquet(str(rsrc))
+
+    inner_out = str(tmp_path / "inner_out")
+    run("inner", str(tmp_path / "inner_ckpt"), inner_out)
+    inner = spark.read.parquet(inner_out).collect()
+    assert {(r["storm_id"], r["model"]) for r in inner} == {(1, "HWRF")}
+    assert inner[0]["wind"] == 50.0 and inner[0]["fix_ts"] is not None
+
+    outer_out = str(tmp_path / "outer_out")
+    run("left", str(tmp_path / "outer_ckpt"), outer_out)
+    matched = {r["storm_id"] for r in spark.read.parquet(outer_out).collect() if r["model"]}
+    assert matched == {1}
+    # unmatched rows may not emit yet: watermark hasn't passed their horizon
+
+    # batch 2 far in the future advances both watermarks past batch 1
+    spark.createDataFrame(
+        [(9, t + dt.timedelta(hours=10), 1.0)], lschema
+    ).write.mode("append").parquet(str(lsrc))
+    spark.createDataFrame(
+        [(9, t + dt.timedelta(hours=10), "OFCL")], rschema
+    ).write.mode("append").parquet(str(rsrc))
+    run("left", str(tmp_path / "outer_ckpt"), outer_out)
+    rows = spark.read.parquet(outer_out).collect()
+    nulls = {r["storm_id"] for r in rows if r["model"] is None}
+    assert nulls == {2, 3}, rows  # unmatched left rows emitted with null right side
+    assert {r["storm_id"] for r in rows if r["model"]} >= {1, 9}
+
+    # misuse guard: overlapping non-key columns rejected
+    import pytest
+    with pytest.raises(ValueError, match="rename overlapping"):
+        stream_stream_join(
+            spark.readStream.schema(lschema).parquet(str(lsrc)),
+            spark.readStream.schema(lschema).parquet(str(lsrc)),
+            key="storm_id", left_ts="obs_ts", right_ts="obs_ts",
+        )
