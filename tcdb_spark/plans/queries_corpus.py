@@ -267,3 +267,134 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["dedup_clusters"] = ORACLES["dedup_clusters"].format(
     pairs=ORACLES["dedup_minhash_lsh"]
 )
+
+
+@register(
+    "lm_bigram_nll",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    bigr AS (
+        SELECT doc_id, unnest({_ngrams_sql(2)}) AS bg
+        FROM toks WHERE len(tokens) >= 2
+    ),
+    ucnt AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(tokens) AS w FROM toks) GROUP BY w
+    ),
+    bcnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bigr GROUP BY bg),
+    v AS (SELECT count(*) AS vocab FROM ucnt)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(ln((c2 + 1.0) / (c1 + (SELECT vocab FROM v)))), 4) AS nll
+    FROM bigr
+        JOIN bcnt USING (bg)
+        JOIN ucnt ON w = split_part(bg, ' ', 1)
+    GROUP BY doc_id
+    """,
+)
+def lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filtering with a corpus-trained bigram
+    LM (the KenLM-filter stand-in every pretraining pipeline runs —
+    CCNet/RefinedWeb style): train add-one-smoothed bigram counts over
+    the corpus itself, score each document by mean negative log
+    likelihood; high-NLL docs are the gibberish/boilerplate outliers a
+    percentile cut then drops (compose with quality_percentile_cut).
+
+    Plan: ONE tokenization pass feeds bigram extraction (array slice
+    zip — no per-doc window sort), two count shuffles build the model,
+    the model dictionaries broadcast back onto the bigram stream, one
+    groupBy(doc) scores. At 100 TB the dictionaries are the only state:
+    if vocab outgrows broadcast, the joins fall back to shuffle-on-token
+    and nothing else changes."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", _tokens(F.col("text")).alias("tokens")
+    )
+    bigr = toks.where(F.size("tokens") >= 2).select(
+        "doc_id", F.explode(_ngrams(F.col("tokens"), 2)).alias("bg")
+    )
+    uni = toks.select(F.explode("tokens").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    bcnt = bigr.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = ucnt.count()
+    scored = (
+        bigr.join(F.broadcast(bcnt), on="bg")
+        .join(
+            F.broadcast(ucnt),
+            F.col("w") == F.split(F.col("bg"), " ").getItem(0),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(vocab)))), 4
+            ).alias("nll"),
+        )
+    )
+    return scored
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tok AS (SELECT doc_id, lang, unnest(tokens) AS w FROM toks),
+    rcnt AS (SELECT w, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY w),
+    tcnt AS (SELECT w, CAST(count(*) AS BIGINT) AS ct FROM tok WHERE lang = 'en' GROUP BY w),
+    tot AS (
+        SELECT (SELECT sum(cr) FROM rcnt) AS tr,
+               (SELECT coalesce(sum(ct), 0) FROM tcnt) AS tt,
+               (SELECT count(*) FROM rcnt) AS v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(ln((coalesce(ct, 0) + 1.0) / (tt + v))
+                     - ln((cr + 1.0) / (tr + v))), 4) AS dsir_logweight
+    FROM tok
+        JOIN rcnt USING (w)
+        LEFT JOIN tcnt USING (w)
+        CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection via importance resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how target-like it
+    is under two smoothed unigram LMs — log p_target(doc) - log
+    p_raw(doc), with the English subset standing in as the target
+    distribution. Downstream, sampling proportional to exp(weight)
+    selects pretraining data matching the target domain.
+
+    Plan: one tokenization explode feeds both count passes (target
+    counts are a filtered re-aggregation, not a second scan), the two
+    dictionaries broadcast, per-doc weights come from one groupBy.
+    Unseen-in-target tokens take the smoothing floor via left join +
+    coalesce."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("w")
+    )
+    rcnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
+    tcnt = tok.where(F.col("lang") == "en").groupBy("w").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    totals = rcnt.agg(
+        F.sum("cr").alias("tr"), F.count(F.lit(1)).alias("v")
+    ).first()
+    tt = tcnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt")).first()["tt"]
+    tr, v = totals["tr"], totals["v"]
+    return (
+        tok.join(F.broadcast(rcnt), on="w")
+        .join(F.broadcast(tcnt), on="w", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / F.lit(float(tt + v)))
+                    - F.log((F.col("cr") + 1.0) / F.lit(float(tr + v)))
+                ),
+                4,
+            ).alias("dsir_logweight"),
+        )
+    )
