@@ -100,7 +100,9 @@ def child_counts(parent: DataFrame, child: DataFrame, key: str, out: str) -> Dat
     return parent.join(counts, on=key, how="left").fillna({out: 0})
 
 
-def rollup_partial(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+def rollup_partial(
+    df: DataFrame, keys: list[str], value_col: str, distinct_col: str | None = None
+) -> DataFrame:
     """Partial-aggregate one batch into mergeable rollup state
     (count / sum / min / max — the distributive aggregates).
 
@@ -111,13 +113,19 @@ def rollup_partial(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     :func:`rollup_merge`. avg derives as sum/n at read time. Aggregates
     that are not distributive/algebraic (exact distinct, exact median)
     can't ride this path — use their sketch forms (HLL++, KLL) whose
-    states merge the same way."""
-    return df.groupBy(*keys).agg(
+    states merge the same way: pass ``distinct_col`` to carry a
+    Datasketches HLL sketch (binary, mergeable) alongside the scalars —
+    the approximate-distinct answer to "exact distinct is not
+    algebraic"."""
+    aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(value_col).alias("sum_v"),
         F.min(value_col).alias("min_v"),
         F.max(value_col).alias("max_v"),
-    )
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("hll_v"))
+    return df.groupBy(*keys).agg(*aggs)
 
 
 def rollup_merge(state: DataFrame, partial: DataFrame, keys: list[str]) -> DataFrame:
@@ -126,13 +134,25 @@ def rollup_merge(state: DataFrame, partial: DataFrame, keys: list[str]) -> DataF
     maxes). One shuffle sized by |state groups| + |batch groups|, never
     by fact rows; N-batch maintenance is associative, so the result is
     identical to one groupBy over the concatenated facts (proven by the
-    ``rollup_incremental`` oracle and tests)."""
-    return state.unionByName(partial).groupBy(*keys).agg(
+    ``rollup_incremental`` oracle and tests). HLL sketch states (when
+    present) merge with ``hll_union_agg`` — register-max union is
+    commutative and associative, so the incremental estimate equals the
+    one-shot estimate exactly."""
+    aggs = [
         F.sum("n").alias("n"),
         F.sum("sum_v").alias("sum_v"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
-    )
+    ]
+    if "hll_v" in state.columns:
+        aggs.append(F.hll_union_agg("hll_v").alias("hll_v"))
+    return state.unionByName(partial).groupBy(*keys).agg(*aggs)
+
+
+def rollup_distinct_estimate(state: DataFrame, out: str = "approx_distinct") -> DataFrame:
+    """Read-time materialization of the sketch column: the approximate
+    distinct count per group from the maintained HLL state."""
+    return state.withColumn(out, F.hll_sketch_estimate("hll_v")).drop("hll_v")
 
 
 def grouped_counts_cube(df: DataFrame, dims: list[str], measure: Column | None = None) -> DataFrame:

@@ -42,6 +42,39 @@ def salted_sum_count(
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact side's key into
+    ``n_salts`` sub-keys (deterministic hash of the whole row) and
+    REPLICATE every dim row once per salt, so a hot key's rows spread
+    over ``n_salts`` shuffle partitions instead of hammering one task.
+
+    This is the manual form of what AQE skew-join does by splitting
+    oversized partitions post-shuffle; the manual form also covers the
+    cases AQE cannot touch (aggregations upstream of the join, skew
+    appearing only after filters). Cost: dim side grows ``n_salts``× —
+    use for genuinely small-to-medium dims with a giant skewed fact.
+    Results are identical to the plain join (the equivalence test and
+    the ``salted_join_equivalence`` oracle check exactly that).
+
+    Column contract mirrors ``join``: output = fact columns + dim
+    columns minus the duplicate key.
+    """
+    fact_salted = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts))
+    )
+    dim_replicated = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = fact_salted.join(dim_replicated, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def sessionize(
     df: DataFrame,
     keys: list[str],

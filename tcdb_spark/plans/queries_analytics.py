@@ -308,3 +308,28 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", (F.col("week_idx") - F.col("cohort_week")).cast("int").alias("weeks_since"))
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "salted_join_equivalence",
+    oracle="""
+    SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def salted_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED fact-dim join must equal the plain join the oracle runs —
+    the manual skew-mitigation path (hot fact keys spread over n_salts
+    shuffle partitions, dim replicated per salt) verified for
+    correctness. Companion to agg_salted_equivalence; see
+    operators/skew.py salted_join for when to prefer this over AQE's
+    post-shuffle skew splitting."""
+    from tcdb_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    fact = t["orders"].select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    dim = t["customer"].select("c_custkey", "c_mktsegment")
+    out = salted_join(fact, dim, "c_custkey", n_salts=8)
+    return out.select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")

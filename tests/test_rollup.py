@@ -80,3 +80,30 @@ def test_warehouse_persisted_rollup_across_ticks(spark, tmp_path):
     want = _as_map(rollup_partial(all_facts, ["k"], "v"))
     _assert_state_equal(got, want)
     assert wh.current_version("rollup") == 3
+
+
+def test_hll_sketch_rollup_incremental_equals_oneshot(spark):
+    """Mergeable-sketch extension: the HLL distinct-count state carried
+    through N-batch maintenance must estimate exactly what a one-shot
+    sketch over all facts estimates (register-max union is order-
+    insensitive), and land near the true distinct count."""
+    from tcdb_spark.operators.aggregates import rollup_distinct_estimate
+
+    facts = spark.range(0, 30_000).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").cast("double").alias("v"),
+        (F.col("id") % 500).alias("user"),   # 500 true distincts per key
+    )
+    oneshot = rollup_distinct_estimate(
+        rollup_partial(facts, ["k"], "v", distinct_col="user")
+    )
+    state = None
+    for tick in range(3):
+        batch = facts.where(F.pmod(F.col("v").cast("long"), F.lit(3)) == tick)
+        part = rollup_partial(batch, ["k"], "v", distinct_col="user")
+        state = part if state is None else rollup_merge(state, part, ["k"])
+    got = {r["k"]: r["approx_distinct"] for r in rollup_distinct_estimate(state).collect()}
+    want = {r["k"]: r["approx_distinct"] for r in oneshot.collect()}
+    assert got == want
+    for k, est in got.items():
+        assert abs(est - 500) / 500 < 0.05, (k, est)

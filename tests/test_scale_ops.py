@@ -429,3 +429,68 @@ def test_vacuum_retention_and_linked_bytes_survive(spark, tmp_path):
     # vacuum never removes the current version
     assert wh.vacuum("obs", keep_last=1) == [2]
     assert wh.read("obs").count() == 2_000
+
+
+def test_salted_join_equals_plain(spark):
+    """Salting the fact key and replicating the dim must reproduce the
+    plain join exactly, inner and left."""
+    from tcdb_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 20_000).select(
+        F.col("id").alias("row_id"),
+        # hot key: 50% of rows share key 7
+        F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id") % 100).alias("k"),
+    )
+    dim = spark.range(0, 80).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("label")
+    )
+    plain = {(r["row_id"], r["label"]) for r in fact.join(dim, "k").collect()}
+    salted = {
+        (r["row_id"], r["label"])
+        for r in salted_join(fact, dim, "k", n_salts=8).collect()
+    }
+    assert salted == plain and len(plain) > 0
+
+    plain_l = {(r["row_id"], r["label"]) for r in fact.join(dim, "k", "left").collect()}
+    salted_l = {
+        (r["row_id"], r["label"])
+        for r in salted_join(fact, dim, "k", n_salts=8, how="left").collect()
+    }
+    assert salted_l == plain_l
+    assert len(plain_l) > len(plain)  # unmatched keys survived the left join
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """Spark's runtime bloom-filter injection: a selective filter on the
+    join's build side materializes a bloom filter that pre-filters the
+    probe-side scan (might_contain in the executed plan). The 10 GB
+    probe-size threshold that gates it in production is lowered here to
+    make the behavior observable on test-sized data."""
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(0, 200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    ).write.parquet(fact_p)
+    spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("tag")
+    ).write.parquet(dim_p)
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).where(F.col("tag") == 3)
+        j = fact.join(dim, "k")
+        n = j.count()
+        assert n == 20_000 // 13 + 1
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
