@@ -16,8 +16,113 @@ reduce the O(df^2) pair count itself; only the cap bounds it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# MinHash-LSH geometry shared by the batch catalog queries
+# (plans/queries_dedup_near.py, which mirrors these in its DuckDB
+# oracles) and the incremental index path below.
+N_HASHES = 8
+N_BANDS = 4  # 2 minhash rows per band
+SHINGLE = 5
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles(toks: Column) -> Column:
+    """Word 5-shingles: rare enough that the inverted index never
+    explodes on the hot-key problem frequent shingles cause at scale."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (SHINGLE - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(SHINGLE)]),
+    )
+
+
+def shingle_hashes(sh: Column) -> Column:
+    """64 hex chars per shingle: md5(s) || md5('x'||s). The 8 minhash
+    functions are the eight 8-char windows — two md5 calls per shingle
+    instead of eight (md5 dominates the runtime here)."""
+    return F.transform(
+        sh,
+        lambda s: F.concat(
+            F.md5(s.cast("binary")),
+            F.md5(F.concat(F.lit("x"), s).cast("binary")),
+        ),
+    )
+
+
+def minhash(hashes: Column, j: int) -> Column:
+    """j-th minhash: lexicographic min of the j-th 8-hex-digit window —
+    fixed-width lowercase hex compares identically to the numeric value,
+    so no cross-engine hex->int conversion is needed."""
+    return F.array_min(F.transform(hashes, lambda h: F.substring(h, 1 + 8 * j, 8)))
+
+
+def lsh_band_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, band, band_key) LSH index rows for a document frame —
+    the persistable signature state of near-dedup. Computing this for a
+    NEW batch and joining against the stored index is the incremental
+    form: day N's crawl never re-hashes days 1..N-1 (see
+    ``incremental_lsh_candidates``). One pass: shingle -> two md5s ->
+    8 minhash windows -> 4 band keys exploded."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).where(F.size("toks") >= SHINGLE)
+    hs = toks.select(
+        "doc_id", shingle_hashes(shingles(F.col("toks"))).alias("hashes")
+    )
+    sigs = hs.select(
+        "doc_id", *[minhash(F.col("hashes"), j).alias(f"mh{j}") for j in range(N_HASHES)]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def incremental_lsh_candidates(index: DataFrame, new_bands: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs introduced by a NEW batch against an
+    existing LSH index (plus within the batch itself): join the batch's
+    band rows against ``index UNION new`` on (band, band_key), keep
+    pairs where the new doc is one side. Cost is O(batch × collisions),
+    never O(corpus²) — the property that makes daily dedup of a 100 TB
+    corpus feasible. Append ``new_bands`` to the stored index afterwards
+    to maintain it (plain parquet append; rows are immutable).
+
+    Returns (doc_a, doc_b) with doc_a < doc_b, doc_b always from the
+    new batch when the pair crosses batches."""
+    existing = index.alias("a")
+    fresh = new_bands.alias("b")
+    cross = existing.join(
+        fresh,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+    )
+    within = (
+        new_bands.alias("x")
+        .join(
+            new_bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    )
+    return cross.unionByName(within).distinct()
 
 
 def hot_keys(inv: DataFrame, key: str, df_cap: int) -> DataFrame:

@@ -19,9 +19,15 @@ from pyspark.sql import functions as F
 
 from tcdb_spark.plans.catalog import load_tables, register
 
-N_HASHES = 8
-N_BANDS = 4  # 2 rows per band
-SHINGLE = 5
+from tcdb_spark.operators.textdedup import (  # noqa: E402
+    N_BANDS,
+    N_HASHES,
+    SHINGLE,
+    minhash as _minhash,
+    shingle_hashes as _shingle_hashes,
+    shingles as _shingles,
+    tokens as _tokens,
+)
 
 # --- shared corpus construction (documents + planted near-dups) -----------
 
@@ -45,39 +51,9 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").unionByName(dups)
 
 
-def _tokens(text: Column) -> Column:
-    return F.split(F.trim(text), r"\s+")
-
-
-def _shingles(tokens: Column) -> Column:
-    """Word 5-shingles: rare enough that the inverted index never explodes
-    on the hot-key problem frequent shingles cause at scale."""
-    return F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - (SHINGLE - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, i + k) for k in range(SHINGLE)]
-        ),
-    )
-
-
-def _shingle_hashes(shingles: Column) -> Column:
-    """64 hex chars per shingle: md5(s) || md5('x'||s). The 8 minhash
-    functions are the eight 8-char windows — two md5 calls per shingle
-    instead of eight (md5 dominates the runtime here)."""
-    return F.transform(
-        shingles,
-        lambda s: F.concat(
-            F.md5(s.cast("binary")),
-            F.md5(F.concat(F.lit("x"), s).cast("binary")),
-        ),
-    )
-
-
-def _minhash(hashes: Column, j: int) -> Column:
-    """j-th minhash: lexicographic min of the j-th 8-hex-digit window —
-    fixed-width lowercase hex compares identically to the numeric value,
-    so no cross-engine hex->int conversion is needed."""
-    return F.array_min(F.transform(hashes, lambda h: F.substring(h, 1 + 8 * j, 8)))
+# _tokens/_shingles/_shingle_hashes/_minhash now live in
+# operators/textdedup.py (shared with the incremental LSH index path);
+# the DuckDB oracle strings below mirror them exactly.
 
 
 _SHINGLES_SQL = (

@@ -72,3 +72,69 @@ def test_split_bucket_stable_under_repartition(spark):
     key = lambda r: (r["split"], r["lang"])  # noqa: E731
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert {key(r) for r in a} == {key(r) for r in b}
+
+
+def test_incremental_lsh_index_two_days(spark, tmp_path):
+    """Daily-crawl dedup: day-1 corpus indexed once; each later batch
+    hashes ONLY its own docs, joins against the stored index, and
+    appends its rows. Near-dups are found across batches and within a
+    batch; unrelated docs produce no pairs; the stored day-1 rows are
+    never recomputed (append-only index)."""
+    from tcdb_spark.operators.textdedup import (
+        incremental_lsh_candidates,
+        lsh_band_index,
+    )
+
+    import random
+
+    vocab = [f"w{k}" for k in range(500)]
+
+    def doc(seed, n=30):
+        return " ".join(random.Random(seed).choices(vocab, k=n))
+
+    day1 = spark.createDataFrame(
+        [(i, doc(i)) for i in range(20)], "doc_id long, text string"
+    )
+    idx_path = str(tmp_path / "lsh_index")
+    lsh_band_index(day1).write.mode("overwrite").parquet(idx_path)
+    stored_v1 = spark.read.parquet(idx_path).collect()
+
+    # day 2: near-dup of doc 3 (tail append), a self-pair inside the
+    # batch (101 ~ 102), and a genuinely new doc
+    day2 = spark.createDataFrame(
+        [
+            (101, doc(3) + " tail note"),
+            (102, doc(3) + " tail note two"),
+            (103, doc(55)),
+        ],
+        "doc_id long, text string",
+    )
+    new_bands = lsh_band_index(day2)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_candidates(
+            spark.read.parquet(idx_path), new_bands
+        ).collect()
+    }
+    assert (3, 101) in pairs and (3, 102) in pairs and (101, 102) in pairs
+    assert not any(103 in p for p in pairs), pairs
+
+    # maintain the index: append-only, day-1 rows untouched
+    new_bands.write.mode("append").parquet(idx_path)
+    after = spark.read.parquet(idx_path)
+    assert sorted(
+        (r["doc_id"], r["band"], r["band_key"]) for r in stored_v1
+    ) == sorted(
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in after.where(F.col("doc_id") < 100).collect()
+    )
+
+    # day 3 dups a DAY-2 doc: found through the maintained index
+    day3 = spark.createDataFrame(
+        [(201, doc(3) + " tail note")], "doc_id long, text string"
+    )
+    pairs3 = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_candidates(after, lsh_band_index(day3)).collect()
+    }
+    assert (101, 201) in pairs3 and (3, 201) in pairs3
