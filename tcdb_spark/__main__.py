@@ -7,6 +7,7 @@ over a versioned warehouse:
     python -m tcdb_spark adeck  --warehouse /data/wh --input 'decks/a*.dat' --backfill
     python -m tcdb_spark syntrack --warehouse /data/wh --input 'mat/*.mat'
     python -m tcdb_spark maintenance --warehouse /data/wh
+    python -m tcdb_spark optimize --warehouse /data/wh --tables observations
     python -m tcdb_spark export --warehouse /data/wh --out /data/export --tables storms
 
 HTTP download/landing is deliberately out of engine scope (SURVEY.md
@@ -117,6 +118,21 @@ def cmd_maintenance(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    """Table maintenance at the storage layer: fold small files back to
+    one per bucket (the lakehouse OPTIMIZE) and apply version retention
+    — the periodic job any merge_scoped-ingesting deployment schedules."""
+    spark = _spark()
+    wh = _wh(spark, args.warehouse)
+    out = {}
+    for table in args.tables:
+        stats = wh.compact(table, target_file_bytes=args.target_file_mb * 1024 * 1024)
+        removed = wh.vacuum(table, keep_last=args.keep_versions)
+        out[table] = {**stats, "vacuumed_versions": removed}
+    print(out)
+    return 0
+
+
 def cmd_export(args) -> int:
     from tcdb_spark.sources.sinks import export_tables
 
@@ -153,6 +169,13 @@ def build_parser() -> argparse.ArgumentParser:
     m = sub.add_parser("maintenance", help="archive ended systems, drop stale invests")
     common(m)
     m.set_defaults(fn=cmd_maintenance)
+
+    o = sub.add_parser("optimize", help="compact small files + vacuum old versions")
+    common(o)
+    o.add_argument("--tables", nargs="+", required=True)
+    o.add_argument("--target-file-mb", type=int, default=128)
+    o.add_argument("--keep-versions", type=int, default=2)
+    o.set_defaults(fn=cmd_optimize)
 
     e = sub.add_parser("export", help="dump warehouse tables for validation")
     common(e)

@@ -105,6 +105,62 @@ def stream_bdeck_ingest(
     return writer.start()
 
 
+def stream_scd2_dim(
+    spark: SparkSession,
+    raw_dir: str,
+    warehouse: Warehouse,
+    schema: T.StructType,
+    key: list[str],
+    tracked: list[str],
+    table: str = "dim_history",
+    snapshot_ts_col: str = "snapshot_ts",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming SCD Type-2 maintenance: attribute snapshots land in a
+    directory, each micro-batch folds them into the versioned history
+    table via ``operators/scd.scd2_merge`` — the continuous form of the
+    batch ``scd2_history`` catalog query.
+
+    A batch may contain several snapshot timestamps (backlog drain);
+    they apply in ascending order so the history is identical to
+    processing them one tick at a time — the replay-safety property
+    foreachBatch needs, since checkpoint recovery can re-deliver a whole
+    batch (re-applying a snapshot is a no-op: scd2_merge is idempotent
+    on unchanged values).
+
+    Returns the started StreamingQuery (AvailableNow).
+    """
+    from tcdb_spark.operators.scd import scd2_init, scd2_merge
+
+    snaps = spark.readStream.schema(schema).parquet(raw_dir)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ts_list = sorted(
+            r[0] for r in batch_df.select(snapshot_ts_col).distinct().collect()
+        )
+        for ts in ts_list:
+            snap = batch_df.where(F.col(snapshot_ts_col) == F.lit(ts)).drop(
+                snapshot_ts_col
+            )
+            if warehouse.exists(table):
+                hist = scd2_merge(warehouse.read(table), snap, key, tracked, ts)
+            else:
+                hist = scd2_init(snap, ts)
+            warehouse.write(table, hist)
+
+    writer = (
+        snaps.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{warehouse.root}/_checkpoints/scd2_{table}",
+        )
+    )
+    return writer.start()
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -44,3 +44,39 @@ def test_cli_parser_rejects_missing_args():
 
     with pytest.raises(SystemExit):
         main(["bdeck", "--warehouse", "/tmp/x"])  # --input required
+
+
+def test_cli_optimize_compacts_and_vacuums(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    wh_root = str(tmp_path / "wh")
+    wh = Warehouse(spark, wh_root)
+    base = spark.range(0, 3_000).select(
+        F.col("id").alias("storm_id"), F.lit(1.0).alias("wind")
+    )
+    wh.write_bucketed("observations", base, ["storm_id"], n_buckets=4)
+    for k in (1, 2):
+        wh.merge_scoped(
+            "observations",
+            spark.createDataFrame([(k, 9.0)], "storm_id long, wind double"),
+            keys=["storm_id"],
+            dedupe_incoming=False,
+        )
+    assert wh.versions("observations") == [1, 2, 3]
+
+    assert (
+        main(
+            [
+                "optimize", "--warehouse", wh_root,
+                "--tables", "observations", "--keep-versions", "1",
+            ]
+        )
+        == 0
+    )
+    # compacted to v4 (one file per bucket), older versions vacuumed
+    assert wh.versions("observations") == [4]
+    df = wh.read("observations")
+    assert df.count() == 3_000
+    assert df.where(F.col("storm_id") == 1).first()["wind"] == 9.0

@@ -73,3 +73,57 @@ def test_as_of_views(spark):
     assert scd2_as_of(h, "2024-01-15").first()["attr"] == "a"
     assert scd2_as_of(h, D2).first()["attr"] == "b"
     assert scd2_as_of(h, "2023-12-31").count() == 0
+
+
+def test_stream_scd2_dim_two_ticks(spark, tmp_path):
+    """Streaming SCD2: snapshot files drain through foreachBatch into
+    the versioned history table; a multi-snapshot backlog applies in
+    timestamp order and equals tick-at-a-time processing."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from tcdb_spark.sources.warehouse import Warehouse
+    from tcdb_spark.streaming.pipeline import stream_scd2_dim
+
+    src = tmp_path / "snaps"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("attr", T.StringType()),
+            T.StructField("snapshot_ts", T.TimestampType()),
+        ]
+    )
+    t1 = dt.datetime(2024, 1, 1)
+    t2 = dt.datetime(2024, 2, 1)
+    t3 = dt.datetime(2024, 3, 1)
+
+    def tick():
+        q = stream_scd2_dim(
+            spark, str(src), wh, schema, key=["k"], tracked=["attr"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    # tick 1: a backlog holding TWO snapshots (t1 init, t2 change)
+    spark.createDataFrame(
+        [(1, "a", t1), (2, "b", t1), (1, "a2", t2), (2, "b", t2)], schema
+    ).write.mode("append").parquet(str(src))
+    tick()
+    hist = {(r["k"], r["attr"], r["is_current"]) for r in wh.read("dim_history").collect()}
+    assert hist == {(1, "a", False), (1, "a2", True), (2, "b", True)}
+
+    # tick 2: one more snapshot; key 2 changes, key 1 unchanged
+    spark.createDataFrame([(1, "a2", t3), (2, "b3", t3)], schema).write.mode(
+        "append"
+    ).parquet(str(src))
+    tick()
+    hist = {(r["k"], r["attr"], r["is_current"]) for r in wh.read("dim_history").collect()}
+    assert hist == {
+        (1, "a", False), (1, "a2", True),
+        (2, "b", False), (2, "b3", True),
+    }
+    # warehouse keeps a version per applied snapshot (time travel intact)
+    assert wh.current_version("dim_history") == 3
