@@ -193,6 +193,68 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.select(*cols).mapInPandas(_op, schema=FEATURES_SCHEMA)
 
 
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL image resize for PPM/PGM payloads — nearest-neighbor via a
+    numpy index map (two gathers, no Python pixel loop), re-encoded as
+    the same Netpbm format. The pure-numpy stand-in for the
+    PIL.Image.resize call a full deployment would route non-Netpbm
+    formats through."""
+    img = decode_ppm(payload)
+    px = img["pixels"]
+    ys = (np.arange(out_h) * img["height"] // out_h).astype(np.intp)
+    xs = (np.arange(out_w) * img["width"] // out_w).astype(np.intp)
+    resized = px[ys][:, xs]
+    magic = b"P6" if px.shape[2] == 3 else b"P5"
+    header = magic + f"\n{out_w} {out_h}\n{img['maxval']}\n".encode()
+    return header + resized.tobytes()
+
+
+RESIZED_SCHEMA = (
+    "media_id long, media_type string, width int, height int, payload binary"
+)
+
+
+def resize_media(
+    media: DataFrame, out_w: int, out_h: int, decode_stub: bool = True
+) -> DataFrame:
+    """Distributed image resize over the binary column: one Arrow batch
+    per partition through mapInPandas, Netpbm payloads resized for real,
+    other formats passed through untouched (``decode_stub``) or raising
+    where the codec call would sit. The resize itself never shuffles —
+    it's a map over whatever partitioning the media table already has,
+    so at 100 TB it rides the scan."""
+
+    def _one(p):
+        if p is None:
+            return None
+        payload = bytes(p)
+        if payload[:2] in (b"P5", b"P6"):
+            return resize_ppm(payload, out_w, out_h)
+        if not decode_stub:
+            raise NotImplementedError(
+                "payload format needs codec libraries not in this container"
+            )
+        return payload
+
+    def _op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = [_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": out_w,
+                    "height": out_h,
+                    "payload": out,
+                }
+            )
+
+    cols = ["media_id", "payload", "media_type"]
+    return media.select(*cols).mapInPandas(_op, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Video frame-sampling PLUMBING: expands (media_id, duration_s) into
     one row per sampled timestamp with ``sequence`` (JVM-side); the decode

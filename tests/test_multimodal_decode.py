@@ -84,3 +84,44 @@ def test_extract_features_routes_real_and_stub(spark):
     strict = extract_features(media, decode_stub=False)
     with pytest.raises(Exception, match="codec"):
         strict.collect()
+
+
+def test_resize_ppm_closed_form():
+    """Nearest-neighbor resize: output dims honored, sampled pixels land
+    where the index map says, downscale+roundtrip stays decodable."""
+    import numpy as np
+
+    from tcdb_spark.sources.multimodal import decode_ppm, make_test_ppm, resize_ppm
+
+    src = make_test_ppm(width=8, height=6)
+    out = resize_ppm(src, 4, 3)
+    img = decode_ppm(out)
+    assert (img["width"], img["height"]) == (4, 3)
+    # output pixel (x, y) samples source pixel (x*8//4, y*6//3) = (2x, 2y)
+    src_px = decode_ppm(src)["pixels"]
+    assert np.array_equal(img["pixels"][1, 2], src_px[2, 4])
+    # upscale replicates
+    up = decode_ppm(resize_ppm(src, 16, 12))
+    assert np.array_equal(up["pixels"][0, 0], src_px[0, 0])
+    assert np.array_equal(up["pixels"][1, 1], src_px[0, 0])
+
+
+def test_resize_media_distributed(spark):
+    """The Arrow op resizes Netpbm payloads in place and passes unknown
+    formats through untouched (stub mode)."""
+    from tcdb_spark.sources.multimodal import decode_ppm, make_test_ppm, resize_media
+
+    rows = [
+        (1, bytearray(make_test_ppm(8, 6)), "image/ppm"),
+        (2, bytearray(b"\x00\x01notanimage"), "application/octet-stream"),
+        (3, None, "image/ppm"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string"
+    )
+    got = {r["media_id"]: r for r in resize_media(media, 4, 3).collect()}
+    resized = decode_ppm(bytes(got[1]["payload"]))
+    assert (resized["width"], resized["height"]) == (4, 3)
+    assert bytes(got[2]["payload"]) == b"\x00\x01notanimage"
+    assert got[3]["payload"] is None
+    assert all(r["width"] == 4 and r["height"] == 3 for r in got.values())
