@@ -149,3 +149,52 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
         1,
     )[0]["bucket"]
     return base.withColumn("nrm", _norm(F.col("emb"))).withColumn("bucket", best)
+
+
+def embedding_quantize_int8(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> tuple[DataFrame, list[tuple[float, float]]]:
+    """Scalar int8 quantization of an embedding column: per-dimension
+    [min, max] over the corpus (one tiny aggregate) maps each component
+    onto 256 levels stored as ``array<tinyint>`` — 8x smaller than
+    float64 in memory and ~4x on parquet, which at a 100 TB embedding
+    corpus is the difference between an index that fits the cluster and
+    one that doesn't. Returns (quantized frame, per-dim ranges); ranges
+    are the codebook — persist them next to the table.
+
+    Quantize/dequantize are pure zip_with column expressions (no UDF);
+    recall impact is gated in tests (dequantized top-k vs float top-k).
+    """
+    dims = (
+        emb.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    ranges = [(r["mn"], r["mx"]) for r in dims]
+    mins = F.array(*[F.lit(mn) for mn, _ in ranges])
+    spans = F.array(*[F.lit((mx - mn) if mx > mn else 1.0) for mn, mx in ranges])
+    shifted = F.zip_with(F.col(vec_col).cast("array<double>"), mins, lambda x, mn: x - mn)
+    q = F.zip_with(
+        shifted,
+        spans,
+        lambda d, s: (F.round(d / s * 255.0, 0) - 128).cast("tinyint"),
+    )
+    return emb.withColumn("q_embedding", q).drop(vec_col), ranges
+
+
+def embedding_dequantize(
+    qemb: DataFrame, ranges: list[tuple[float, float]], out_col: str = "embedding"
+) -> DataFrame:
+    """Inverse map back to ``array<double>`` (codebook as literals):
+    value = min + (q + 128) / 255 * span. Max reconstruction error is
+    span / 510 per component."""
+    mins = F.array(*[F.lit(mn) for mn, _ in ranges])
+    spans = F.array(*[F.lit((mx - mn) if mx > mn else 1.0) for mn, mx in ranges])
+    # zip_with pairs two arrays, so chain: q -> scaled span, then + min
+    scaled = F.zip_with(
+        F.col("q_embedding"), spans, lambda q, s: (q.cast("double") + 128.0) / 255.0 * s
+    )
+    deq = F.zip_with(scaled, mins, lambda u, mn: u + mn)
+    return qemb.withColumn(out_col, deq)

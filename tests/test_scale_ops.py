@@ -494,3 +494,46 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_int8_quantized_embeddings_recall_and_error(spark):
+    """int8 scalar quantization: reconstruction error bounded by
+    span/510 per dimension, schema actually shrinks to tinyint, and
+    cosine top-5 over dequantized vectors keeps recall >= 0.9 vs the
+    float baseline — the gate that says 8x-smaller storage doesn't
+    break retrieval."""
+    from tcdb_spark.operators.similarity import (
+        embedding_dequantize,
+        embedding_quantize_int8,
+    )
+    from tcdb_spark.plans.catalog import load_tables
+
+    e = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    q, ranges = embedding_quantize_int8(e)
+    assert dict(q.dtypes)["q_embedding"] == "array<tinyint>"
+
+    d = embedding_dequantize(q, ranges)
+    orig = {r["vec_id"]: r["embedding"] for r in e.collect()}
+    back = {r["vec_id"]: r["embedding"] for r in d.collect()}
+    for vid, vec in orig.items():
+        for j, (a, b) in enumerate(zip(vec, back[vid])):
+            mn, mx = ranges[j]
+            assert abs(a - b) <= (mx - mn) / 510 + 1e-9, (vid, j)
+
+    def topk(frame, k=5):
+        import numpy as np
+
+        rows = sorted(frame.collect(), key=lambda r: r["vec_id"])
+        m = np.array([r["embedding"] for r in rows])
+        ids = [r["vec_id"] for r in rows]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        np.fill_diagonal(sims, -2)
+        return {
+            ids[i]: {ids[j] for j in np.argsort(-sims[i])[:k]} for i in range(len(ids))
+        }
+
+    base = topk(e.select("vec_id", "embedding"))
+    quant = topk(d.select("vec_id", "embedding"))
+    recall = sum(len(base[v] & quant[v]) for v in base) / (5 * len(base))
+    assert recall >= 0.9, recall
