@@ -138,3 +138,52 @@ def test_incremental_lsh_index_two_days(spark, tmp_path):
         for r in incremental_lsh_candidates(after, lsh_band_index(day3)).collect()
     }
     assert (101, 201) in pairs3 and (3, 201) in pairs3
+
+
+def test_pack_bins_ffd_properties(spark):
+    """FFD packing invariants: every doc placed exactly once, no bin
+    over budget, over-budget docs isolated+flagged, assignment is
+    deterministic across input partitionings, and utilization beats the
+    naive sequential packer on the same data."""
+    import random
+
+    from tcdb_spark.operators.packing import pack_bins_ffd
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(20, 400)) for i in range(2_000)] + [(9_999, 700)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    budget = 512
+
+    out = pack_bins_ffd(docs, budget=budget, n_shards=8).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(i for i, _ in rows)
+
+    fill: dict[int, int] = {}
+    for r in out:
+        if r["overflow"]:
+            assert r["n_tokens"] > budget and r["doc_id"] == 9_999
+            continue
+        fill[r["bin_id"]] = fill.get(r["bin_id"], 0) + r["n_tokens"]
+    assert fill and max(fill.values()) <= budget
+
+    # determinism across partitioning
+    again = pack_bins_ffd(docs.repartition(13), budget=budget, n_shards=8).collect()
+    assert {(r["doc_id"], r["bin_id"]) for r in again} == {
+        (r["doc_id"], r["bin_id"]) for r in out
+    }
+
+    # FFD utilization >= naive first-come packing on the same shards
+    total_tokens = sum(n for _, n in rows if n <= budget)
+    ffd_bins = len(fill)
+    naive_bins = 0
+    bydoc = {i: n for i, n in rows}
+    for shard in range(8):
+        cap = 0
+        for r in sorted((r for r in out if not r["overflow"] and r["shard"] == shard),
+                        key=lambda r: r["doc_id"]):
+            n = bydoc[r["doc_id"]]
+            if cap < n:
+                naive_bins += 1
+                cap = budget
+            cap -= n
+    assert ffd_bins <= naive_bins
+    assert total_tokens / (ffd_bins * budget) > 0.9  # tight packing
