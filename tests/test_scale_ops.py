@@ -537,3 +537,26 @@ def test_int8_quantized_embeddings_recall_and_error(spark):
     quant = topk(d.select("vec_id", "embedding"))
     recall = sum(len(base[v] & quant[v]) for v in base) / (5 * len(base))
     assert recall >= 0.9, recall
+
+
+def test_warehouse_schema_evolution_across_versions(spark, tmp_path):
+    """Schema evolution contract: a later version may add columns; each
+    version reads with its own schema (time travel included), and a
+    by-name union view over versions is the caller's migration path."""
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v1 = spark.createDataFrame([(1, 10.0)], "storm_id long, wind double")
+    wh.write("obs", v1)
+    v2 = spark.createDataFrame(
+        [(1, 10.0, 995.0)], "storm_id long, wind double, mslp double"
+    )
+    wh.write("obs", v2)
+
+    assert set(wh.read("obs").columns) == {"storm_id", "wind", "mslp"}
+    assert set(wh.read("obs", version=1).columns) == {"storm_id", "wind"}
+    merged = wh.read("obs", version=1).unionByName(
+        wh.read("obs"), allowMissingColumns=True
+    )
+    rows = merged.collect()
+    assert {r["mslp"] for r in rows} == {None, 995.0}

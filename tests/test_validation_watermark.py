@@ -275,3 +275,35 @@ def test_stream_stream_join_inner_and_outer(spark, tmp_path):
             spark.readStream.schema(lschema).parquet(str(lsrc)),
             key="storm_id", left_ts="obs_ts", right_ts="obs_ts",
         )
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a micro-batch stream enriched by a static
+    dim joins without watermarks or stream-side state (the dim is just
+    re-read per batch; broadcast keeps it off the shuffle path) — the
+    streaming twin of join-dim-enrich."""
+    src = tmp_path / "ss_src"
+    src.mkdir()
+    dim = spark.createDataFrame(
+        [(0, "sensor"), (1, "manual")], "event_type long, type_name string"
+    )
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    schema = "event_id long, ts timestamp, event_type long"
+    spark.createDataFrame(
+        [(1, t, 0), (2, t, 1), (3, t, 99)], schema
+    ).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    enriched = stream.join(F.broadcast(dim), "event_type", "left")
+    out = str(tmp_path / "ss_out")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["type_name"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "sensor", 2: "manual", 3: None}
