@@ -68,9 +68,17 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Read driver testdata parquet tables (TESTDATA.md).
 
-    ``events.ts`` is TIMESTAMP(NANOS), which Spark only reads as long
-    (``nanosAsLong``); it's truncated to microseconds exactly like DuckDB's
-    TIMESTAMP_NS -> TIMESTAMP cast so oracle values agree.
+    Timestamp normalization — the driver's generator has shipped two
+    physical types for ``events.ts`` across rounds, and both must land
+    as plain TimestampType in a UTC session so every downstream cast
+    and oracle compare agrees with DuckDB's naive read:
+
+    - TIMESTAMP(NANOS): Spark only reads it as long (``nanosAsLong``);
+      truncated ns->us exactly like DuckDB's TIMESTAMP_NS cast.
+    - timestamp[us] without timezone: Spark 4 infers TIMESTAMP_NTZ,
+      which refuses numeric casts and breaks epoch arithmetic; under
+      the pinned UTC session tz, casting NTZ -> TIMESTAMP is
+      wall-clock-identical.
     """
     from pyspark.sql import functions as F
 
@@ -80,5 +88,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
         for col, dtype in df.dtypes:
             if col == "ts" and dtype == "bigint":
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+            elif dtype == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
         out[n] = df
     return out
