@@ -398,3 +398,196 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dsir_logweight"),
         )
     )
+
+
+@register(
+    "chunk_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, (ord-1)//10 AS chunk_idx,
+             string_agg(tok, ' ' ORDER BY ord) AS chunk_text
+      FROM toks GROUP BY doc_id, (ord-1)//10
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn=1 THEN length(chunk_text) ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup at chunk granularity — the line/
+    paragraph dedup pass of RefinedWeb/Dolma-style curation (the
+    synthetic corpus has no newlines, so fixed 10-token windows stand
+    in for paragraphs; the plan is identical). Keep-first semantics:
+    the earliest (doc_id, chunk_idx) occurrence of each distinct chunk
+    survives, later copies are dropped, and the per-document report
+    shows how much text dedup removed.
+
+    Scale shape: posexplode is pipelined (no shuffle), the chunk
+    reassembly shuffles token rows once on (doc_id, chunk_idx), and the
+    dedup itself partitions by chunk CONTENT — the same
+    content-partitioned shuffle as exact doc dedup, so hot boilerplate
+    chunks spread over the hash space instead of a single reduce task.
+    array_sort(collect_list(struct(pos, tok))) makes reassembly order
+    deterministic under any partitioning."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    chunks = (
+        toks.groupBy("doc_id", F.floor(F.col("pos") / 10).alias("chunk_idx"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+    )
+    w = W.partitionBy("chunk_text").orderBy(F.col("doc_id").asc(), F.col("chunk_idx").asc())
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(
+            F.when(F.col("rn") == 1, F.length("chunk_text")).otherwise(F.lit(0))
+        ).alias("kept_chars"),
+    )
+
+
+@register(
+    "mixture_sample",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+             (ascii(substring(md5(CAST(doc_id AS VARCHAR)),1,1))*256
+              + ascii(substring(md5(CAST(doc_id AS VARCHAR)),2,1))) / 65536.0 AS u
+      FROM documents),
+    s AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS toks FROM d GROUP BY source),
+    w AS (SELECT source, toks,
+                 sqrt(CAST(toks AS DOUBLE)) / sum(sqrt(CAST(toks AS DOUBLE))) OVER () AS wgt,
+                 sum(CAST(toks AS DOUBLE)) OVER () AS total_toks
+          FROM s),
+    r AS (SELECT source, LEAST(1.0, 0.5*total_toks*wgt/CAST(toks AS DOUBLE)) AS rate FROM w)
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN u < rate THEN n_toks ELSE 0 END) AS BIGINT) AS toks_sampled,
+           CAST(round(max(rate), 6) AS DOUBLE) AS rate
+    FROM d JOIN r ON d.source = r.source GROUP BY d.source
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixture sampling (the multinomial
+    alpha=0.5 scheme of mT5/XLM-R): target share per source is
+    proportional to sqrt(its token mass), renormalized, against a
+    budget of half the corpus tokens — so rare domains are upsampled
+    relative to their natural share and dominant domains are cut.
+    Selection is the same md5-bucket device as split_assign: a
+    content-stable uniform in [0,1) compared to the source's rate, so
+    the SAMPLE ITSELF is reproducible across re-runs, partitionings,
+    and cluster sizes (rand(seed) is not, across repartitions).
+
+    Scale shape: one groupBy(source) for token masses (dims-sized), a
+    1-row total cross-joined back, rates broadcast to the fact scan;
+    the per-doc pass is scan + column math, no second fact shuffle.
+    All threshold arithmetic is IEEE-identical in both engines (exact
+    integer sums -> sqrt -> divide), so the sampled SET, not just its
+    size, hash-matches the oracle."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    per_doc = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        ((F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) / F.lit(65536.0)).alias("u"),
+    ).persist()
+    s = per_doc.groupBy("source").agg(F.sum("n_toks").alias("toks"))
+    tot = s.agg(
+        F.sum(F.sqrt(F.col("toks").cast("double"))).alias("sum_sqrt"),
+        F.sum(F.col("toks").cast("double")).alias("total_toks"),
+    )
+    rates = (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.least(
+                F.lit(1.0),
+                0.5 * F.col("total_toks") * (F.sqrt(F.col("toks").cast("double")) / F.col("sum_sqrt"))
+                / F.col("toks").cast("double"),
+            ).alias("rate"),
+        )
+    )
+    hit = F.col("u") < F.col("rate")
+    return (
+        per_doc.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("n_sampled"),
+            F.sum(F.when(hit, F.col("n_toks")).otherwise(F.lit(0))).alias("toks_sampled"),
+            F.round(F.max("rate"), 6).cast("double").alias("rate"),
+        )
+    )
+
+
+@register(
+    "dedup_canonical_keep",
+    oracle="""
+    WITH clusters AS ({clusters}),
+    scored AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+    SELECT cluster_id,
+           CAST(max(CASE WHEN rn=1 THEN doc_id END) AS BIGINT) AS canonical_doc,
+           CAST(max(CASE WHEN rn=1 THEN n_chars END) AS BIGINT) AS canonical_chars,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM scored GROUP BY cluster_id
+    """,
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection over near-duplicate clusters: the
+    curation step AFTER clustering — each transitive duplicate cluster
+    (same connected components as ``dedup_clusters``) keeps its
+    highest-quality member (longest text, doc_id as the deterministic
+    tiebreak), the RefinedWeb 'keep the longest duplicate' rule rather
+    than keep-first. Exact-dup groups always tie on length, which is
+    why this op only makes sense on NEAR-dup clusters where members
+    genuinely differ.
+
+    Scale shape: clusters are LSH output (tiny vs the corpus); the
+    quality join pulls only clustered docs' metadata (broadcast of the
+    cluster map at 100 TB since near-dup clusters are <<1% of docs,
+    or a shuffle join on doc_id if not); one window per cluster_id.
+    Oracle embeds the dedup_clusters recursive-CTE verbatim so the two
+    can never drift."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    clusters = dedup_clusters(spark, sf_dir)
+    scored = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    top = F.col("rn") == 1
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(top, F.col("doc_id"))).alias("canonical_doc"),
+        F.max(F.when(top, F.col("n_chars").cast("long"))).alias("canonical_chars"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+ORACLES["dedup_canonical_keep"] = ORACLES["dedup_canonical_keep"].format(
+    clusters=ORACLES["dedup_clusters"]
+)
