@@ -333,3 +333,74 @@ def salted_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = t["customer"].select("c_custkey", "c_mktsegment")
     out = salted_join(fact, dim, "c_custkey", n_salts=8)
     return out.select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, k_decile
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over a semi-structured JSON column: extract the
+    typed field with ``from_json`` (one Jackson parse per row inside
+    codegen — NOT a Python UDF, and not ``get_json_object`` repeated
+    per field, which re-parses the document once per extraction), then
+    aggregate on the derived key. At 100 TB the parse is the dominant
+    cost and scales linearly with the scan; the only shuffle is the
+    final small-cardinality groupBy. Value sums follow the DECIMAL
+    contract (DEVNOTES #23)."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        e.withColumn("k_decile", F.floor(k / 10))
+        .groupBy("event_type", "k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form cube/rollup are sugar
+    for): detail, per-status subtotal, and grand total in ONE pass —
+    Spark expands the sets into a single Expand + hash aggregate, so
+    the fact is scanned once instead of once per report level.
+    grouping() bits disambiguate a genuine NULL key from a subtotal
+    row (the classic grouping-sets trap); gid = 2*g(status) +
+    g(priority) matches both engines bit-for-bit."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    gid = (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast("long")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
