@@ -40,6 +40,12 @@ def get_spark(
         # as co-partitioned — the other side shuffles on the subset and
         # the 100 TB table side never does.
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # tz-naive parquet timestamps read as TimestampType (UTC wall
+        # clock), not TIMESTAMP_NTZ — NTZ refuses epoch casts and broke
+        # six queries when a data drop changed physical type (DEVNOTES
+        # #24). load_tables also normalizes; this covers direct reads
+        # and streaming file sources.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
