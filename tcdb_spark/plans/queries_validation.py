@@ -70,3 +70,46 @@ def check_fk_orphans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumnRenamed("o_custkey", "c_custkey"), parent, "c_custkey", "c_custkey"
     )
     return orphans.select("o_orderkey", F.col("c_custkey").alias("o_custkey"))
+
+
+@register(
+    "profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_num, CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT), CAST(count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT), CAST(count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(count(*) AS BIGINT), CAST(count(o_orderdate) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           NULL, NULL, strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass over a representative column mix (bigint,
+    string, double, timestamp): the Spark side computes ALL columns in
+    ONE scan (multiple COUNT(DISTINCT)s planned as a single Expand;
+    see operators/profile.py for the 100 TB rationale and the
+    approx_count_distinct swap for wide tables). The oracle reads the
+    table once per column — semantically identical, and exactly the
+    N-scans-for-N-columns anti-pattern the operator exists to avoid."""
+    from tcdb_spark.operators.profile import profile_table
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return profile_table(
+        o, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    )
