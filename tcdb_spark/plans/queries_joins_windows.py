@@ -177,3 +177,30 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="nearest", tolerance_hours=6.0,
     )
     return out.select("event_id", "user_id", "ts", "click_ts")
+
+
+@register(
+    "set_ops_users",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type IN ('click','view')),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase')
+    SELECT 'both' AS cohort, user_id FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)
+    UNION ALL
+    SELECT 'browse_only', user_id FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)
+    """,
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface: browse-vs-purchase cohort split.
+    Both compile to the same physical shapes as semi/anti joins (hash
+    join on the distinct sets) — catalogued so the set-operator API
+    itself is covered, not just its join spelling. At scale each side
+    is one distinct (map-side partial) and one co-partitioned join;
+    the 'both'/'browse_only' union is plan-level concat, no shuffle."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    a = e.where(F.col("event_type").isin("click", "view")).select("user_id").distinct()
+    b = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = a.intersect(b).select(F.lit("both").alias("cohort"), "user_id")
+    only = a.exceptAll(b).select(F.lit("browse_only").alias("cohort"), "user_id")
+    return both.unionByName(only)

@@ -154,3 +154,40 @@ def resample_locf_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("i") * _US_PER_H).alias("grid_ts"),
         F.col("value").alias("val"),
     )
+
+
+@register(
+    "rolling_window_1h",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling aggregate per user — the RANGE-framed
+    window (frame membership decided by ORDER-key distance, not row
+    count; same-instant peers always share a frame, so the result is
+    deterministic without a tiebreak). Frame arithmetic runs in exact
+    integer MICROSECONDS on both engines (unix_micros / epoch_us):
+    the fixtures carry fractional-second timestamps, and any
+    seconds-granularity cast would disagree about frame edges. One
+    shuffle on user_id; within a partition Spark keeps a sliding
+    frame, O(n) not O(n * frame)."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_US_PER_H, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).over(w), 2)
+        .cast("double")
+        .alias("sum_1h"),
+    )
