@@ -191,3 +191,40 @@ def rolling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_1h"),
     )
+
+
+@register(
+    "sliding_window_counts",
+    oracle="""
+    WITH slides AS (
+      SELECT event_type, epoch_us(ts) AS us, unnest(range(0, 4)) AS k
+      FROM events),
+    w AS (
+      SELECT event_type,
+             (us // 900000000) * 900000000 - k * 900000000 AS start_us
+      FROM slides)
+    SELECT make_timestamp(start_us) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — 1-hour length, 15-minute slide, so
+    every event lands in exactly 4 overlapping windows. Uses Spark's
+    native F.window(slideDuration=...), which expands each row into its
+    window memberships inside codegen (the streaming twin of this exact
+    expression runs under watermarks in streaming/pipeline.py's
+    tumbling variant). The oracle reproduces the epoch-aligned window
+    math in integer microseconds: start = floor(t/slide)*slide -
+    k*slide for k in 0..3. One shuffle on (window, type); the expand
+    multiplies rows 4x BEFORE the partial agg, which map-side combines
+    back down — at 100 TB the slide ratio (len/slide) is the expansion
+    factor to budget for."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
