@@ -406,6 +406,54 @@ class Warehouse:
             removed.append(v)
         return removed
 
+    def diff(
+        self,
+        table: str,
+        v_old: int,
+        v_new: int,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Change data feed between two committed versions: one row per
+        changed key with ``change_type`` in {insert, update, delete} —
+        the primitive downstream incremental consumers poll instead of
+        re-reading the table.
+
+        ``keys`` defaults to the bucket columns of the newer version.
+        Row identity is the key tuple (keys must be non-null, the same
+        contract MERGE enforces); change detection hashes every
+        non-key column with xxhash64 (null-safe, Spark-side only — no
+        cross-engine hash equality is ever assumed).
+
+        Scale shape: when both versions are bucketed on ``keys`` the
+        full-outer join reads two co-partitioned catalog tables and
+        needs NO Exchange (pinned in tests) — the diff costs two scans
+        + a merge, not a terabyte shuffle. Versions are immutable, so
+        the diff is reproducible until one side is vacuumed.
+        """
+        if keys is None:
+            if not os.path.exists(self._bucket_marker(table, v_new)):
+                raise ValueError(
+                    f"diff({table}) needs explicit keys for non-bucketed versions"
+                )
+            with open(self._bucket_marker(table, v_new)) as f:
+                keys = json.load(f)["bucket_cols"]
+        old = self.read(table, version=v_old)
+        new = self.read(table, version=v_new)
+        val_cols = [c for c in new.columns if c not in keys]
+        o = old.select(*keys, F.xxhash64(*val_cols).alias("__fp_old"))
+        n = new.select(*keys, F.xxhash64(*val_cols).alias("__fp_new"))
+        j = o.join(n, on=list(keys), how="full_outer")
+        change = (
+            F.when(F.col("__fp_old").isNull(), "insert")
+            .when(F.col("__fp_new").isNull(), "delete")
+            .when(F.col("__fp_old") != F.col("__fp_new"), "update")
+        )
+        return (
+            j.withColumn("change_type", change)
+            .where(F.col("change_type").isNotNull())
+            .select(*keys, "change_type")
+        )
+
     def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Write the next version and repoint. The full write lands before
         the pointer moves — crash mid-write leaves the old version live."""

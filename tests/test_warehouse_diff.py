@@ -1,0 +1,68 @@
+"""Warehouse.diff: change-data-feed between immutable versions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tcdb_spark.sources.warehouse import Warehouse
+
+
+def _wh(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v1 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, None)],
+        "storm_id bigint, wind double",
+    )
+    v2 = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (4, 40.0), (5, 50.0)],
+        "storm_id bigint, wind double",
+    )
+    wh.write_bucketed("obs", v1, ["storm_id"], n_buckets=4)
+    wh.write_bucketed("obs", v2, ["storm_id"], n_buckets=4)
+    return wh
+
+
+def test_diff_classifies_changes(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    got = {r["storm_id"]: r["change_type"] for r in wh.diff("obs", 1, 2).collect()}
+    # 1 unchanged (absent), 2 updated, 3 deleted, 4 null->value update,
+    # 5 inserted.
+    assert got == {2: "update", 3: "delete", 4: "update", 5: "insert"}
+
+
+def test_diff_defaults_keys_from_bucket_spec(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    assert wh.diff("obs", 1, 2).columns == ["storm_id", "change_type"]
+
+
+def test_diff_bucketed_versions_join_without_exchange(spark, tmp_path):
+    """Both sides are catalog tables bucketed on the diff keys: the
+    full-outer join must be co-partitioned — no Exchange, so the diff
+    never shuffles table bytes."""
+    wh = _wh(spark, tmp_path)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = wh.diff("obs", 1, 2)
+        d.collect()
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_diff_requires_keys_for_unbucketed(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh2"))
+    df = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    wh.write("t", df)
+    wh.write("t", df)
+    with pytest.raises(ValueError, match="explicit keys"):
+        wh.diff("t", 1, 2)
+    # explicit keys on plain versions still work
+    assert wh.diff("t", 1, 2, keys=["k"]).count() == 0
+
+
+def test_diff_identity_is_empty(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    assert wh.diff("obs", 2, 2).count() == 0
