@@ -87,6 +87,18 @@ class Engine:
         self.register_views()
         return self.spark.sql(query)
 
+    def profile(self, name: str, columns: list[str] | None = None) -> DataFrame:
+        """One-scan per-column stats for a warehouse table
+        (operators/profile.py): nulls, exact distincts, typed min/max."""
+        from tcdb_spark.operators.profile import profile_table
+
+        return profile_table(self.warehouse.read(name), columns)
+
+    def changes(self, name: str, v_old: int, v_new: int, keys=None) -> DataFrame:
+        """Change data feed between two committed versions
+        (Warehouse.diff): insert/update/delete per key."""
+        return self.warehouse.diff(name, v_old, v_new, keys=keys)
+
     def storm_tracks(self, nhc_id: str | None = None, **kwargs) -> DataFrame:
         from tcdb_spark.datasets import storm_tracks
 

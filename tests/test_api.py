@@ -47,3 +47,17 @@ def test_engine_facade(spark, tmp_path):
 
     exported = eng.export(str(tmp_path / "exp"), ["storms"])
     assert exported == {"storms": 1}
+
+
+def test_engine_profile_and_changes(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "wh"))
+    v1 = spark.createDataFrame([(1, 10.0), (2, None)], "storm_id bigint, wind double")
+    v2 = spark.createDataFrame([(1, 11.0), (3, 30.0)], "storm_id bigint, wind double")
+    eng.warehouse.write_bucketed("obs", v1, ["storm_id"], n_buckets=2)
+    eng.warehouse.write_bucketed("obs", v2, ["storm_id"], n_buckets=2)
+
+    prof = {r["col_name"]: r for r in eng.profile("obs").collect()}
+    assert prof["wind"]["n_nonnull"] == 2 and prof["wind"]["max_num"] == 30.0
+
+    got = {r["storm_id"]: r["change_type"] for r in eng.changes("obs", 1, 2).collect()}
+    assert got == {1: "update", 2: "delete", 3: "insert"}
