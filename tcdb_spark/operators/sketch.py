@@ -1,0 +1,100 @@
+"""Mergeable frequency sketches — the shuffle-light path for heavy-hitter
+mining over token/n-gram streams (SURVEY.md §2.12 extension; the
+reference has no sketch machinery, its corpora fit a single MySQL box —
+at 100 TB the naive ``GROUP BY token`` shuffles every distinct n-gram).
+
+Misra-Gries summaries are mergeable (Agarwal et al., "Mergeable
+Summaries", PODS 2012): a per-partition summary of capacity ``c``
+undercounts any item by at most ``N_p/(c+1)`` of that partition's
+``N_p`` items.  Pigeonhole over partitions: if an item's GLOBAL count
+exceeds ``N/(c+1)`` it must exceed ``N_p/(c+1)`` in at least one
+partition, hence it survives in that partition's summary.  So with
+``c >= k`` the UNION of per-partition summaries is a guaranteed
+superset of every item with count >= N/k — the exact-recount pass then
+restores exact counts for that small candidate set.
+
+Scale shape: the sketch pass is map-side only (one ``mapInPandas`` over
+the token column, no shuffle); the shuffle that remains moves
+``partitions x capacity`` candidate rows instead of the full distinct
+vocabulary, and the recount joins a BROADCAST candidate list back to
+the tokens.  Python cost is Arrow-batched and O(1) amortized per token
+(lazy global-decrement via an offset, not a dict sweep).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_partials(tokens: DataFrame, col: str, capacity: int) -> DataFrame:
+    """One Misra-Gries summary row set per partition: ``(token, wt)``
+    where ``wt`` is the summary's (under-)count.  ``wt`` is a lower
+    bound on the partition count; its only guaranteed use is membership
+    (candidate generation) — recount before reporting numbers.
+    """
+    import pandas as pd
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        # classic MG "decrement all" implemented lazily: a counter is
+        # dead when its stored value falls to the floor; compaction
+        # runs only when the dict overflows, keeping amortized O(1).
+        for pdf in batches:
+            for t in pdf[col]:
+                if t is None:
+                    continue
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < capacity:
+                    counters[t] = 1
+                else:
+                    # decrement-all: drop every counter by 1, evict zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {"token": list(counters.keys()), "wt": list(counters.values())}
+            )
+
+    return tokens.select(F.col(col).alias(col)).mapInPandas(
+        summarize, "token string, wt long"
+    )
+
+
+def heavy_hitters_exact(
+    tokens: DataFrame, col: str, k: int, capacity: int | None = None
+) -> DataFrame:
+    """Items with global count*k >= N, with EXACT counts, found via the
+    sketch-then-recount plan: MG candidates (superset guarantee above)
+    -> broadcast candidate list -> one filtered groupBy -> scalar
+    threshold.  Returns ``(token, cnt)``; the output is exact, so it is
+    DuckDB-oracle-checkable even though a sketch prunes the search.
+    """
+    capacity = capacity or 4 * k
+    toks = tokens.select(F.col(col).alias("token")).where(F.col("token").isNotNull())
+    # barrier: the sketch pass, the recount, and the total all read the
+    # tokenization exactly once
+    toks = toks.persist()
+    candidates = (
+        misra_gries_partials(toks, "token", capacity).select("token").distinct()
+    )
+    counts = (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = toks.select(F.count(F.lit(1)).alias("__n"))
+    # 1-row scalar threshold cross — allowlisted BNLJ shape
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * k >= F.col("__n"))
+        .select("token", "cnt")
+    )

@@ -26,3 +26,4 @@ from tcdb_spark.plans import queries_packing  # noqa: F401,E402
 from tcdb_spark.plans import queries_scd  # noqa: F401,E402
 from tcdb_spark.plans import queries_tpch  # noqa: F401,E402
 from tcdb_spark.plans import queries_tpch2  # noqa: F401,E402
+from tcdb_spark.plans import queries_spans  # noqa: F401,E402

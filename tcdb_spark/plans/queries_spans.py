@@ -1,0 +1,227 @@
+"""Span-level dedup, sketch-pruned heavy hitters, per-domain caps, and
+split-drift measurement — the corpus-surgery layer of the curation
+suite (SURVEY.md §2.12 extensions; no reference analog — the reference
+corpus fits one MySQL box, these are the 100 TB-pipeline jobs).
+
+Oracle discipline follows queries_corpus.py: integer counts wherever
+possible, explicit rounding on the one float column (log-ratio), and
+deterministic tiebreaks on every window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tcdb_spark.plans.catalog import load_tables, register
+from tcdb_spark.plans.queries_corpus import _TOKS_SQL, _tokens
+
+SPAN_W = 10  # duplicated-span window width, tokens
+
+
+def _win_sql(w: int) -> str:
+    """DuckDB width-``w`` window text at 1-based start ``i`` over ``tokens``."""
+    return " || ' ' || ".join(f"tokens[i+{k}]" for k in range(w))
+
+
+@register(
+    "span_dedup",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    wins AS (
+        SELECT doc_id, i AS start, {_win_sql(SPAN_W)} AS win
+        FROM toks CROSS JOIN LATERAL
+             (SELECT unnest(range(1, len(tokens) - {SPAN_W - 2})) AS i) t
+        WHERE len(tokens) >= {SPAN_W}
+    ),
+    owners AS (
+        SELECT win, min(doc_id) AS owner_doc, count(DISTINCT doc_id) AS ndocs
+        FROM wins GROUP BY win
+    ),
+    covered AS (
+        SELECT w.doc_id, w.start, w.start + {SPAN_W - 1} AS e
+        FROM wins w JOIN owners o USING (win)
+        WHERE o.ndocs > 1 AND w.doc_id <> o.owner_doc
+    ),
+    flagged AS (
+        SELECT doc_id, start, e,
+               CASE WHEN start > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM covered
+    ),
+    islands AS (
+        SELECT doc_id, start, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(min(start) AS INTEGER) AS span_start,
+           CAST(max(e) AS INTEGER) AS span_end,
+           CAST(max(e) - min(start) + 1 AS INTEGER) AS span_len
+    FROM islands GROUP BY doc_id, island
+    """,
+)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN dedup (Lee et al. 2022 substring dedup,
+    window-hash approximation): maximal token spans that also occur in
+    another (lower-doc_id) document.  Doc-level dedup cannot see these —
+    a license block inside an otherwise unique page survives MinHash.
+    See operators/spans.py for the two-shuffle plan and the 100 TB
+    shape; the DuckDB oracle recomputes spans from the window TEXT
+    (vs Spark's 8-byte xxhash64 keys), so a hash collision would show
+    up here as a mismatch."""
+    from tcdb_spark.operators.spans import duplicated_spans
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", _tokens(F.col("text")).alias("tokens")
+    )
+    return duplicated_spans(toks.where(F.size("tokens") >= SPAN_W), w=SPAN_W)
+
+
+HH_K = 1000  # report bigrams with count*HH_K >= corpus bigram total
+
+
+@register(
+    "heavy_hitters",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    bg AS (
+        SELECT tokens[i] || ' ' || tokens[i+1] AS token
+        FROM toks CROSS JOIN LATERAL
+             (SELECT unnest(range(1, len(tokens))) AS i) t
+        WHERE len(tokens) >= 2
+    ),
+    tot AS (SELECT count(*) AS n FROM bg)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM bg, tot GROUP BY token, n HAVING count(*) * {HH_K} >= n
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy-hitter bigrams (count >= N/{k}) via the
+    Misra-Gries sketch-then-recount plan (operators/sketch.py): the
+    sketch pass is shuffle-free, candidates are a guaranteed superset
+    (mergeable-summary pigeonhole, capacity >= k), and the exact
+    recount joins a broadcast candidate list — so the result is EXACT
+    and oracle-checkable while the shuffle moves candidates, not the
+    distinct-n-gram universe.  The naive plan shuffles every distinct
+    bigram of a 100 TB corpus; this one shuffles partitions x capacity
+    rows."""
+    from tcdb_spark.operators.sketch import heavy_hitters_exact
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        _tokens(F.col("text")).alias("tokens")
+    )
+    bigrams = toks.where(F.size("tokens") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("tokens"), i),
+                    F.element_at(F.col("tokens"), i + 1),
+                ),
+            )
+        ).alias("token")
+    )
+    return heavy_hitters_exact(bigrams, "token", k=HH_K)
+
+
+DOMAIN_CAP = 20  # max documents kept per source domain
+
+
+@register(
+    "domain_cap",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rk AS INTEGER) AS rank_in_source
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= {DOMAIN_CAP}
+    """,
+)
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (RefinedWeb/FineWeb-style: no single
+    host may dominate the corpus): keep the top {cap} docs per source
+    by quality proxy (n_chars), deterministic doc_id tiebreak.  One
+    window shuffle on source; at crawl scale source is the hot-key
+    dimension, so a production run pre-aggregates per-host counts —
+    but the keep-set itself is exactly this row_number cut."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rank_in_source"))
+        .where(F.col("rank_in_source") <= DOMAIN_CAP)
+        .select(
+            "doc_id", "source", F.col("rank_in_source").cast("int").alias("rank_in_source")
+        )
+    )
+
+
+@register(
+    "unigram_drift",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    ex AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+    tr AS (SELECT token, count(*) AS c FROM ex WHERE doc_id % 10 <> 0 GROUP BY token),
+    va AS (SELECT token, count(*) AS c FROM ex WHERE doc_id % 10 = 0 GROUP BY token),
+    vocab AS (SELECT count(*) AS v FROM
+              (SELECT token FROM tr UNION SELECT token FROM va)),
+    tots AS (SELECT (SELECT sum(c) FROM tr) AS nt, (SELECT sum(c) FROM va) AS nv)
+    SELECT coalesce(tr.token, va.token) AS token,
+           CAST(coalesce(tr.c, 0) AS BIGINT) AS n_train,
+           CAST(coalesce(va.c, 0) AS BIGINT) AS n_val,
+           round(ln( ((coalesce(tr.c,0) + 1.0) / (nt + v))
+                   / ((coalesce(va.c,0) + 1.0) / (nv + v)) ), 6) AS log_ratio
+    FROM tr FULL OUTER JOIN va USING (token), vocab, tots
+    """,
+)
+def unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-val token-distribution drift: per-token add-one-smoothed
+    log probability ratio (the per-token term of KL(train||val)) over
+    the same doc_id%10 split as contamination_check.  A curation QA
+    gate — a token with |log_ratio| >> 0 marks a distribution skew the
+    split introduced.  Plan: one explode, two partial-agg counts from
+    it, full-outer join on token, two 1-row scalar crosses (vocab size,
+    totals).  Rounded to 6 dp on both engines (libm ULP divergence,
+    DEVNOTES hazards)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", _tokens(F.col("text")).alias("tokens")
+    )
+    ex = toks.select("doc_id", F.explode("tokens").alias("token")).persist()
+    tr = ex.where(F.col("doc_id") % 10 != 0).groupBy("token").agg(
+        F.count(F.lit(1)).alias("c_tr")
+    )
+    va = ex.where(F.col("doc_id") % 10 == 0).groupBy("token").agg(
+        F.count(F.lit(1)).alias("c_va")
+    )
+    joined = tr.join(va, "token", "full_outer").select(
+        "token",
+        F.coalesce("c_tr", F.lit(0)).alias("n_train"),
+        F.coalesce("c_va", F.lit(0)).alias("n_val"),
+    )
+    scalars = joined.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("n_train").alias("nt"),
+        F.sum("n_val").alias("nv"),
+    )
+    return joined.crossJoin(F.broadcast(scalars)).select(
+        "token",
+        "n_train",
+        "n_val",
+        F.round(
+            F.log(
+                ((F.col("n_train") + 1.0) / (F.col("nt") + F.col("v")))
+                / ((F.col("n_val") + 1.0) / (F.col("nv") + F.col("v")))
+            ),
+            6,
+        ).alias("log_ratio"),
+    )

@@ -1,0 +1,87 @@
+"""Unit tests for duplicated-span detection (operators/spans.py) and
+Misra-Gries heavy hitters (operators/sketch.py): planted spans with
+known boundaries, interval-merge semantics, and the sketch superset
+guarantee under adversarial partitioning."""
+
+from pyspark.sql import functions as F
+
+from tcdb_spark.operators.sketch import heavy_hitters_exact, misra_gries_partials
+from tcdb_spark.operators.spans import duplicated_spans
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tokens")
+    )
+
+
+def _toks(words):
+    return " ".join(words)
+
+
+def test_planted_span_found_with_exact_boundaries(spark):
+    shared = [f"s{i}" for i in range(12)]  # 12-token shared passage
+    d = _docs(
+        spark,
+        [
+            (1, _toks(["a", "b"] + shared + ["c", "d"])),
+            (2, _toks(["x"] * 5 + shared + ["y"] * 5)),
+            (3, _toks(["u"] * 30)),
+        ],
+    )
+    spans = duplicated_spans(d, w=10).collect()
+    # doc 1 owns the passage (min doc_id); only doc 2 gets a span
+    assert [(r.doc_id, r.span_start, r.span_end, r.span_len) for r in spans] == [
+        (2, 6, 17, 12)
+    ]
+
+
+def test_overlapping_and_adjacent_intervals_merge(spark):
+    # doc 2 repeats the owner's 10-token run twice back-to-back:
+    # windows cover [1,10] and [11,20]; adjacency must merge to one span
+    run = [f"r{i}" for i in range(10)]
+    d = _docs(
+        spark,
+        [
+            (1, _toks(run)),
+            (2, _toks(run + run)),
+        ],
+    )
+    spans = duplicated_spans(d, w=10).collect()
+    assert [(r.doc_id, r.span_start, r.span_end) for r in spans] == [(2, 1, 20)]
+
+
+def test_no_cross_doc_duplicates_no_spans(spark):
+    d = _docs(
+        spark,
+        [(1, _toks([f"a{i}" for i in range(20)])), (2, _toks([f"b{i}" for i in range(20)]))],
+    )
+    assert duplicated_spans(d, w=10).count() == 0
+
+
+def test_short_docs_skipped(spark):
+    d = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    assert duplicated_spans(d, w=10).count() == 0
+
+
+def test_mg_partials_bounded_and_superset(spark):
+    # 1 heavy token (30%) in a sea of unique tokens, forced through many
+    # tiny partitions: every partition summary stays <= capacity and the
+    # union still contains the heavy token (mergeable-summary guarantee)
+    rows = [("hot",)] * 3000 + [(f"u{i}",) for i in range(7000)]
+    df = spark.createDataFrame(rows, "token string").repartition(16)
+    partials = misra_gries_partials(df, "token", capacity=10)
+    per_part = partials.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    assert all(r["count"] <= 10 for r in per_part)
+    assert partials.where(F.col("token") == "hot").count() >= 1
+
+
+def test_heavy_hitters_exact_counts(spark):
+    rows = [("hot",)] * 500 + [("warm",)] * 100 + [(f"u{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "token string").repartition(8)
+    # k=5 -> threshold N/5 = 200: only "hot" qualifies, with its exact count
+    out = {r.token: r.cnt for r in heavy_hitters_exact(df, "token", k=5).collect()}
+    assert out == {"hot": 500}
+    # k=11 -> threshold ~90.9: "warm" (100) now qualifies too
+    out = {r.token: r.cnt for r in heavy_hitters_exact(df, "token", k=11).collect()}
+    assert out == {"hot": 500, "warm": 100}
