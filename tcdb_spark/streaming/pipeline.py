@@ -217,6 +217,39 @@ def run_incremental(
     q.awaitTermination(timeout_s)
 
 
+def stream_session_counts(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming gap-based sessionization via native ``session_window``
+    — the streaming twin of the batch ``operators.skew.sessionize``
+    (lag + conditional cumsum).  State is one OPEN session per key:
+    an event within ``gap`` of an existing session extends/merges it;
+    a session emits (append mode) and its state is evicted once the
+    watermark passes ``session_end``, so state is bounded by (active
+    keys x watermark horizon), never the stream history.  At scale the
+    grouping shuffles on the key exactly like the batch window — same
+    partitioning, same skew profile, same salting remedies."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            key,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stream_windowed_counts_to_memory(
     spark: SparkSession, events: DataFrame, name: str = "cycle_counts"
 ):

@@ -169,3 +169,57 @@ def test_multimodal_features_and_frames(spark):
 
     frames = frame_sample_plan(media, every_s=1.0)
     assert frames.where(F.col("media_id") == 2).count() == 4  # t=0,1,2,3
+
+
+def test_streaming_session_windows_match_batch_twin(spark, tmp_path):
+    """Native session_window sessions == batch sessionize sessions on the
+    same data.  A far-future sentinel event advances the final watermark
+    past every real session so append mode emits them all."""
+    from tcdb_spark.operators.skew import sessionize
+    from tcdb_spark.streaming.pipeline import stream_session_counts
+
+    base = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: [0, 10, 25] one session; [90, 95] a second (65-min gap)
+        (1, at(0), 1.0), (1, at(10), 2.0), (1, at(25), 4.0),
+        (1, at(90), 8.0), (1, at(95), 16.0),
+        # user 2: single-event session
+        (2, at(5), 100.0),
+        # watermark sentinel, excluded from assertions
+        (99, at(60 * 24 * 30), 0.0),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    path = str(tmp_path / "sess_events")
+    events.write.parquet(path)
+    stream = spark.readStream.schema(events.schema).parquet(path)
+    q = (
+        stream_session_counts(stream, gap="30 minutes", watermark="1 minute")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # availableNow finalizes the watermark on a follow-up empty batch;
+    # the memory table is complete once the query terminates
+    got = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_sessions WHERE user_id <> 99").collect()
+    }
+    assert got == {(1, 3, 7.0), (1, 2, 24.0), (2, 1, 100.0)}
+
+    batch = sessionize(
+        events.where(F.col("user_id") != 99), ["user_id"], "ts", gap_minutes=30.0
+    )
+    twin = {
+        (r.user_id, r.n, r.v)
+        for r in batch.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == twin
