@@ -38,30 +38,24 @@ def misra_gries_partials(tokens: DataFrame, col: str, capacity: int) -> DataFram
     import pandas as pd
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
-        # classic MG "decrement all" implemented lazily: a counter is
-        # dead when its stored value falls to the floor; compaction
-        # runs only when the dict overflows, keeping amortized O(1).
+        # Batched MG MERGE (Agarwal et al. §2.1), not the textbook
+        # per-token loop: each Arrow batch's value_counts is an exact
+        # summary; merging two summaries = add counts, subtract the
+        # (capacity+1)-th largest, prune non-positive. All three steps
+        # are vectorized pandas (C speed) — the per-token dict loop with
+        # its O(capacity) decrement-all sweep goes quadratic on
+        # near-unique streams.
+        summary = pd.Series(dtype="int64")
         for pdf in batches:
-            for t in pdf[col]:
-                if t is None:
-                    continue
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < capacity:
-                    counters[t] = 1
-                else:
-                    # decrement-all: drop every counter by 1, evict zeros
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-        if counters:
+            vc = pdf[col].dropna().value_counts()
+            combined = summary.add(vc, fill_value=0)
+            if len(combined) > capacity:
+                thresh = combined.nlargest(capacity + 1).iloc[-1]
+                combined = combined[combined > thresh] - thresh
+            summary = combined
+        if len(summary):
             yield pd.DataFrame(
-                {"token": list(counters.keys()), "wt": list(counters.values())}
+                {"token": summary.index.astype(str), "wt": summary.values.astype("int64")}
             )
 
     return tokens.select(F.col(col).alias(col)).mapInPandas(

@@ -491,9 +491,16 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "might_contain" in plan, plan[:2000]
     finally:
+        # conf.get(k, None) returns None for keys never explicitly SET
+        # (it does not surface the built-in default), so "restore only
+        # if not None" would leave the 0-byte threshold leaking into
+        # every later test's plans — unset returns the key to its real
+        # default.
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
 
 
 def test_int8_quantized_embeddings_recall_and_error(spark):
