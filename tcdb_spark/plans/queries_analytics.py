@@ -404,3 +404,46 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "variant_shred_props",
+    oracle="""
+    WITH shred AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+    FROM shred GROUP BY event_type
+    """,
+)
+def variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through the open VARIANT type (Spark
+    4): ``parse_json`` builds the binary-shredded value ONCE per row,
+    ``try_variant_get`` extracts typed paths without re-parsing — the
+    modern lakehouse answer to schema-drifting JSON columns, and unlike
+    ``from_json`` it needs no up-front schema, so producers can add
+    fields without breaking the pipeline.  At 100 TB the binary
+    encoding also shreds into parquet columns (variant shredding), so
+    typed-path reads prune like real columns.  ``try_`` semantics map
+    malformed documents to NULL instead of failing the scan — counted
+    here via n_with_k vs n."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
