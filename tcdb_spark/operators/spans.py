@@ -94,3 +94,79 @@ def duplicated_spans(docs: DataFrame, w: int = 10) -> DataFrame:
         F.max("end").cast("int").alias("span_end"),
         (F.max("end") - F.min("start") + 1).cast("int").alias("span_len"),
     ).drop("island")
+
+
+def span_index(docs: DataFrame, w: int = 10) -> DataFrame:
+    """Append-only window-hash index for INCREMENTAL span dedup:
+    ``(h, owner_doc)`` — one row per distinct window hash with its
+    minimum doc_id.  Build once over the existing corpus, then each
+    daily batch probes and extends it (the span twin of the
+    incremental LSH dedup index): the corpus is never re-windowed."""
+    wins = docs.select(
+        "doc_id",
+        F.explode(token_windows(F.col("tokens"), w)).alias("win"),
+    ).select("doc_id", F.xxhash64("win").alias("h"))
+    return wins.groupBy("h").agg(F.min("doc_id").alias("owner_doc"))
+
+
+def incremental_duplicated_spans(
+    index: DataFrame, new_docs: DataFrame, w: int = 10
+) -> tuple[DataFrame, DataFrame]:
+    """Duplicated spans of an incoming batch against (corpus index +
+    the batch itself), plus the updated index.
+
+    Returns ``(spans, new_index)``.  With monotonically increasing
+    doc_ids (the ingest contract), the union of per-batch results
+    equals a one-shot :func:`duplicated_spans` over the whole corpus —
+    pinned by test.  Scale shape: the batch is windowed once (not the
+    corpus), the probe is an equi-join on the 8-byte hash against the
+    bucketable index, and the index update is an append of previously
+    unseen hashes — O(batch) work per batch, never O(corpus).
+    """
+    wins = new_docs.select(
+        "doc_id",
+        F.posexplode(token_windows(F.col("tokens"), w)).alias("pos0", "win"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("start"),
+        F.xxhash64("win").alias("h"),
+    )
+    wins = wins.persist()  # probe + intra-batch owners + index delta share it
+    batch_owners = wins.groupBy("h").agg(
+        F.min("doc_id").alias("batch_owner"),
+        F.countDistinct("doc_id").alias("batch_ndocs"),
+    )
+    idx = index.select("h", F.col("owner_doc").alias("index_owner"))
+    probed = (
+        wins.join(batch_owners, "h")
+        .join(idx, "h", "left")
+        .where(
+            F.col("index_owner").isNotNull()  # seen in the corpus
+            | (
+                (F.col("batch_ndocs") > 1)  # or duplicated inside the batch
+                & (F.col("doc_id") != F.col("batch_owner"))
+            )
+        )
+        .select("doc_id", "start", (F.col("start") + (w - 1)).alias("end"))
+    )
+    ord_w = W.partitionBy("doc_id").orderBy("start")
+    prev_max_end = F.max("end").over(ord_w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = probed.withColumn(
+        "brk",
+        F.when(
+            prev_max_end.isNull() | (F.col("start") > prev_max_end + 1), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("brk").over(ord_w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("start").cast("int").alias("span_start"),
+        F.max("end").cast("int").alias("span_end"),
+        (F.max("end") - F.min("start") + 1).cast("int").alias("span_len"),
+    ).drop("island")
+    fresh = (
+        batch_owners.join(idx, "h", "left_anti")
+        .select("h", F.col("batch_owner").alias("owner_doc"))
+    )
+    return spans, index.unionByName(fresh)

@@ -85,3 +85,50 @@ def test_heavy_hitters_exact_counts(spark):
     # k=11 -> threshold ~90.9: "warm" (100) now qualifies too
     out = {r.token: r.cnt for r in heavy_hitters_exact(df, "token", k=11).collect()}
     assert out == {"hot": 500, "warm": 100}
+
+
+def test_incremental_spans_equal_one_shot(spark):
+    """Batch-by-batch incremental span dedup == one-shot over the whole
+    corpus (monotone doc_ids), and the index grows append-only."""
+    from tcdb_spark.operators.spans import (
+        incremental_duplicated_spans,
+        span_index,
+    )
+
+    shared = [f"s{i}" for i in range(15)]
+    other = [f"o{i}" for i in range(12)]
+    batch1 = _docs(
+        spark,
+        [
+            (1, _toks(["a"] * 3 + shared + ["b"] * 3)),
+            (2, _toks([f"x{i}" for i in range(25)])),  # unique content
+            (3, _toks(["c"] * 2 + shared + ["d"] * 4)),  # dup of 1 in-batch
+        ],
+    )
+    batch2 = _docs(
+        spark,
+        [
+            (10, _toks(["e"] * 5 + shared + ["f"] * 2)),  # dup vs corpus
+            (11, _toks(other + ["g"] * 8)),
+            (12, _toks(["h"] * 4 + other + ["i"] * 2)),  # dup of 11 in-batch
+        ],
+    )
+    spans1 = duplicated_spans(batch1, w=10)
+    idx = span_index(batch1, w=10)
+    spans2, idx2 = incremental_duplicated_spans(idx, batch2, w=10)
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spans1.unionByName(spans2).collect()
+    }
+    oneshot = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(batch1.unionByName(batch2), w=10).collect()
+    }
+    assert got == oneshot and len(got) == 3
+
+    # index is append-only: every batch-1 hash keeps its original owner
+    base = {r.h: r.owner_doc for r in idx.collect()}
+    after = {r.h: r.owner_doc for r in idx2.collect()}
+    assert set(base) <= set(after)
+    assert all(after[h] == o for h, o in base.items())
