@@ -83,6 +83,76 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(toks.where(F.size("tokens") >= SPAN_W), w=SPAN_W)
 
 
+@register(
+    "span_dedup_incremental",
+    # identical oracle to span_dedup ON PURPOSE: per-batch incremental
+    # spans must union to exactly the one-shot corpus answer, so the
+    # driver's hash compare IS the incremental==recompute proof.
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    wins AS (
+        SELECT doc_id, i AS start, {_win_sql(SPAN_W)} AS win
+        FROM toks CROSS JOIN LATERAL
+             (SELECT unnest(range(1, len(tokens) - {SPAN_W - 2})) AS i) t
+        WHERE len(tokens) >= {SPAN_W}
+    ),
+    owners AS (
+        SELECT win, min(doc_id) AS owner_doc, count(DISTINCT doc_id) AS ndocs
+        FROM wins GROUP BY win
+    ),
+    covered AS (
+        SELECT w.doc_id, w.start, w.start + {SPAN_W - 1} AS e
+        FROM wins w JOIN owners o USING (win)
+        WHERE o.ndocs > 1 AND w.doc_id <> o.owner_doc
+    ),
+    flagged AS (
+        SELECT doc_id, start, e,
+               CASE WHEN start > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM covered
+    ),
+    islands AS (
+        SELECT doc_id, start, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(min(start) AS INTEGER) AS span_start,
+           CAST(max(e) AS INTEGER) AS span_end,
+           CAST(max(e) - min(start) + 1 AS INTEGER) AS span_len
+    FROM islands GROUP BY doc_id, island
+    """,
+)
+def span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span dedup as the driver sees it: the corpus is
+    split into two ingest batches on the doc_id median; batch 1 is
+    one-shot deduped and indexed (window-hash -> owner), batch 2 is
+    windowed ONCE and probed against the index (operators/spans.py
+    incremental_duplicated_spans).  The emitted union must hash-equal
+    the one-shot oracle over the full corpus — daily ingest never
+    re-processes the lake, and loses nothing by not doing so."""
+    from tcdb_spark.operators.spans import (
+        duplicated_spans,
+        incremental_duplicated_spans,
+        span_index,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", _tokens(F.col("text")).alias("tokens")
+    ).where(F.size("tokens") >= SPAN_W)
+    median = toks.approxQuantile("doc_id", [0.5], 0.0)[0]
+    batch1 = toks.where(F.col("doc_id") <= median)
+    batch2 = toks.where(F.col("doc_id") > median)
+    spans1 = duplicated_spans(batch1, w=SPAN_W)
+    idx = span_index(batch1, w=SPAN_W)
+    spans2, _ = incremental_duplicated_spans(idx, batch2, w=SPAN_W)
+    return spans1.unionByName(spans2)
+
+
 HH_K = 1000  # report bigrams with count*HH_K >= corpus bigram total
 
 
