@@ -122,3 +122,52 @@ def invest_documents(storms: DataFrame, observations: DataFrame) -> DataFrame:
     invests = storms.where(F.col("nhc_number") >= 90)
     joined = invests.join(latest_obs, on="storm_id", how="left")
     return json_encode_row(joined, exclude=["run_id", "last_update"])
+
+
+def write_columnar(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Columnar interchange sink over every format this Spark build
+    carries natively: parquet (the warehouse default), ORC (parity
+    with Hive-side consumers — same predicate pushdown and column
+    pruning as parquet, pinned in tests), and XML (rowTag documents,
+    the ATCF-adjacent feed format).  Avro needs the external
+    spark-avro module; absent here, the gate raises the same
+    actionable error as the JDBC driver gate."""
+    if fmt == "avro":
+        try:
+            df.write.mode(mode).format("avro").save(path)
+            return
+        except Exception as exc:
+            raise NotImplementedError(
+                "spark-avro module not on the classpath; add "
+                "org.apache.spark:spark-avro via spark.jars.packages at "
+                f"deploy time. Underlying error: {exc}"
+            ) from exc
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    for k, v in options.items():
+        w = w.option(k, v)
+    if fmt == "xml" and "rowTag" not in options:
+        w = w.option("rowTag", "row")
+    w.format(fmt).save(path)
+
+
+def read_columnar(spark, path: str, fmt: str = "parquet", schema=None, **options):
+    """Reader twin of :func:`write_columnar` (schema-explicit where the
+    format is schemaless on read, e.g. XML — never inferSchema in a
+    pipeline, SURVEY §2.9 check-type)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    if fmt == "xml" and "rowTag" not in options:
+        r = r.option("rowTag", "row")
+    return r.format(fmt).load(path)

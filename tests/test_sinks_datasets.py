@@ -126,3 +126,57 @@ def test_export_tables_partitions_past_single_file_cap(spark, tmp_path, loaded_w
     assert len(parts) > 1  # partitioned write, no single-task funnel
     back = spark.read.option("header", True).csv(f"{big}/wide")
     assert back.count() == 100
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC parity with parquet: roundtrip exact, predicate reaches the
+    reader (search argument) and the scan schema is pruned."""
+    from tcdb_spark.sources.sinks import read_columnar, write_columnar
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id", "id % 7 as grp", "cast(id * 1.5 as double) as v", "concat('n', id) as name"
+    )
+    path = str(tmp_path / "orc_t")
+    write_columnar(df, path, fmt="orc")
+    back = read_columnar(spark, path, fmt="orc")
+    assert back.count() == 10_000
+    q = back.where(F.col("grp") == 3).select("id", "v")
+    assert q.count() == df.where("id % 7 = 3").count()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "grp" in plan.split("PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "name" not in read_schema  # pruned projection
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from tcdb_spark.sources.sinks import read_columnar, write_columnar
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 2.5), (2, "beta", -1.0)], "id long, name string, v double"
+    )
+    path = str(tmp_path / "xml_t")
+    write_columnar(df, path, fmt="xml")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    back = read_columnar(spark, path, fmt="xml", schema=schema)
+    assert {(r.id, r.name, r.v) for r in back.collect()} == {
+        (1, "alpha", 2.5),
+        (2, "beta", -1.0),
+    }
+
+
+def test_avro_gate_raises_actionable(spark, tmp_path):
+    import pytest as _pytest
+
+    from tcdb_spark.sources.sinks import write_columnar
+
+    df = spark.range(3)
+    with _pytest.raises(NotImplementedError, match="spark-avro"):
+        write_columnar(df, str(tmp_path / "avro_t"), fmt="avro")
