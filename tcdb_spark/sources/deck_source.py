@@ -1,0 +1,90 @@
+"""Custom Python DataSource for deck-file listing ingestion (Spark 4
+``pyspark.sql.datasource`` API) — the engine-native half of the
+reference's HTTP-listing pipelines (tcdb/pipeline/adeck.py:20-38,
+bdeck.py:23-39: scrape the index page, filter names by pattern,
+download each file, parse).
+
+Mapping onto Spark's source contract:
+
+- the LISTING runs once at planning time on the driver (exactly where
+  Spark's own FileIndex lists) and becomes the partition set — one
+  partition per deck file, so a 10k-file basin season fans out to 10k
+  parallel tasks with no driver-side download loop;
+- each partition's READ runs on an executor and yields
+  ``(path, mtime, line_no, line)`` rows; ``.gz`` members stream through
+  gzip the way the reference's downloads do;
+- name filtering (the reference's regex over index hrefs) is the
+  ``pattern`` option, applied at listing time, so excluded files are
+  never opened.
+
+The HTTP variant is this same reader with a urllib listing/opener; no
+network exists in this image, so the filesystem is the tested backend
+and the swap point is documented on ``DeckReader`` (the reference
+separates listing from parsing the same way).
+
+Downstream, ``line``/``path`` feed the existing column-expression deck
+parsers (sources/atcf.py) unchanged — the source only owns listing,
+distribution, and decompression.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import gzip
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class DeckFilePartition(InputPartition):
+    def __init__(self, path: str, mtime: float):
+        self.path = path
+        self.mtime = mtime
+
+
+class DeckReader(DataSourceReader):
+    """One partition per matched file; listing happens here (driver,
+    planning time). To back this with an HTTP index instead, replace
+    ``_list`` with an index-page fetch and ``read``'s open with a
+    urllib stream — the partition contract stays identical."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("deckdir source requires .option('path', <dir>)")
+        self.path = path
+        self.pattern = options.get("pattern", "*.dat*")
+
+    def _list(self) -> list[tuple[str, float]]:
+        matched = sorted(glob.glob(os.path.join(self.path, self.pattern)))
+        return [(p, os.path.getmtime(p)) for p in matched if os.path.isfile(p)]
+
+    def partitions(self):
+        return [DeckFilePartition(p, m) for p, m in self._list()]
+
+    def read(self, partition: DeckFilePartition):
+        mtime = dt.datetime.fromtimestamp(partition.mtime, tz=dt.timezone.utc)
+        mtime = mtime.replace(tzinfo=None)
+        opener = gzip.open if partition.path.endswith(".gz") else open
+        with opener(partition.path, "rt") as f:
+            for i, line in enumerate(f):
+                yield (partition.path, mtime, i + 1, line.rstrip("\r\n"))
+
+
+class DeckDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "deckdir"
+
+    def schema(self) -> str:
+        return "path string, mtime timestamp, line_no int, line string"
+
+    def reader(self, schema) -> DeckReader:
+        return DeckReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent session registration:
+    ``spark.read.format('deckdir').option('path', dir).load()``."""
+    spark.dataSource.register(DeckDataSource)

@@ -57,3 +57,38 @@ def test_pivot_unpivot_roundtrip(spark):
     back = long.where(F.col("radius_nmi").isNotNull())
     # ian cycle0: r34+r50 (8), cycle1: r34 (4); invest r34 (4); SH r34 (4)
     assert back.count() == 8 + 4 + 4 + 4
+
+
+def test_deckdir_python_datasource(spark, tmp_path):
+    """Custom listing source: one partition per matched file, pattern
+    filtering at listing time, transparent gzip, and the rows feed the
+    existing b-deck parser unchanged."""
+    import gzip as _gzip
+
+    from tcdb_spark.sources import deck_source
+    from tcdb_spark.sources.atcf import parse_bdeck_lines
+
+    d = tmp_path / "decks"
+    d.mkdir()
+    (d / "bal012024.dat").write_text("\n".join(BDECK_LINES[:2]) + "\n")
+    (d / "bal022024.dat").write_text(BDECK_LINES[2] + "\n")
+    with _gzip.open(d / "bal032024.dat.gz", "wt") as f:
+        f.write(BDECK_LINES[0] + "\n")
+    (d / "README.txt").write_text("not a deck\n")
+
+    deck_source.register(spark)
+    df = spark.read.format("deckdir").option("path", str(d)).load()
+    rows = df.collect()
+    assert len(rows) == 4  # README excluded by the default *.dat* pattern
+    assert df.select("path").distinct().count() == 3
+    # partition-per-file: distinct partition ids == file count
+    assert (
+        df.select(F.spark_partition_id().alias("p")).distinct().count() == 3
+    )
+    # line numbering restarts per file
+    two = {(r.line_no) for r in rows if r.path.endswith("bal012024.dat")}
+    assert two == {1, 2}
+
+    parsed = parse_bdeck_lines(df.select(F.col("line").alias("value")))
+    assert parsed.count() == 4
+    assert parsed.where(F.col("basin") == "AL").count() == 4
