@@ -9,12 +9,18 @@ atomic at the pointer swap. Old versions are retained (cheap time travel,
 mirrors the reference's timestamped data-lake file versions,
 tcdb/pipeline/bdeck.py:96-103).
 
-Concurrency contract: **single writer per table**. The pointer swap gives
-crash atomicity (readers never see a torn version) but not writer
-isolation — two concurrent writers would both read version n and race on
-``v=n+1`` and the ``_LATEST`` pointer. The reference has the same contract
-(one pipeline process per deck, tcdb/pipeline/run.py); on a real lakehouse
-the table format's optimistic commit protocol replaces it.
+Concurrency contract: **single writer per table**, now ENFORCED rather
+than assumed: every write path commits through ``_commit``, which takes
+a per-table advisory lock (``_LOCK`` created with O_EXCL — atomic on
+POSIX and on the object-store semantics this maps to) and re-checks
+under the lock that the version it read is still current
+(compare-and-swap). A second writer fails fast with
+``ConcurrentWriteError`` instead of silently clobbering ``v=n+1`` —
+the same optimistic-commit shape a real lakehouse format runs; the
+reference sidesteps it with one pipeline process per deck
+(tcdb/pipeline/run.py). A crashed writer leaves a stale lock; ``force_
+unlock`` (and the lock file's embedded pid/timestamp) is the operator
+remedy, exactly like Delta's/Iceberg's stale-lock stories.
 
 Incremental cost: ``write``/``write_bucketed`` rewrite the whole table per
 version — O(table) bytes per batch, the 100 TB killer. ``merge_scoped``
@@ -26,10 +32,12 @@ MERGE INTO does on a real lakehouse (rewrite matched files, keep the rest).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,6 +46,11 @@ from pyspark.sql import types as T
 # Spark bucketed file names carry the bucket id as the trailing _NNNNN
 # group before the codec extensions: part-00000-<uuid>_00003.c000.snappy.parquet
 _BUCKET_ID_RE = re.compile(r"_(\d+)(?:\.\w+)*$")
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer raced this table's commit (advisory lock held, or
+    the version read before the write is no longer current)."""
 
 
 def bucket_id_expr(bucket_cols: list[str], n_buckets: int):
@@ -61,6 +74,50 @@ class Warehouse:
 
     def _pointer(self, table: str) -> str:
         return os.path.join(self._dir(table), "_LATEST")
+
+    def _lock_path(self, table: str) -> str:
+        return os.path.join(self._dir(table), "_LOCK")
+
+    @contextlib.contextmanager
+    def _write_lock(self, table: str, expect_version: int | None = None):
+        """Advisory per-table writer lock (O_EXCL create — atomic) plus
+        an optional compare-and-swap: with ``expect_version``, the
+        commit aborts if another writer advanced the table between the
+        caller's read and this lock acquisition."""
+        os.makedirs(self._dir(table), exist_ok=True)
+        path = self._lock_path(table)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            with open(path) as f:
+                holder = f.read().strip()
+            raise ConcurrentWriteError(
+                f"table {table} is locked by another writer ({holder}); if "
+                f"that writer crashed, run force_unlock({table!r})"
+            ) from None
+        try:
+            os.write(fd, f"pid={os.getpid()} ts={time.time():.3f}".encode())
+            os.close(fd)
+            if (
+                expect_version is not None
+                and (self.current_version(table) or 0) != expect_version
+            ):
+                raise ConcurrentWriteError(
+                    f"table {table} moved to v={self.current_version(table)} "
+                    f"(expected v={expect_version}) — re-read and retry"
+                )
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(path)
+
+    def force_unlock(self, table: str) -> bool:
+        """Operator remedy for a crashed writer's stale lock."""
+        try:
+            os.remove(self._lock_path(table))
+            return True
+        except FileNotFoundError:
+            return False
 
     def current_version(self, table: str) -> int | None:
         p = self._pointer(table)
@@ -150,6 +207,7 @@ class Warehouse:
         bucket_cols: list[str],
         n_buckets: int = 16,
         sort_cols: list[str] | None = None,
+        expect_version: int | None = None,
     ) -> int:
         """Write the next version hash-bucketed on ``bucket_cols`` —
         the 100 TB layout for observations/steps (bucket by storm_id):
@@ -157,26 +215,28 @@ class Warehouse:
         buckets and skips the table-side shuffle entirely.  Bucketing
         rides the catalog (``bucketBy`` requires ``saveAsTable``), so
         each version is an external catalog table over the same
-        versioned path, and the pointer swap stays the commit."""
-        v = (self.current_version(table) or 0) + 1
-        path = os.path.join(self._dir(table), f"v={v}")
-        name = self._catalog_name(table, v)
-        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
-        w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
-        w = w.sortBy(*(sort_cols or bucket_cols))
-        w.option("path", path).format("parquet").saveAsTable(name)
-        spec = {
-            "schema": df.schema.jsonValue(),
-            "bucket_cols": bucket_cols,
-            "sort_cols": sort_cols or bucket_cols,
-            "n_buckets": n_buckets,
-        }
-        with open(self._bucket_marker(table, v), "w") as f:
-            json.dump(spec, f)
-        tmp = self._pointer(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._pointer(table))
+        versioned path, and the pointer swap stays the commit (under
+        the writer lock; ``expect_version`` makes it a CAS)."""
+        with self._write_lock(table, expect_version):
+            v = (self.current_version(table) or 0) + 1
+            path = os.path.join(self._dir(table), f"v={v}")
+            name = self._catalog_name(table, v)
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+            w = w.sortBy(*(sort_cols or bucket_cols))
+            w.option("path", path).format("parquet").saveAsTable(name)
+            spec = {
+                "schema": df.schema.jsonValue(),
+                "bucket_cols": bucket_cols,
+                "sort_cols": sort_cols or bucket_cols,
+                "n_buckets": n_buckets,
+            }
+            with open(self._bucket_marker(table, v), "w") as f:
+                json.dump(spec, f)
+            tmp = self._pointer(table) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, self._pointer(table))
         return v
 
     def _bucket_spec(self, table: str, v: int) -> dict:
@@ -226,9 +286,21 @@ class Warehouse:
 
         Requires the table's bucket columns to be a subset of ``keys``
         (same-key rows must share a bucket or the scoped join misses
-        matches). Returns stats: {'version', 'touched_buckets',
-        'rewritten_files', 'carried_files', 'n_buckets'}.
+        matches). Runs under the per-table writer lock (ConcurrentWrite-
+        Error on contention). Returns stats: {'version',
+        'touched_buckets', 'rewritten_files', 'carried_files',
+        'n_buckets'}.
         """
+        with self._write_lock(table):
+            return self._merge_scoped_locked(table, incoming, keys, **merge_kwargs)
+
+    def _merge_scoped_locked(
+        self,
+        table: str,
+        incoming: DataFrame,
+        keys: list[str],
+        **merge_kwargs,
+    ) -> dict:
         from tcdb_spark.operators.merge import merge as _merge
 
         v_old = self.current_version(table)
@@ -359,7 +431,12 @@ class Warehouse:
             df = self.spark.read.schema(schema).parquet(old_path)
             packed = df.repartition(spec["n_buckets"], *[F.col(c) for c in spec["bucket_cols"]])
             v_new = self.write_bucketed(
-                table, packed, spec["bucket_cols"], spec["n_buckets"], spec["sort_cols"]
+                table,
+                packed,
+                spec["bucket_cols"],
+                spec["n_buckets"],
+                spec["sort_cols"],
+                expect_version=v_old,  # CAS: compaction derived from v_old
             )
         else:
             df = self.read(table)
@@ -370,7 +447,7 @@ class Warehouse:
                 if not n.startswith(("_", "."))
             )
             n_files = max(1, -(-total_bytes // target_file_bytes))
-            v_new = self.write(table, df.repartition(n_files))
+            v_new = self.write(table, df.repartition(n_files), expect_version=v_old)
         new_path = os.path.join(self._dir(table), f"v={v_new}")
         files_after = sum(
             1
@@ -454,17 +531,27 @@ class Warehouse:
             .select(*keys, "change_type")
         )
 
-    def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        expect_version: int | None = None,
+    ) -> int:
         """Write the next version and repoint. The full write lands before
-        the pointer moves — crash mid-write leaves the old version live."""
-        v = (self.current_version(table) or 0) + 1
-        path = os.path.join(self._dir(table), f"v={v}")
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(path)
-        tmp = self._pointer(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._pointer(table))
+        the pointer moves — crash mid-write leaves the old version live.
+        Holds the writer lock for the duration; pass ``expect_version``
+        (the version the caller's plan was derived from) to make the
+        commit a compare-and-swap."""
+        with self._write_lock(table, expect_version):
+            v = (self.current_version(table) or 0) + 1
+            path = os.path.join(self._dir(table), f"v={v}")
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
+            tmp = self._pointer(table) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, self._pointer(table))
         return v

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -66,3 +68,53 @@ def test_diff_requires_keys_for_unbucketed(spark, tmp_path):
 def test_diff_identity_is_empty(spark, tmp_path):
     wh = _wh(spark, tmp_path)
     assert wh.diff("obs", 2, 2).count() == 0
+
+
+def test_writer_lock_blocks_and_force_unlock(spark, tmp_path):
+    from tcdb_spark.sources.warehouse import ConcurrentWriteError, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whl"))
+    df = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    wh.write("t", df)
+    # a crashed writer's stale lock blocks the next commit with an
+    # actionable error naming the holder
+    with open(wh._lock_path("t"), "w") as f:
+        f.write("pid=99999 ts=0")
+    with pytest.raises(ConcurrentWriteError, match="pid=99999"):
+        wh.write("t", df)
+    assert wh.current_version("t") == 1
+    assert wh.force_unlock("t")
+    assert wh.write("t", df) == 2
+    # lock released after a successful commit
+    assert not os.path.exists(wh._lock_path("t"))
+
+
+def test_write_cas_rejects_stale_version(spark, tmp_path):
+    from tcdb_spark.sources.warehouse import ConcurrentWriteError, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whc"))
+    df = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    wh.write("t", df)
+    wh.write("t", df)  # another writer advanced the table to v2
+    with pytest.raises(ConcurrentWriteError, match="expected v=1"):
+        wh.write("t", df, expect_version=1)
+    assert wh.current_version("t") == 2
+    # and the failed CAS must not leave the lock behind
+    assert wh.write("t", df, expect_version=2) == 3
+
+
+def test_merge_scoped_holds_lock(spark, tmp_path):
+    from tcdb_spark.sources.warehouse import ConcurrentWriteError, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whm"))
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "storm_id bigint, wind double"
+    )
+    wh.write_bucketed("obs2", df, ["storm_id"], n_buckets=4)
+    with open(wh._lock_path("obs2"), "w") as f:
+        f.write("pid=1 ts=0")
+    with pytest.raises(ConcurrentWriteError):
+        wh.merge_scoped("obs2", df, keys=["storm_id"], dedupe_incoming=False)
+    wh.force_unlock("obs2")
+    stats = wh.merge_scoped("obs2", df, keys=["storm_id"], dedupe_incoming=False)
+    assert stats["version"] == 2
