@@ -163,3 +163,84 @@ def test_mat5_roundtrip_property(variables, fields, compress):
     assert set(back) == set(variables)
     for name, value in variables.items():
         check(value, back[name])
+
+
+@given(
+    data=st.lists(
+        st.integers(min_value=0, max_value=14), min_size=1, max_size=300
+    ),
+    capacity=st.integers(min_value=3, max_value=8),
+)
+@_slow
+def test_mg_partials_superset_guarantee(spark, data, capacity):
+    """Mergeable-summary guarantee: any token with global count >
+    N/(capacity+1) appears in the union of per-partition MG summaries,
+    under whatever partitioning repartition(3) deals."""
+    from collections import Counter
+
+    from tcdb_spark.operators.sketch import misra_gries_partials
+
+    rows = [(f"t{i}",) for i in data]
+    df = spark.createDataFrame(rows, "token string").repartition(3)
+    cand = {
+        r.token for r in misra_gries_partials(df, "token", capacity).collect()
+    }
+    exact = Counter(f"t{i}" for i in data)
+    n = len(data)
+    for tok, c in exact.items():
+        if c * (capacity + 1) > n:
+            assert tok in cand, (tok, c, n, capacity, sorted(cand))
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=3), min_size=0, max_size=18),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@_slow
+def test_duplicated_spans_match_bruteforce(spark, docs):
+    """duplicated_spans == a direct Python reference on random tiny-
+    vocab corpora (vocab 4, so cross-doc window collisions are dense)."""
+    from tcdb_spark.operators.spans import duplicated_spans
+
+    w = 3
+    corpus = {i: [f"v{t}" for t in toks] for i, toks in enumerate(docs)}
+
+    # reference: window occurrences, owner = min doc, merge intervals
+    occs: dict[tuple, list] = {}
+    for d, toks in corpus.items():
+        for s in range(len(toks) - w + 1):
+            occs.setdefault(tuple(toks[s : s + w]), []).append((d, s + 1))
+    covered: dict[int, set] = {}
+    for win, hits in occs.items():
+        dset = {d for d, _ in hits}
+        if len(dset) < 2:
+            continue
+        owner = min(dset)
+        for d, s in hits:
+            if d != owner:
+                covered.setdefault(d, set()).update(range(s, s + w))
+    expected = set()
+    for d, pos in covered.items():
+        for start, end in _islands(sorted(pos)):
+            expected.add((d, start, end, end - start + 1))
+
+    rows = [(d, toks) for d, toks in corpus.items()]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in duplicated_spans(df, w=w).collect()
+    }
+    assert got == expected
+
+
+def _islands(sorted_positions):
+    runs = []
+    for p in sorted_positions:
+        if runs and p == runs[-1][1] + 1:
+            runs[-1][1] = p
+        else:
+            runs.append([p, p])
+    return [(a, b) for a, b in runs]
