@@ -111,11 +111,15 @@ def span_index(docs: DataFrame, w: int = 10) -> DataFrame:
 
 def incremental_duplicated_spans(
     index: DataFrame, new_docs: DataFrame, w: int = 10
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Duplicated spans of an incoming batch against (corpus index +
     the batch itself), plus the updated index.
 
-    Returns ``(spans, new_index)``.  With monotonically increasing
+    Returns ``(spans, new_index, fresh)`` — ``fresh`` is the index
+    DELTA (hashes first seen in this batch with their owners), so an
+    append-only physical index just writes ``fresh`` as new files and
+    never rewrites a byte of the existing index (the streaming sink
+    does exactly that).  With monotonically increasing
     doc_ids (the ingest contract), the union of per-batch results
     equals a one-shot :func:`duplicated_spans` over the whole corpus —
     pinned by test.  Scale shape: the batch is windowed once (not the
@@ -169,4 +173,4 @@ def incremental_duplicated_spans(
         batch_owners.join(idx, "h", "left_anti")
         .select("h", F.col("batch_owner").alias("owner_doc"))
     )
-    return spans, index.unionByName(fresh)
+    return spans, index.unionByName(fresh), fresh

@@ -149,7 +149,7 @@ def span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch2 = toks.where(F.col("doc_id") > median)
     spans1 = duplicated_spans(batch1, w=SPAN_W)
     idx = span_index(batch1, w=SPAN_W)
-    spans2, _ = incremental_duplicated_spans(idx, batch2, w=SPAN_W)
+    spans2, _, _ = incremental_duplicated_spans(idx, batch2, w=SPAN_W)
     return spans1.unionByName(spans2)
 
 

@@ -250,6 +250,57 @@ def stream_session_counts(
     )
 
 
+SPAN_INDEX_SCHEMA = "h long, owner_doc long"
+
+
+def stream_span_dedup(
+    docs: DataFrame,
+    index_path: str,
+    spans_path: str,
+    checkpoint: str,
+    w: int = 10,
+):
+    """Streaming substring dedup: every micro-batch of documents is
+    windowed ONCE and probed against the persistent window-hash index;
+    found spans append to ``spans_path`` and the index grows by its
+    DELTA only (``fresh`` from incremental_duplicated_spans) — an
+    append-only parquet layout where no batch ever rewrites existing
+    index bytes (uniform hash keys touch every bucket, so bucket-scoped
+    MERGE would degenerate to a full rewrite here; append + periodic
+    compaction is the right physical shape for this workload).
+    Exactly-once: the file-source checkpoint makes batch replay
+    deterministic, and a replayed batch's delta re-computes as empty
+    against the already-updated index (left_anti), so the index stays
+    duplicate-free; replayed span appends are deduplicated at read by
+    the (doc_id, span_start) natural key."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    from tcdb_spark.operators.spans import incremental_duplicated_spans
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        toks = batch_df.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tokens")
+        ).where(F.size("tokens") >= w)
+        try:
+            idx = spark.read.schema(SPAN_INDEX_SCHEMA).parquet(index_path)
+            idx.head(1)  # force path resolution now, not mid-join
+        except Exception:  # first batch: index does not exist yet
+            idx = spark.createDataFrame([], SPAN_INDEX_SCHEMA)
+        spans, _, fresh = incremental_duplicated_spans(idx, toks, w=w)
+        spans.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            spans_path
+        )
+        fresh.write.mode("append").parquet(index_path)
+
+    return (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_windowed_counts_to_memory(
     spark: SparkSession, events: DataFrame, name: str = "cycle_counts"
 ):

@@ -115,7 +115,7 @@ def test_incremental_spans_equal_one_shot(spark):
     )
     spans1 = duplicated_spans(batch1, w=10)
     idx = span_index(batch1, w=10)
-    spans2, idx2 = incremental_duplicated_spans(idx, batch2, w=10)
+    spans2, idx2, fresh = incremental_duplicated_spans(idx, batch2, w=10)
 
     got = {
         (r.doc_id, r.span_start, r.span_end)
@@ -132,3 +132,5 @@ def test_incremental_spans_equal_one_shot(spark):
     after = {r.h: r.owner_doc for r in idx2.collect()}
     assert set(base) <= set(after)
     assert all(after[h] == o for h, o in base.items())
+    # the delta is exactly the newly-seen hashes
+    assert {r.h for r in fresh.collect()} == set(after) - set(base)

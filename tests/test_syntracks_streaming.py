@@ -223,3 +223,54 @@ def test_streaming_session_windows_match_batch_twin(spark, tmp_path):
         .collect()
     }
     assert got == twin
+
+
+def test_streaming_span_dedup_matches_one_shot(spark, tmp_path):
+    """File-source stream with per-file micro-batches: the appended
+    span log equals one-shot duplicated_spans over the full corpus,
+    and the index holds each hash exactly once."""
+    from tcdb_spark.operators.spans import duplicated_spans
+    from tcdb_spark.streaming.pipeline import stream_span_dedup
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    b1 = [(1, "a b " + shared + " c d"), (2, " ".join(f"x{i}" for i in range(20)))]
+    b2 = [(10, "e f g " + shared + " h"), (11, " ".join(f"x{i}" for i in range(20)))]
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src / "f1.parquet")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(src / "f2.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = stream_span_dedup(
+        stream,
+        index_path=str(tmp_path / "span_idx"),
+        spans_path=str(tmp_path / "span_log"),
+        checkpoint=str(tmp_path / "ckpt"),
+        w=10,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spark.read.parquet(str(tmp_path / "span_log")).collect()
+    }
+    full = spark.createDataFrame(b1 + b2, schema).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tokens")
+    )
+    oneshot = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(full, w=10).collect()
+    }
+    assert got == oneshot and len(got) >= 2  # doc 10 vs corpus, doc 11 vs 2
+
+    idx = spark.read.parquet(str(tmp_path / "span_idx"))
+    assert idx.count() == idx.select("h").distinct().count()
