@@ -142,6 +142,33 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_span_dedup(args) -> int:
+    """Continuous substring dedup over a document landing directory:
+    file-source stream -> incremental probe of the append-only
+    window-hash index -> span log (streaming/pipeline.py
+    stream_span_dedup). Run per-batch from cron exactly like the deck
+    ingests; AvailableNow drains whatever landed and exits."""
+    from tcdb_spark.streaming.pipeline import stream_span_dedup
+
+    spark = _spark()
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .parquet(args.input)
+    )
+    q = stream_span_dedup(
+        docs,
+        index_path=args.index,
+        spans_path=args.spans,
+        checkpoint=args.checkpoint,
+        w=args.window,
+    )
+    q.awaitTermination()
+    n = spark.read.parquet(args.spans).count()
+    print({"spans_total": n})
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tcdb_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -176,6 +203,15 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--target-file-mb", type=int, default=128)
     o.add_argument("--keep-versions", type=int, default=2)
     o.set_defaults(fn=cmd_optimize)
+
+    sd = sub.add_parser("span-dedup", help="incremental substring dedup over landed documents")
+    sd.add_argument("--input", required=True, help="landing dir glob of doc parquet")
+    sd.add_argument("--index", required=True, help="append-only window-hash index path")
+    sd.add_argument("--spans", required=True, help="duplicated-span log path")
+    sd.add_argument("--checkpoint", required=True, help="stream checkpoint dir")
+    sd.add_argument("--window", type=int, default=10)
+    sd.add_argument("--max-files-per-trigger", type=int, default=64)
+    sd.set_defaults(fn=cmd_span_dedup)
 
     e = sub.add_parser("export", help="dump warehouse tables for validation")
     common(e)

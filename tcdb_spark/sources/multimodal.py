@@ -255,6 +255,74 @@ def resize_media(
     return media.select(*cols).mapInPandas(_op, schema=RESIZED_SCHEMA)
 
 
+def resample_wav(payload: bytes, out_rate: int) -> bytes:
+    """REAL audio resample for PCM WAV payloads — per-channel linear
+    interpolation onto the new time grid (np.interp, no Python sample
+    loop), re-encoded 16-bit PCM at ``out_rate``.  The pure-numpy
+    stand-in for the soxr/librosa call a full deployment would route
+    compressed formats through; linear interp is exact on piecewise-
+    linear signals, which the closed-form test exploits."""
+    wav = decode_wav(payload)
+    samples, in_rate = wav["samples"], wav["sample_rate"]
+    n_in = samples.shape[0]
+    n_out = max(1, int(round(n_in * out_rate / in_rate)))
+    t_out = np.arange(n_out) * (in_rate / out_rate)
+    t_in = np.arange(n_in, dtype=np.float64)
+    resampled = np.stack(
+        [np.interp(t_out, t_in, samples[:, c]) for c in range(samples.shape[1])],
+        axis=1,
+    )
+    pcm = np.clip(np.rint(resampled * 32768.0), -32768, 32767).astype("<i2")
+    n_ch = pcm.shape[1]
+    fmt = _struct.pack(
+        "<HHIIHH", 1, n_ch, out_rate, out_rate * 2 * n_ch, 2 * n_ch, 16
+    )
+    data = pcm.tobytes()
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", len(data)) + data
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+RESAMPLED_SCHEMA = "media_id long, sample_rate int, payload binary"
+
+
+def resample_media(
+    media: DataFrame, out_rate: int, decode_stub: bool = True
+) -> DataFrame:
+    """Distributed audio resample over the binary column — same
+    shuffle-free mapInPandas shape as :func:`resize_media`: RIFF/WAVE
+    payloads resampled for real, other formats passed through
+    (``decode_stub``) or raising where the codec call would sit."""
+
+    def _one(p):
+        if p is None:
+            return None
+        payload = bytes(p)
+        if payload[:4] == b"RIFF":
+            return resample_wav(payload, out_rate)
+        if not decode_stub:
+            raise NotImplementedError(
+                "payload format needs codec libraries not in this container"
+            )
+        return payload
+
+    def _op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": out_rate,
+                    "payload": [_one(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _op, schema=RESAMPLED_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Video frame-sampling PLUMBING: expands (media_id, duration_s) into
     one row per sampled timestamp with ``sequence`` (JVM-side); the decode

@@ -80,3 +80,28 @@ def test_cli_optimize_compacts_and_vacuums(spark, tmp_path):
     df = wh.read("observations")
     assert df.count() == 3_000
     assert df.where(F.col("storm_id") == 1).first()["wind"] == 9.0
+
+
+def test_cli_span_dedup(spark, tmp_path):
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = [(1, "a b " + shared + " c"), (2, "x y z " + shared + " w"),
+            (3, " ".join(f"u{i}" for i in range(15)))]
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    assert (
+        main(
+            [
+                "span-dedup",
+                "--input", str(src) + "/*",
+                "--index", str(tmp_path / "idx"),
+                "--spans", str(tmp_path / "spans"),
+                "--checkpoint", str(tmp_path / "ck"),
+            ]
+        )
+        == 0
+    )
+    spans = spark.read.parquet(str(tmp_path / "spans"))
+    assert [r.doc_id for r in spans.collect()] == [2]  # doc 1 owns the passage

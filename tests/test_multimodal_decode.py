@@ -125,3 +125,49 @@ def test_resize_media_distributed(spark):
     assert bytes(got[2]["payload"]) == b"\x00\x01notanimage"
     assert got[3]["payload"] is None
     assert all(r["width"] == 4 and r["height"] == 3 for r in got.values())
+
+
+def test_resample_wav_closed_form():
+    """Downsample by exactly 2x on a triangle wave: linear interp on a
+    piecewise-linear signal lands exactly on the original even samples
+    (grid points coincide), so the roundtrip is bit-exact."""
+    import struct
+
+    import numpy as np
+
+    from tcdb_spark.sources.multimodal import decode_wav, resample_wav
+
+    # triangle wave, 16-bit mono, 8 kHz
+    n, amp = 64, 8192
+    tri = [amp * (1 - abs((i % 16) - 8) / 8.0) for i in range(n)]
+    data = b"".join(struct.pack("<h", int(round(s))) for s in tri)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    out = resample_wav(wav, 4000)
+    dec = decode_wav(out)
+    assert dec["sample_rate"] == 4000
+    assert dec["samples"].shape == (32, 1)
+    orig = decode_wav(wav)["samples"][::2, 0]
+    assert np.array_equal(dec["samples"][:, 0], orig)
+
+
+def test_resample_media_distributed(spark):
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.sources.multimodal import (
+        decode_wav,
+        make_test_wav,
+        resample_media,
+    )
+
+    rows = [(1, bytearray(make_test_wav(sample_rate=8000, n_frames=800))),
+            (2, None)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary").repartition(2)
+    out = {r.media_id: r for r in resample_media(media, 2000).collect()}
+    assert out[1].sample_rate == 2000
+    dec = decode_wav(bytes(out[1].payload))
+    assert dec["sample_rate"] == 2000 and dec["samples"].shape[0] == 200
+    assert out[2].payload is None
