@@ -254,9 +254,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_ann_ivf")  # trained quantizer -> approximate; rows-only check
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: spherical KMeans coarse quantizer (fixed seed),
-    probe the 6 nearest of 16 buckets per query, exact cosine top-k inside
-    (operators/similarity.py). The scale path beside LSH banding; recall
-    gated vs exact in tests/test_scale_ops.py."""
+    probe the 8 nearest of 16 buckets per query, exact cosine top-k inside
+    (operators/similarity.py). nprobe is the recall/cost dial: 8/16 halves
+    the scan vs exhaustive and measures recall@5 = 0.76 (sf0.001, ~500
+    vectors -- quantizer-noise bound) / 0.96 (sf0.01); recall gated vs
+    exact in tests/test_scale_ops.py."""
     from tcdb_spark.operators.similarity import ivf_build, ivf_search
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
@@ -266,4 +268,4 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("q_emb"))
     )
-    return ivf_search(indexed, centroids, q, k=K, nprobe=6)
+    return ivf_search(indexed, centroids, q, k=K, nprobe=8)

@@ -24,15 +24,16 @@ def _recall_at_5(spark, sf, ann_query):
 
 
 def test_ivf_recall_vs_bruteforce(spark):
-    """Spherical-KMeans IVF with nprobe=6/16 — deterministic given the
-    fixed seed and static test data (measured 0.64 @ sf0.001)."""
+    """Spherical-KMeans IVF with nprobe=8/16 — deterministic given the
+    fixed seed and static test data (measured 0.76 @ sf0.001; the
+    ~500-vector quantizer is the noise floor there)."""
     recall = _recall_at_5(spark, "/root/testdata/sf0.001", "sim_ann_ivf")
-    assert recall >= 0.6, f"IVF recall@5 regressed: {recall}"
+    assert recall >= 0.7, f"IVF recall@5 regressed: {recall}"
 
 
 def test_ivf_recall_sf001(spark):
     recall = _recall_at_5(spark, "/root/testdata/sf0.01", "sim_ann_ivf")
-    assert recall >= 0.8, f"IVF recall@5 regressed: {recall}"
+    assert recall >= 0.9, f"IVF recall@5 regressed: {recall}"
 
 
 def test_lsh_recall_vs_bruteforce(spark):
