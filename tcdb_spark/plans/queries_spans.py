@@ -25,10 +25,11 @@ def _win_sql(w: int) -> str:
     return " || ' ' || ".join(f"tokens[i+{k}]" for k in range(w))
 
 
-@register(
-    "span_dedup",
-    oracle=f"""
-    WITH toks AS ({_TOKS_SQL}),
+# Shared span-pipeline CTE chain (tokens -> windows -> owners -> covered
+# intervals -> merged islands); the three span oracles compose it so the
+# SQL semantics can never drift between them.
+def _span_cte_sql() -> str:
+    return f"""toks AS ({_TOKS_SQL}),
     wins AS (
         SELECT doc_id, i AS start, {_win_sql(SPAN_W)} AS win
         FROM toks CROSS JOIN LATERAL
@@ -57,13 +58,22 @@ def _win_sql(w: int) -> str:
                sum(brk) OVER (PARTITION BY doc_id ORDER BY start
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
         FROM flagged
-    )
-    SELECT doc_id,
-           CAST(min(start) AS INTEGER) AS span_start,
-           CAST(max(e) AS INTEGER) AS span_end,
-           CAST(max(e) - min(start) + 1 AS INTEGER) AS span_len
-    FROM islands GROUP BY doc_id, island
-    """,
+    ),
+    merged_spans AS (
+        SELECT doc_id,
+               CAST(min(start) AS INTEGER) AS span_start,
+               CAST(max(e) AS INTEGER) AS span_end,
+               CAST(max(e) - min(start) + 1 AS INTEGER) AS span_len
+        FROM islands GROUP BY doc_id, island
+    )"""
+
+
+_SPAN_SELECT_SQL = "SELECT doc_id, span_start, span_end, span_len FROM merged_spans"
+
+
+@register(
+    "span_dedup",
+    oracle=f"WITH {_span_cte_sql()}\n    {_SPAN_SELECT_SQL}",
 )
 def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-SPAN dedup (Lee et al. 2022 substring dedup,
@@ -88,43 +98,7 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical oracle to span_dedup ON PURPOSE: per-batch incremental
     # spans must union to exactly the one-shot corpus answer, so the
     # driver's hash compare IS the incremental==recompute proof.
-    oracle=f"""
-    WITH toks AS ({_TOKS_SQL}),
-    wins AS (
-        SELECT doc_id, i AS start, {_win_sql(SPAN_W)} AS win
-        FROM toks CROSS JOIN LATERAL
-             (SELECT unnest(range(1, len(tokens) - {SPAN_W - 2})) AS i) t
-        WHERE len(tokens) >= {SPAN_W}
-    ),
-    owners AS (
-        SELECT win, min(doc_id) AS owner_doc, count(DISTINCT doc_id) AS ndocs
-        FROM wins GROUP BY win
-    ),
-    covered AS (
-        SELECT w.doc_id, w.start, w.start + {SPAN_W - 1} AS e
-        FROM wins w JOIN owners o USING (win)
-        WHERE o.ndocs > 1 AND w.doc_id <> o.owner_doc
-    ),
-    flagged AS (
-        SELECT doc_id, start, e,
-               CASE WHEN start > coalesce(max(e) OVER (
-                        PARTITION BY doc_id ORDER BY start
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-                    THEN 1 ELSE 0 END AS brk
-        FROM covered
-    ),
-    islands AS (
-        SELECT doc_id, start, e,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY start
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-        FROM flagged
-    )
-    SELECT doc_id,
-           CAST(min(start) AS INTEGER) AS span_start,
-           CAST(max(e) AS INTEGER) AS span_end,
-           CAST(max(e) - min(start) + 1 AS INTEGER) AS span_len
-    FROM islands GROUP BY doc_id, island
-    """,
+    oracle=f"WITH {_span_cte_sql()}\n    {_SPAN_SELECT_SQL}",
 )
 def span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental span dedup as the driver sees it: the corpus is
@@ -294,4 +268,70 @@ def unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("log_ratio"),
+    )
+
+
+@register(
+    "span_scrub",
+    oracle=f"""
+    WITH {_span_cte_sql()},
+    sp AS (
+        SELECT doc_id,
+               list(struct_pack(s := span_start, e := span_end)) AS sl
+        FROM merged_spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tokens) AS INTEGER) AS n_tokens,
+           CAST(coalesce(len(sp.sl), 0) AS INTEGER) AS n_spans,
+           CAST(len(t.tokens) - len(list_filter(
+                list_transform(range(1, len(t.tokens) + 1),
+                    i -> CASE WHEN len(list_filter(coalesce(sp.sl, []),
+                                  x -> i >= x.s AND i <= x.e)) = 0
+                         THEN t.tokens[i] ELSE NULL END),
+                y -> y IS NOT NULL)) AS INTEGER) AS n_removed,
+           coalesce(array_to_string(list_filter(
+                list_transform(range(1, len(t.tokens) + 1),
+                    i -> CASE WHEN len(list_filter(coalesce(sp.sl, []),
+                                  x -> i >= x.s AND i <= x.e)) = 0
+                         THEN t.tokens[i] ELSE NULL END),
+                y -> y IS NOT NULL), ' '), '') AS clean_text
+    FROM toks t LEFT JOIN sp USING (doc_id)
+    """,
+)
+def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surgical end of span dedup: REMOVE each duplicated span from
+    its document and emit the cleaned text plus removal accounting —
+    what the curation pipeline actually writes back (Lee et al. cut the
+    duplicated substring, not the document).  Plan: spans collect to
+    one small struct-array per doc (left join — docs without spans pass
+    through), then a pure higher-order filter drops covered token
+    positions; no token explode, no second shuffle beyond the span
+    pipeline itself."""
+    from tcdb_spark.operators.spans import duplicated_spans
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", _tokens(F.col("text")).alias("tokens")
+    )
+    spans = duplicated_spans(toks.where(F.size("tokens") >= SPAN_W), w=SPAN_W)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct(
+            F.col("span_start").alias("s"), F.col("span_end").alias("e")
+        )).alias("sl")
+    )
+    joined = toks.join(sp, "doc_id", "left").withColumn(
+        "sl", F.coalesce("sl", F.array().cast("array<struct<s:int,e:int>>"))
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — 1-based token position i
+        F.col("sl"), lambda x: (i >= x["s"]) & (i <= x["e"])
+    )
+    clean = F.filter(
+        F.col("tokens"), lambda t, i0: ~covered(i0 + F.lit(1))
+    )
+    return joined.select(
+        "doc_id",
+        F.size("tokens").cast("int").alias("n_tokens"),
+        F.size("sl").cast("int").alias("n_spans"),
+        (F.size("tokens") - F.size(clean)).cast("int").alias("n_removed"),
+        F.concat_ws(" ", clean).alias("clean_text"),
     )
