@@ -10,10 +10,14 @@ over a versioned warehouse:
     python -m tcdb_spark optimize --warehouse /data/wh --tables observations
     python -m tcdb_spark export --warehouse /data/wh --out /data/export --tables storms
 
-HTTP download/landing is deliberately out of engine scope (SURVEY.md
-§2.1 source-http-listing): point --input at the landing directory a
-fetcher maintains; the file-source streaming twin
-(streaming/pipeline.py) covers continuous intake.
+Listing ingestion is engine-native: the ``deckdir`` Python DataSource
+(sources/deck_source.py) turns a deck directory into partition-per-file
+executor reads (pattern filter at planning time, gzip transparent); an
+HTTP fetcher only needs to maintain the landing directory, or swap the
+source's listing fn for an index-page fetch. The file-source streaming
+twin (streaming/pipeline.py) covers continuous intake, and
+``span-dedup`` runs the incremental substring-dedup pipeline the same
+cron-batch way.
 """
 
 from __future__ import annotations
