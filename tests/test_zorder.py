@@ -85,3 +85,31 @@ def test_zordered_write_prunes_both_dimensions(spark, tmp_path):
     yhit_z, ytot_z = row_groups_matching(paths["zorder"], ybox)
     assert yhit_x / ytot_x > 0.9, "x-sort unexpectedly pruned a y filter"
     assert yhit_z / ytot_z < 0.6, (yhit_z, ytot_z)
+
+
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """A join against a filtered dim must inject a dynamicpruning
+    subquery into the partitioned fact scan — the runtime analog of
+    static partition pruning, and the mechanism that keeps
+    date-partitioned warehouse layouts from scanning the lake when the
+    partition keys only become known at run time."""
+    from pyspark.sql import functions as F
+
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    spark.range(0, 100_000).select(
+        (F.col("id") % 20).alias("d"), F.col("id").alias("v")
+    ).write.partitionBy("d").parquet(fact_p)
+    spark.range(0, 20).select(
+        F.col("id").alias("d"), (F.col("id") % 5).alias("tag")
+    ).write.parquet(dim_p)
+
+    fact = spark.read.parquet(fact_p)
+    dim = spark.read.parquet(dim_p).where(F.col("tag") == 0)
+    j = fact.join(dim, "d")
+    assert j.count() == 100_000 // 20 * 4  # 4 of 20 partitions survive
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the pruned scan still projects only the referenced column
+    read = plan.split("ReadSchema")[1][:100]
+    assert "v:bigint" in read
