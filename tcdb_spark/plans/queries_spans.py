@@ -335,3 +335,49 @@ def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("tokens") - F.size(clean)).cast("int").alias("n_removed"),
         F.concat_ws(" ", clean).alias("clean_text"),
     )
+
+
+TOKEN_BUDGET = 4000  # per-source token budget for the mixing run
+
+
+@register(
+    "token_budget_sample",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    sized AS (
+        SELECT doc_id, source, CAST(len(tokens) AS BIGINT) AS n_tokens,
+               sum(len(tokens)) OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM sized WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing: per source, keep the best documents
+    (quality proxy n_chars, deterministic doc_id tiebreak) until the
+    running token total hits the budget — how pretraining mixes are
+    actually specified (tokens per domain, not document counts).  One
+    window cumsum per source; the greedy prefix rule makes the keep set
+    a pure function of the ordering, so it is reproducible under any
+    partitioning and exactly oracle-checkable."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", "source", "n_chars", _tokens(F.col("text")).alias("tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sized = toks.select(
+        "doc_id",
+        "source",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.sum(F.size("tokens").cast("long")).over(w).alias("cum_tokens"),
+    )
+    return sized.where(F.col("cum_tokens") <= TOKEN_BUDGET)
