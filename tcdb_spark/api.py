@@ -12,6 +12,7 @@ MySQL tables (db/*.sql), and assemble per-storm datasets
     eng.table("storms").where(...)              # any table as a DataFrame
     eng.storm_tracks("AL092022", models=["OFCL"])
     eng.sql("SELECT ... FROM storms JOIN ...")  # ANSI SQL over the catalog
+    eng.curate(docs_df)                         # corpus curation -> warehouse
 """
 
 from __future__ import annotations
@@ -114,3 +115,71 @@ class Engine:
 
         present = [t for t in (tables or TABLES) if self.warehouse.exists(t)]
         return export_tables(self.warehouse, out_dir, present, fmt=fmt)
+
+    # --- corpus curation --------------------------------------------------
+
+    def curate(
+        self,
+        docs: DataFrame,
+        table: str = "documents_curated",
+        min_tokens: int = 5,
+        span_w: int = 10,
+    ) -> dict:
+        """Operational LLM-corpus curation: exact dedup (content hash,
+        keep-first) -> duplicated-SPAN scrub (operators/spans.py — cut
+        shared passages doc-level dedup cannot see) -> drop docs that
+        fall under ``min_tokens`` after surgery -> versioned warehouse
+        write.  ``docs`` needs (doc_id, text [, ...]).  Returns
+        accounting: docs in/out, spans cut, tokens removed, version.
+
+        Every step is the catalog-checked plan (dedup_exact,
+        span_dedup, span_scrub share the operators); this method only
+        composes them and commits the result under the writer lock."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window as W
+
+        from tcdb_spark.operators.spans import duplicated_spans
+
+        n_in = docs.count()
+        base = docs.where(F.length(F.trim(F.col("text"))) > 0)
+        w_exact = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+        uniq = (
+            base.withColumn("__rn", F.row_number().over(w_exact))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        toks = uniq.withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+"))
+        spans = duplicated_spans(
+            toks.where(F.size("tokens") >= span_w).select("doc_id", "tokens"),
+            w=span_w,
+        )
+        sp = spans.groupBy("doc_id").agg(
+            F.collect_list(
+                F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+            ).alias("sl"),
+            F.sum("span_len").alias("__cut"),
+        )
+        joined = toks.join(sp, "doc_id", "left").withColumn(
+            "sl", F.coalesce("sl", F.array().cast("array<struct<s:int,e:int>>"))
+        )
+        clean = F.filter(
+            F.col("tokens"),
+            lambda t, i: ~F.exists(
+                F.col("sl"), lambda x: (i + 1 >= x["s"]) & (i + 1 <= x["e"])
+            ),
+        )
+        curated = (
+            joined.withColumn("text", F.concat_ws(" ", clean))
+            .withColumn("n_tokens", F.size(clean))
+            .where(F.col("n_tokens") >= min_tokens)
+            .drop("tokens", "sl")
+        )
+        stats = {
+            "docs_in": n_in,
+            "docs_out": curated.count(),
+            "docs_with_spans": sp.count(),
+            "tokens_removed": (sp.agg(F.sum("__cut")).first()[0] or 0),
+        }
+        curated = curated.drop("__cut")
+        stats["version"] = self.warehouse.write(table, curated)
+        return stats

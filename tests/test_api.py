@@ -61,3 +61,29 @@ def test_engine_profile_and_changes(spark, tmp_path):
 
     got = {r["storm_id"]: r["change_type"] for r in eng.changes("obs", 1, 2).collect()}
     assert got == {1: "update", 2: "delete", 3: "insert"}
+
+
+def test_engine_curate_exact_dedup_and_span_scrub(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "whc"))
+    shared = " ".join(f"s{i}" for i in range(12))
+    uniq = " ".join(f"u{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "a b " + shared + " c d e"),   # owns the passage
+            (2, uniq),
+            (3, uniq),                          # exact dup of 2 -> dropped
+            (4, "p q r " + shared + " t"),     # passage scrubbed out
+            (5, "x y"),                         # too short after curation
+        ],
+        "doc_id long, text string",
+    )
+    stats = eng.curate(docs, table="docs_c", min_tokens=5, span_w=10)
+    assert stats["docs_in"] == 5
+    assert stats["docs_with_spans"] == 1          # only doc 4
+    assert stats["tokens_removed"] == 12
+    assert stats["version"] == 1
+    out = {r.doc_id: r for r in eng.table("docs_c").collect()}
+    # doc 3 (exact dup), 4 (below min after scrub: 4 tokens), 5 (short) gone
+    assert set(out) == {1, 2}
+    assert out[1].text.split(" ")[2] == "s0"      # owner keeps the passage
+    assert out[2].n_tokens == 20
