@@ -66,6 +66,10 @@ def duplicated_spans(docs: DataFrame, w: int = 10) -> DataFrame:
         (F.col("pos0") + 1).alias("start"),
         F.xxhash64("win").alias("h"),
     )
+    # barrier: owners agg AND the probe join both read the windowed
+    # corpus — without it the explode+hash pipeline runs twice
+    # (same fix as the jaccard inverted index, DEVNOTES #13)
+    wins = wins.persist()
     # shuffle 1: owner + cross-doc test per window hash
     owners = wins.groupBy("h").agg(
         F.min("doc_id").alias("owner_doc"),
