@@ -118,3 +118,34 @@ def test_merge_scoped_holds_lock(spark, tmp_path):
     wh.force_unlock("obs2")
     stats = wh.merge_scoped("obs2", df, keys=["storm_id"], dedupe_incoming=False)
     assert stats["version"] == 2
+
+
+def test_crashed_writer_recovery_flow(spark, tmp_path):
+    """A writer that died mid-commit leaves a stale _LOCK and possibly
+    an orphan (unpointed) version directory. Readers keep serving the
+    committed version; after force_unlock the next commit reuses the
+    orphan's version number (mode=overwrite clobbers the partial dir)
+    and the table is consistent."""
+    from tcdb_spark.sources.warehouse import ConcurrentWriteError, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whr"))
+    df1 = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    df2 = spark.createDataFrame([(2, 2.0)], "k bigint, v double")
+    wh.write("t", df1)
+
+    # simulate the crash: partial v=2 on disk, pointer untouched, lock held
+    orphan = tmp_path / "whr" / "t" / "v=2"
+    orphan.mkdir()
+    (orphan / "part-00000.parquet").write_bytes(b"torn write")
+    with open(wh._lock_path("t"), "w") as f:
+        f.write("pid=424242 ts=0")
+
+    # readers are unaffected; writers fail fast with the remedy named
+    assert [r.k for r in wh.read("t").collect()] == [1]
+    with pytest.raises(ConcurrentWriteError, match="force_unlock"):
+        wh.write("t", df2)
+
+    wh.force_unlock("t")
+    assert wh.write("t", df2) == 2  # orphan dir clobbered, not skipped
+    assert [r.k for r in wh.read("t").collect()] == [2]
+    assert wh.current_version("t") == 2
