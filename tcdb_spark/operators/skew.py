@@ -104,3 +104,49 @@ def sessionize(
             w.rowsBetween(W.unboundedPreceding, 0)
         ),
     )
+
+
+def topn_per_key_two_phase(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    n: int,
+    n_salts: int = 16,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Skew-safe top-N per key: the plain ``row_number() OVER
+    (PARTITION BY key)`` serializes each key into ONE task, so a hot
+    key (10% of a crawl behind one domain) becomes the straggler that
+    dominates the stage.  Two phases fix it without changing the
+    answer:
+
+    1. salt the rows (deterministic hash, never rand()) and take the
+       top-N within each (key, salt) slice — correct because the global
+       top-N of a key is a subset of the union of its per-slice top-Ns
+       (each winner is top-N in whatever slice it landed in);
+    2. exact top-N over the pruned union — at most ``n_salts * n`` rows
+       per key instead of the key's full row count.
+
+    ``order_by`` must be a total order (add a unique tiebreak) so ranks
+    are deterministic; equivalence to the one-phase window is the
+    property the test checks.
+    """
+    from pyspark.sql.window import Window as W
+
+    salt = F.pmod(
+        salt_source if salt_source is not None else F.xxhash64(*df.columns),
+        F.lit(n_salts),
+    ).alias("__salt")
+    w_local = W.partitionBy(*keys, "__salt").orderBy(*order_by)
+    pruned = (
+        df.select("*", salt)
+        .withColumn("__rn", F.row_number().over(w_local))
+        .where(F.col("__rn") <= n)
+        .drop("__salt", "__rn")
+    )
+    w_global = W.partitionBy(*keys).orderBy(*order_by)
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w_global))
+        .where(F.col("__rn") <= n)
+        .withColumnRenamed("__rn", "rank_in_key")
+    )

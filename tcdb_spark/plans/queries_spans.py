@@ -381,3 +381,37 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("tokens").cast("long")).over(w).alias("cum_tokens"),
     )
     return sized.where(F.col("cum_tokens") <= TOKEN_BUDGET)
+
+
+_DOMAIN_CAP_ORACLE = f"""
+    SELECT doc_id, source, CAST(rk AS INTEGER) AS rank_in_source
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= {DOMAIN_CAP}
+    """
+
+
+@register("domain_cap_skewsafe", oracle=_DOMAIN_CAP_ORACLE)
+def domain_cap_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe twin of domain_cap: two-phase top-N (salted local
+    prune, then exact global rank — operators/skew.py
+    topn_per_key_two_phase).  A hot domain serializes the plain window
+    into one straggler task at crawl scale; the two-phase plan bounds
+    every key's final-phase input at n_salts*N rows.  Shares
+    domain_cap's oracle verbatim — the driver hash compare IS the
+    equivalence proof."""
+    from tcdb_spark.operators.skew import topn_per_key_two_phase
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    out = topn_per_key_two_phase(
+        d.select("doc_id", "source", "n_chars"),
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        n=DOMAIN_CAP,
+    )
+    return out.select(
+        "doc_id", "source", F.col("rank_in_key").cast("int").alias("rank_in_source")
+    )

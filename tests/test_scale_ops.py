@@ -568,3 +568,34 @@ def test_warehouse_schema_evolution_across_versions(spark, tmp_path):
     )
     rows = merged.collect()
     assert {r["mslp"] for r in rows} == {None, 995.0}
+
+
+def test_topn_two_phase_equals_plain_window(spark):
+    """Planted hot key (80% of rows) plus uniform keys: the two-phase
+    top-N must equal the one-phase window exactly, under a total order."""
+    from tcdb_spark.operators.skew import topn_per_key_two_phase
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 5 != 0, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), F.col("id") % 7)
+        ).alias("key"),
+        (F.xxhash64("id") % 1000).alias("score"),
+        F.col("id"),
+    )
+    two = {
+        (r.key, r.id, r.rank_in_key)
+        for r in topn_per_key_two_phase(
+            df, ["key"], [F.col("score").desc(), F.col("id")], n=25
+        ).collect()
+    }
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("key").orderBy(F.col("score").desc(), F.col("id"))
+    plain = {
+        (r.key, r.id, r.rank_in_key)
+        for r in df.withColumn("rank_in_key", F.row_number().over(w))
+        .where(F.col("rank_in_key") <= 25)
+        .collect()
+    }
+    assert two == plain and len(plain) == 25 * 8
