@@ -198,3 +198,83 @@ def embedding_dequantize(
     )
     deq = F.zip_with(scaled, mins, lambda u, mn: u + mn)
     return qemb.withColumn(out_col, deq)
+
+
+def gram_matrix(emb: DataFrame, col: str = "emb"):
+    """Distributed d x d Gram/second-moment accumulation: one numpy
+    ``X.T @ X`` per Arrow batch inside mapInPandas (C-speed, no Python
+    row loop), partial matrices summed with one tiny shuffle (each
+    partial is d*d doubles + a count — for d=64 that is 32 KiB per
+    partition regardless of row count).  Returns (S, n, mean) on the
+    driver.  This is the mergeable-summary shape again: the full pass
+    over 100 TB of vectors reduces to partitions x 32 KiB."""
+    import numpy as np
+    import pandas as pd
+
+    probe = emb.select(F.size(col).alias("d")).first()
+    d = probe["d"]
+
+    def partials(batches):
+        S = np.zeros((d, d))
+        s = np.zeros(d)
+        n = 0
+        for pdf in batches:
+            X = np.stack(pdf["__v"].to_numpy())
+            S += X.T @ X
+            s += X.sum(axis=0)
+            n += len(X)
+        if n:
+            yield pd.DataFrame(
+                {"S": [S.ravel().tolist()], "s": [s.tolist()], "n": [n]}
+            )
+
+    parts = (
+        emb.select(F.col(col).cast("array<double>").alias("__v"))
+        .mapInPandas(partials, "S array<double>, s array<double>, n long")
+        .collect()
+    )
+    S = sum(np.array(r["S"]).reshape(d, d) for r in parts)
+    s = sum(np.array(r["s"]) for r in parts)
+    n = sum(r["n"] for r in parts)
+    return S, n, s / n
+
+
+def pca_project(emb: DataFrame, k: int, col: str = "emb", out_col: str = "pca"):
+    """Distributed PCA: covariance from the Gram pass (one scan),
+    eigendecomposition of the tiny d x d matrix on the driver (numpy,
+    deterministic sign fix), projection pushed back as a pure column
+    expression — a k x d literal matrix of dot products in codegen, no
+    Python in the projection path.  Returns (df with ``out_col``,
+    explained_variance_ratio list).  Standard embedding whitening
+    before ANN/dedup; components are descending-eigenvalue ordered."""
+    import numpy as np
+
+    S, n, mean = gram_matrix(emb, col)
+    cov = S / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T                   # k x d
+    # deterministic orientation: largest-|coord| entry positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    evr = (vals[order] / vals.sum()).tolist()
+    d = comps.shape[1]
+    centered = F.transform(
+        F.col(col).cast("array<double>"),
+        lambda x, i: x - F.element_at(F.array(*[F.lit(float(m)) for m in mean]), i + 1),
+    )
+    proj = F.array(*[
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(v)) for v in comps[i]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for i in range(comps.shape[0])
+    ])
+    return emb.withColumn(out_col, proj), evr

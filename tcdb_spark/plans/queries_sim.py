@@ -269,3 +269,28 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("q_emb"))
     )
     return ivf_search(indexed, centroids, q, k=K, nprobe=8)
+
+
+@register("embedding_pca")  # eigendecomposition is not SQL-expressible ->
+# rows-only driver check; numpy-equivalence gates live in
+# tests/test_spans_sketch.py (projection matches the one-shot reference,
+# per-component variance equals the eigenvalue)
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding table: partial Gram matrices
+    per Arrow batch (32 KiB per partition regardless of rows), driver
+    eigendecomposition of the d x d covariance, projection as a literal
+    k x d matrix of codegen dot products (operators/similarity.py
+    pca_project) — the whitening/dim-reduction pass that precedes ANN
+    and embedding dedup at scale."""
+    from tcdb_spark.operators.similarity import pca_project
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    out, _evr = pca_project(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb")),
+        k=8,
+        col="emb",
+    )
+    return out.select(
+        "vec_id",
+        F.transform(F.col("pca"), lambda x: F.round(x, 6)).alias("pca"),
+    )

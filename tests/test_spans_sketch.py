@@ -134,3 +134,56 @@ def test_incremental_spans_equal_one_shot(spark):
     assert all(after[h] == o for h, o in base.items())
     # the delta is exactly the newly-seen hashes
     assert {r.h for r in fresh.collect()} == set(after) - set(base)
+
+
+def test_gram_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from tcdb_spark.operators.similarity import gram_matrix
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(300, 8)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)], "vec_id long, emb array<double>"
+    ).repartition(5)
+    S, n, mean = gram_matrix(df, "emb")
+    assert n == 300
+    assert np.allclose(S, X.T @ X)
+    assert np.allclose(mean, X.mean(axis=0))
+
+
+def test_pca_project_matches_numpy_reference(spark):
+    """Distributed PCA == driver-side numpy PCA on the same data: the
+    projection (up to the deterministic sign fix) and explained-variance
+    ratios agree, and components capture descending variance."""
+    import numpy as np
+
+    from tcdb_spark.operators.similarity import pca_project
+
+    rng = np.random.RandomState(11)
+    # anisotropic cloud: three dominant directions
+    X = rng.randn(400, 6) * np.array([10.0, 5.0, 2.0, 0.5, 0.2, 0.1])
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)], "vec_id long, emb array<double>"
+    ).repartition(4)
+    out, evr = pca_project(df, k=3, col="emb")
+    P = np.array(
+        [r["pca"] for r in out.orderBy("vec_id").select("pca").collect()]
+    )
+
+    C = X - X.mean(axis=0)
+    cov = C.T @ C / len(X)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:3]
+    comps = vecs[:, order].T
+    for i in range(3):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ref = C @ comps.T
+    assert np.allclose(P, ref, atol=1e-8)
+    assert evr[0] > evr[1] > evr[2] > 0
+    # the dominant axes carry ~all the variance of this construction
+    assert sum(evr) > 0.97
+    # per-component projected variance is the eigenvalue (descending)
+    assert np.allclose(P.var(axis=0), vals[order], rtol=1e-6)
