@@ -278,3 +278,55 @@ def pca_project(emb: DataFrame, k: int, col: str = "emb", out_col: str = "pca"):
         for i in range(comps.shape[0])
     ])
     return emb.withColumn(out_col, proj), evr
+
+
+def ivf_persist(
+    warehouse, table: str, emb: DataFrame, k_centroids: int = 16, seed: int = 42
+) -> int:
+    """Persist the IVF index as a warehouse table PARTITIONED BY bucket
+    (one directory per coarse cell) plus a tiny ``<table>__centroids``
+    side table.  The payoff at 100 TB: a probe reads nprobe/k_centroids
+    of the index as *directory-level partition pruning* — the unprobed
+    cells are never even listed, let alone scanned (PartitionFilters in
+    the executed plan, pinned in tests).  Versioned like any warehouse
+    table, so index rebuilds are atomic pointer swaps and searches are
+    reproducible against a pinned version."""
+    indexed, centroids = ivf_build(emb, k_centroids=k_centroids, seed=seed)
+    v = warehouse.write(table, indexed, partition_by=["bucket"])
+    cent_rows = [(i, c) for i, c in enumerate(centroids)]
+    cent_df = indexed.sparkSession.createDataFrame(
+        cent_rows, "bucket int, centroid array<double>"
+    )
+    warehouse.write(f"{table}__centroids", cent_df)
+    return v
+
+
+def ivf_search_persisted(
+    warehouse,
+    table: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+) -> DataFrame:
+    """Search the persisted index: centroids load driver-side (tiny),
+    the union of every query's nprobe nearest buckets becomes a static
+    ``bucket IN (...)`` predicate — so the index scan prunes to the
+    probed partitions before any row is read — and the pruned index
+    flows through the same exact-rerank ivf_search."""
+    import numpy as np
+
+    cent_rows = warehouse.read(f"{table}__centroids").collect()
+    centroids = [
+        c["centroid"] for c in sorted(cent_rows, key=lambda r: r["bucket"])
+    ]
+    C = np.array(centroids)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    q_local = queries.select("q_id", "q_emb").collect()
+    probed: set[int] = set()
+    for r in q_local:
+        q = np.array(r["q_emb"], dtype=float)
+        qn = q / (np.linalg.norm(q) or 1.0)
+        d2 = ((Cn - qn) ** 2).sum(axis=1)
+        probed.update(int(b) for b in np.argsort(d2)[:nprobe])
+    index = warehouse.read(table).where(F.col("bucket").isin(sorted(probed)))
+    return ivf_search(index, centroids, queries, k=k, nprobe=nprobe)

@@ -187,3 +187,43 @@ def test_pca_project_matches_numpy_reference(spark):
     assert sum(evr) > 0.97
     # per-component projected variance is the eigenvalue (descending)
     assert np.allclose(P.var(axis=0), vals[order], rtol=1e-6)
+
+
+def test_ivf_persisted_index_prunes_partitions_and_matches(spark, tmp_path):
+    """Warehouse-persisted IVF (partitioned by bucket): search results
+    equal the in-memory index search, and the index scan carries a
+    bucket-partition filter so unprobed cells are pruned at the
+    directory level."""
+    import numpy as np
+
+    from tcdb_spark.operators.similarity import (
+        ivf_build,
+        ivf_persist,
+        ivf_search,
+        ivf_search_persisted,
+    )
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(400, 16)
+    emb = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    wh = Warehouse(spark, str(tmp_path / "whi"))
+    ivf_persist(wh, "emb_ivf", emb, k_centroids=8, seed=42)
+
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    got = ivf_search_persisted(wh, "emb_ivf", q, k=5, nprobe=3)
+    rows = {(r.q_id, r.vec_id, r.rank_in_group) for r in got.collect()}
+
+    indexed, cents = ivf_build(emb, k_centroids=8, seed=42)
+    ref = ivf_search(indexed, cents, q, k=5, nprobe=3)
+    assert rows == {(r.q_id, r.vec_id, r.rank_in_group) for r in ref.collect()}
+
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200], plan[:1500]
