@@ -116,6 +116,26 @@ class Engine:
         present = [t for t in (tables or TABLES) if self.warehouse.exists(t)]
         return export_tables(self.warehouse, out_dir, present, fmt=fmt)
 
+    # --- similarity index -------------------------------------------------
+
+    def build_ann_index(
+        self, emb: DataFrame, table: str = "emb_ivf", k_centroids: int = 16
+    ) -> int:
+        """Train + persist the IVF index (bucket-partitioned warehouse
+        table, centroids side table). Returns the committed version."""
+        from tcdb_spark.operators.similarity import ivf_persist
+
+        return ivf_persist(self.warehouse, table, emb, k_centroids=k_centroids)
+
+    def ann_search(
+        self, queries: DataFrame, table: str = "emb_ivf", k: int = 5, nprobe: int = 8
+    ) -> DataFrame:
+        """Top-k cosine search against the persisted index; unprobed
+        cells prune at the directory level. ``queries``: (q_id, q_emb)."""
+        from tcdb_spark.operators.similarity import ivf_search_persisted
+
+        return ivf_search_persisted(self.warehouse, table, queries, k=k, nprobe=nprobe)
+
     # --- corpus curation --------------------------------------------------
 
     def curate(

@@ -87,3 +87,23 @@ def test_engine_curate_exact_dedup_and_span_scrub(spark, tmp_path):
     assert set(out) == {1, 2}
     assert out[1].text.split(" ")[2] == "s0"      # owner keeps the passage
     assert out[2].n_tokens == 20
+
+
+def test_engine_ann_index_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    eng = Engine(spark, str(tmp_path / "wha"))
+    rng = np.random.RandomState(5)
+    X = rng.randn(200, 8)
+    emb = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    assert eng.build_ann_index(emb, k_centroids=4) == 1
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    hits = eng.ann_search(q, k=3, nprobe=2).collect()
+    assert len(hits) == 3 and all(r.q_id == 0 and r.vec_id != 0 for r in hits)
+    assert [r.rank_in_group for r in hits] == [1, 2, 3]
