@@ -330,3 +330,85 @@ def ivf_search_persisted(
         probed.update(int(b) for b in np.argsort(d2)[:nprobe])
     index = warehouse.read(table).where(F.col("bucket").isin(sorted(probed)))
     return ivf_search(index, centroids, queries, k=k, nprobe=nprobe)
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    tau: float = 0.99,
+    k_centroids: int = 8,
+    seed: int = 42,
+    probe: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a spherical
+    KMeans quantizer, generate candidate pairs ONLY within a cluster
+    cell, verify each candidate with the exact cosine, keep pairs with
+    cos >= tau.
+
+    Why this survives 100 TB where all-pairs cannot: the pair space is
+    bounded per cell at (n/k)^2 instead of n^2 — k grows with the corpus
+    (SemDeDup uses ~n/10k clusters) so per-cell work stays constant and
+    cells are embarrassingly parallel. Precision is exactly 1.0 by
+    construction (every emitted pair passed the exact cosine); the only
+    approximation is recall — a pair split across cells is missed. Each
+    vector is therefore assigned to its ``probe`` nearest centroids
+    (multi-assignment), which makes boundary splits exponentially
+    unlikely for genuinely-near pairs: vectors at cosine >= 0.99 have
+    near-identical centroid distances, so their probe sets overlap.
+
+    ``emb``: (vec_id, emb array<double>). Returns (vec_a, vec_b, cos)
+    with vec_a < vec_b, distinct pairs.
+    """
+    indexed, centroids = ivf_build(
+        emb.select("vec_id", F.col("emb").alias("embedding")), k_centroids=k_centroids, seed=seed
+    )
+    # multi-assign each vector to its `probe` nearest cells (same argmin
+    # expression as ivf_search's query-side probing)
+    cents = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
+    qn = _l2_normalize(F.col("emb"))
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(c, qn, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+    n_cent = len(centroids)
+    assigned = indexed.select("vec_id", "emb", "nrm").withColumn(
+        "bucket",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.zip_with(
+                            dists,
+                            F.sequence(F.lit(0), F.lit(n_cent - 1)),
+                            lambda d, i: F.struct(d.alias("d"), i.alias("bucket")),
+                        )
+                    ),
+                    1,
+                    probe,
+                ),
+                lambda s: s["bucket"],
+            )
+        ),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (
+                _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= tau)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return pairs

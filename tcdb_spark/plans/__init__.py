@@ -27,3 +27,5 @@ from tcdb_spark.plans import queries_scd  # noqa: F401,E402
 from tcdb_spark.plans import queries_tpch  # noqa: F401,E402
 from tcdb_spark.plans import queries_tpch2  # noqa: F401,E402
 from tcdb_spark.plans import queries_spans  # noqa: F401,E402
+from tcdb_spark.plans import queries_ranking  # noqa: F401,E402
+from tcdb_spark.plans import queries_chunking  # noqa: F401,E402

@@ -366,3 +366,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("cos") >= 0.99).select(
         "vec_a", "vec_b", F.round("cos", 6).alias("cosine")
     )
+
+
+@register(
+    "semantic_dedup",
+    oracle="""
+    WITH universe AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        UNION ALL
+        SELECT vec_id + 20000000 AS vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 3.0) AS emb
+        FROM embeddings WHERE vec_id % 29 = 0
+    ), pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+        FROM universe a JOIN universe b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(cos, 6) AS cosine
+    FROM pairs WHERE cos >= 0.99
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (arXiv:2303.09540) over
+    embeddings + planted scaled clones: spherical-KMeans cells bound the
+    candidate space, exact cosine verifies every pair (precision 1.0 by
+    construction; operators/similarity.semantic_dedup_pairs).
+
+    The DuckDB oracle is the BRUTE-FORCE all-pairs ground truth — the
+    driver gate therefore checks recall == 1.0 on this corpus, not just
+    plausibility (multi-probe cell assignment keeps genuinely-near pairs
+    co-celled; the all-pairs oracle is feasible only at oracle scale).
+    """
+    from tcdb_spark.operators.similarity import semantic_dedup_pairs
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    clones = e.where(F.col("vec_id") % 29 == 0).select(
+        (F.col("vec_id") + 20000000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 3.0).alias("emb"),
+    )
+    universe = base.unionByName(clones)
+    pairs = semantic_dedup_pairs(universe, tau=0.99, k_centroids=8, seed=42, probe=2)
+    return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))

@@ -1,0 +1,142 @@
+"""Keyword-relevance ranking (BM25) over ``documents`` — the retrieval
+twin of the similarity-search family (SURVEY.md §2.12; generalizes the
+reference's filtered "find the relevant rows" lookups, e.g.
+tcdb/database.py getStormById/getStormsByDateRange, to scored retrieval).
+
+Plan shape (the one that survives 100 TB):
+- ONE scan over documents computes per-doc length and one term-frequency
+  column per query term (``size(filter(tokens, t))`` — codegen, no
+  explode, no shuffle for tf).
+- ONE global aggregate produces the 1-row corpus statistics (N, avgdl,
+  per-term document frequencies); it broadcasts back as a 1-row
+  BroadcastNestedLoopJoin (allowlisted scalar-threshold cross).
+- The score is a pure column expression; top-k is TakeOrderedAndProject
+  (k rows per partition -> driver merge), never a full sort.
+
+Float determinism: the per-term partial scores are summed in a FIXED
+literal order (s_term1 + s_term2 + ...), never via an unordered SUM over
+exploded term rows — double addition is not associative, and an
+unordered group-sum would flip low bits between Spark partitions and
+the DuckDB oracle (same discipline as DEVNOTES #23).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tcdb_spark.plans.catalog import load_tables, register
+
+# Lucene/ES defaults
+K1 = 1.2
+B = 0.75
+TOP_K = 20
+QUERY_TERMS = ["data", "merge", "window"]
+
+_TOKEN_RE = "[a-z0-9]+"
+
+
+def _tf_expr(term: str):
+    """tf(term) = number of exact token matches, as a codegen expression
+    over the per-row token array (no explode)."""
+    return F.size(F.filter("toks", lambda x: x == F.lit(term))).cast("double")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = K1,
+    b: float = B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document against ``terms`` with BM25
+    (Robertson & Zaragoza 2009; idf is the Lucene +1 variant so scores
+    stay positive). Returns id, dl and score columns; caller ranks.
+
+    Scale: per-doc work is one tokenize + len(terms) array scans in
+    codegen; the only exchanges are the 1-row stats aggregate and its
+    broadcast back. The big side never shuffles.
+    """
+    toks = docs.select(
+        id_col,
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0).alias("toks"),
+    )
+    per_doc = toks.select(
+        id_col,
+        F.size("toks").cast("double").alias("dl"),
+        *[_tf_expr(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).cast("double").alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.join(F.broadcast(stats))
+
+    def term_score(i: int):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5)) / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"tf_{i}")
+        denom = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        return idf * tf * F.lit(k1 + 1.0) / denom
+
+    # fixed-order sum: s0 + s1 + ... (float determinism, module docstring)
+    total = term_score(0)
+    for i in range(1, len(terms)):
+        total = total + term_score(i)
+    return scored.select(id_col, F.col("dl").cast("bigint").alias("dl"), total.alias("score"))
+
+
+@register(
+    "bm25_rank",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '{_TOKEN_RE}') AS toks
+        FROM documents
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(len(toks) AS DOUBLE) AS dl,
+               CAST(len(list_filter(toks, x -> x = '{QUERY_TERMS[0]}')) AS DOUBLE) AS tf_0,
+               CAST(len(list_filter(toks, x -> x = '{QUERY_TERMS[1]}')) AS DOUBLE) AS tf_1,
+               CAST(len(list_filter(toks, x -> x = '{QUERY_TERMS[2]}')) AS DOUBLE) AS tf_2
+        FROM toks
+    ), stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+               CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+               CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+               CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+        FROM per_doc
+    ), scored AS (
+        SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+                 ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+                   * tf_0 * {K1 + 1.0} / (tf_0 + {K1} * (1.0 - {B} + {B} * dl / avgdl))
+               + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+                   * tf_1 * {K1 + 1.0} / (tf_1 + {K1} * (1.0 - {B} + {B} * dl / avgdl))
+               + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+                   * tf_2 * {K1 + 1.0} / (tf_2 + {K1} * (1.0 - {B} + {B} * dl / avgdl))
+               AS score
+        FROM per_doc CROSS JOIN stats
+    )
+    SELECT doc_id, dl, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {TOP_K}
+    """,
+)
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed keyword query over ``documents``:
+    one corpus scan, 1-row stats broadcast, TakeOrderedAndProject."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    scored = bm25_scores(d, QUERY_TERMS)
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(TOP_K)
+        .select("doc_id", "dl", F.round("score", 6).alias("bm25"))
+    )

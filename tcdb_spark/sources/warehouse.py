@@ -531,6 +531,130 @@ class Warehouse:
             .select(*keys, "change_type")
         )
 
+    # -- file-level data skipping (Delta/Iceberg stats-in-log analog) ------
+
+    def _stats_path(self, table: str, v: int) -> str:
+        return os.path.join(self._dir(table), f"_STATS_v{v}.json")
+
+    @staticmethod
+    def _stats_jsonable(v):
+        # min/max land in JSON; timestamps/dates as ISO strings (they
+        # compare correctly as strings — ISO-8601 orders lexicographically)
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    def collect_stats(
+        self, table: str, cols: list[str], version: int | None = None
+    ) -> dict:
+        """Per-FILE min/max/null-count statistics for ``cols``, persisted
+        beside the version as ``_STATS_v<n>.json`` — the vanilla-parquet
+        analog of the stats a lakehouse format keeps in its transaction
+        log. One scan computes everything: group by the hidden
+        ``_metadata.file_path`` column, aggregate min/max per file.
+
+        Parquet footers already carry row-group min/max, but a reader
+        still has to OPEN every footer to use them; driver-side file
+        stats prune the file LIST before anything is opened — at 10^5
+        files per table that is the difference between a metadata lookup
+        and 10^5 S3 GETs. Stats pay off in proportion to layout quality:
+        collect them on the sort/Z-order columns (sources/clustering.py).
+        """
+        v = version if version is not None else self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"table {table} does not exist")
+        path = os.path.join(self._dir(table), f"v={v}")
+        df = self.spark.read.parquet(path)
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"mn_{c}"),
+                F.max(c).alias(f"mx_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+            ]
+        rows = (
+            df.select(F.col("_metadata.file_path").alias("__f"), *cols)
+            .groupBy("__f")
+            .agg(*aggs)
+            .collect()
+        )
+        stats = {
+            "cols": cols,
+            "files": {
+                os.path.basename(r["__f"]): {
+                    c: [
+                        self._stats_jsonable(r[f"mn_{c}"]),
+                        self._stats_jsonable(r[f"mx_{c}"]),
+                        r[f"nulls_{c}"],
+                    ]
+                    for c in cols
+                }
+                for r in rows
+            },
+        }
+        with open(self._stats_path(table, v), "w") as f:
+            json.dump(stats, f)
+        return stats
+
+    def read_skipping(
+        self,
+        table: str,
+        filters: dict[str, tuple],
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Read with driver-side file skipping: conjunctive inclusive
+        range predicates ``{col: (lo, hi)}`` (either bound None = open)
+        prune the file list against the persisted per-file stats BEFORE
+        the scan plans; the residual filter still applies row-level (so
+        the result is exact regardless of stats quality — stats only
+        ever skip provably-disjoint files, a file with missing stats is
+        always read). Returns (df, {'files_read', 'files_total'}).
+        """
+        v = version if version is not None else self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"table {table} does not exist")
+        sp = self._stats_path(table, v)
+        if not os.path.exists(sp):
+            raise FileNotFoundError(
+                f"no stats for {table} v={v}; run collect_stats first"
+            )
+        with open(sp) as f:
+            stats = json.load(f)
+        path = os.path.join(self._dir(table), f"v={v}")
+        all_files = [
+            n
+            for n in sorted(os.listdir(path))
+            if not n.startswith(("_", ".")) and n.endswith(".parquet")
+        ]
+        keep = []
+        for fname in all_files:
+            fstats = stats["files"].get(fname)
+            hit = True
+            if fstats is not None:
+                for col, (lo, hi) in filters.items():
+                    if col not in fstats:
+                        continue
+                    mn, mx, _nulls = fstats[col]
+                    if mn is None or mx is None:
+                        continue
+                    lo_c = self._stats_jsonable(lo) if lo is not None else None
+                    hi_c = self._stats_jsonable(hi) if hi is not None else None
+                    if (hi_c is not None and mn > hi_c) or (
+                        lo_c is not None and mx < lo_c
+                    ):
+                        hit = False
+                        break
+            if hit:
+                keep.append(fname)
+        if keep:
+            df = self.spark.read.parquet(*[os.path.join(path, n) for n in keep])
+        else:
+            df = self.spark.read.parquet(path).limit(0)
+        for col, (lo, hi) in filters.items():
+            if lo is not None:
+                df = df.where(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(col) <= F.lit(hi))
+        return df, {"files_read": len(keep), "files_total": len(all_files)}
+
     def write(
         self,
         table: str,
