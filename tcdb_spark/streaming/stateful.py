@@ -104,3 +104,104 @@ def storm_lifecycle_stream(observations, timeout: str = "ProcessingTimeTimeout")
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 successor API to
+# applyInPandasWithState): same keyed-state concept, but state is typed
+# and composable (ValueState/ListState/MapState + TTL + timers) and the
+# processor is an object with a lifecycle instead of a closure. Kept
+# alongside the lifecycle machine above so both §2.10 stateful surfaces
+# are covered; requires the RocksDB state store provider (bundled).
+# ---------------------------------------------------------------------------
+
+RUNNING_OUTPUT_SCHEMA = "nhc_id string, n_obs long, peak double"
+
+
+def _make_running_peak_processor():
+    """Processor built lazily: the stateful_processor module exists only
+    on Spark 4+, and building it at import time would couple module
+    import to the streaming runtime."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    class RunningPeakProcessor(StatefulProcessor):
+        """Per-storm running (observation count, peak intensity) across
+        micro-batches — the transformWithState twin of the reference's
+        cumulative peak scan (tcdb/etl/process_obs.py intensity drift
+        checks), emitting the refreshed aggregate for every key a batch
+        touches (Update mode)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("peak", DoubleType()),
+                ]
+            )
+            self._agg = handle.getValueState("agg", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, peak = (0, float("-inf"))
+            if self._agg.exists():
+                n, peak = self._agg.get()
+            for pdf in rows:
+                n += len(pdf)
+                peak = max(peak, float(pdf["intensity_kts"].max()))
+            self._agg.update((n, peak))
+            yield pd.DataFrame({"nhc_id": [key[0]], "n_obs": [n], "peak": [peak]})
+
+        def close(self) -> None:
+            pass
+
+    return RunningPeakProcessor()
+
+
+def transform_with_state_available() -> bool:
+    """transformWithState's Python<->JVM state server speaks protobuf;
+    the API exists in pyspark 4.1 but running it needs the ``protobuf``
+    package. Capability gate (same pattern as the Avro module gate)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_peak_stream(observations):
+    """transformWithStateInPandas running aggregate keyed by storm id.
+
+    ``observations``: streaming frame with (nhc_id, intensity_kts, ...).
+    Output: one (nhc_id, n_obs, peak) row per touched key per batch.
+    The caller's session must use the RocksDB state store provider
+    (transformWithState's backing store):
+
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    Raises an actionable error when the runtime lacks protobuf (the
+    state-server wire format) — the applyInPandasWithState lifecycle
+    machine above runs everywhere and remains the default §2.10 path.
+    """
+    if not transform_with_state_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(google.protobuf) for its state-server protocol; it is not "
+            "installed in this image. Use storm_lifecycle_stream "
+            "(applyInPandasWithState) or install protobuf."
+        )
+    return observations.groupBy("nhc_id").transformWithStateInPandas(
+        statefulProcessor=_make_running_peak_processor(),
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

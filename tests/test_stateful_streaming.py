@@ -97,3 +97,81 @@ def test_stream_embedding_index_incremental(spark, tmp_path):
     )
     hits = ivf_search(idx, centroids, q, k=1, nprobe=2).collect()
     assert hits and hits[0]["vec_id"] == probe["vec_id"]
+
+
+def test_running_peak_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas: ValueState folds across two staged
+    micro-batches; the second batch's emission reflects state from the
+    first (n_obs and peak accumulate, not reset). Skips (with the gate
+    asserted actionable) when the image lacks protobuf — the state
+    server's wire format."""
+    import pytest
+
+    from tcdb_spark.streaming.stateful import (
+        running_peak_stream,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        src_stream = spark.readStream.format("rate").load()
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_peak_stream(src_stream.withColumnRenamed("value", "nhc_id"))
+        pytest.skip("protobuf not in image: transformWithState gated")
+
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        t0 = dt.datetime(2022, 9, 24, 0, 0)
+        src = tmp_path / "obs_tws"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt_tws")
+        b1 = [
+            ("AL092022", 95, t0, 25.0),
+            ("AL092022", 95, t0 + dt.timedelta(hours=6), 30.0),
+            ("EP052022", 5, t0, 50.0),
+        ]
+        b2 = [
+            ("AL092022", 9, t0 + dt.timedelta(hours=12), 45.0),
+            ("EP052022", 5, t0 + dt.timedelta(hours=6), 40.0),
+        ]
+        schema = spark.createDataFrame(b1, SCHEMA).schema
+
+        def run_tick(rows, tick):
+            spark.createDataFrame(rows, SCHEMA).write.parquet(
+                str(src / f"tick={tick}")
+            )
+            stream = spark.readStream.schema(schema).option(
+                "recursiveFileLookup", "true"
+            ).parquet(str(src))
+            q = (
+                running_peak_stream(stream)
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName(f"tws_{tick}")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {
+                r["nhc_id"]: (r["n_obs"], r["peak"])
+                for r in spark.sql(f"SELECT * FROM tws_{tick}").collect()
+            }
+
+        first = run_tick(b1, 1)
+        assert first["AL092022"] == (2, 30.0)
+        assert first["EP052022"] == (1, 50.0)
+
+        second = run_tick(b2, 2)
+        # state survived the restart via the checkpoint: counts/peaks fold
+        assert second["AL092022"] == (3, 45.0)
+        assert second["EP052022"] == (2, 50.0)   # peak keeps batch-1 max
+    finally:
+        # DEVNOTES #26: unset when the key was never explicitly set
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
