@@ -203,3 +203,44 @@ class Engine:
         curated = curated.drop("__cut")
         stats["version"] = self.warehouse.write(table, curated)
         return stats
+
+    # --- retrieval / chunking / semantic dedup ----------------------------
+
+    def search(self, docs: DataFrame, terms: list[str], k: int = 20) -> DataFrame:
+        """BM25 keyword retrieval over a (doc_id, text) frame: one corpus
+        scan + 1-row stats broadcast + TakeOrderedAndProject
+        (plans/queries_ranking.bm25_scores)."""
+        from pyspark.sql import functions as F
+
+        from tcdb_spark.plans.queries_ranking import bm25_scores
+
+        scored = bm25_scores(docs, terms)
+        return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    def chunk(self, docs: DataFrame, chunk: int = 32, stride: int = 24) -> DataFrame:
+        """Overlapping context-window chunking, codegen path
+        (plans/queries_chunking.chunk_text_expr)."""
+        from tcdb_spark.plans.queries_chunking import chunk_text_expr
+
+        return chunk_text_expr(docs, chunk=chunk, stride=stride)
+
+    def semantic_dedup(
+        self, emb: DataFrame, tau: float = 0.99, k_centroids: int = 16, probe: int = 2
+    ) -> DataFrame:
+        """SemDeDup semantic near-dup pairs over (vec_id, emb)
+        (operators/similarity.semantic_dedup_pairs); feed the pairs to
+        operators/graph.connected_components + canonical-keep for the
+        drop decision."""
+        from tcdb_spark.operators.similarity import semantic_dedup_pairs
+
+        return semantic_dedup_pairs(emb, tau=tau, k_centroids=k_centroids, probe=probe)
+
+    def collect_stats(self, table: str, cols: list[str]) -> dict:
+        """Per-file min/max stats for data skipping (Warehouse.collect_stats)."""
+        return self.warehouse.collect_stats(table, cols)
+
+    def read_range(self, table: str, filters: dict) -> DataFrame:
+        """Stats-pruned range read: files provably outside the ranges are
+        never opened (Warehouse.read_skipping); result is exact."""
+        df, _info = self.warehouse.read_skipping(table, filters)
+        return df

@@ -107,3 +107,44 @@ def test_engine_ann_index_roundtrip(spark, tmp_path):
     hits = eng.ann_search(q, k=3, nprobe=2).collect()
     assert len(hits) == 3 and all(r.q_id == 0 and r.vec_id != 0 for r in hits)
     assert [r.rank_in_group for r in hits] == [1, 2, 3]
+
+
+def test_engine_search_chunk_semantic_and_range(spark, tmp_path):
+    """Round-2 facade methods: BM25 search, chunking, semantic dedup,
+    stats-pruned range read — thin composition over catalog-checked ops."""
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data data merge window and more data tokens here"),
+            (2, "nothing relevant at all in this one"),
+            (3, "merge window"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = eng.search(docs, ["data", "merge", "window"], k=2).collect()
+    assert [r["doc_id"] for r in hits][0] in (1, 3) and len(hits) == 2
+
+    chunks = eng.chunk(docs, chunk=4, stride=3).collect()
+    assert {r["doc_id"] for r in chunks} == {1, 2, 3}
+    assert max(r["chunk_tokens"] for r in chunks) == 4
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d * 3) % 11) + 1.0 for d in range(8)]) for i in range(30)]
+        + [(100 + i, [2.0 * (float((i * 7 + d * 3) % 11) + 1.0) for d in range(8)]) for i in range(5)],
+        "vec_id long, emb array<double>",
+    )
+    pairs = eng.semantic_dedup(emb, tau=0.999999, k_centroids=3).collect()
+    found = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    assert {(i, 100 + i) for i in range(5)} <= found  # planted scaled clones
+
+    eng.warehouse.write(
+        "rng", spark.range(0, 1000).select(F.col("id").alias("k")).repartitionByRange(4, "k")
+    )
+    eng.collect_stats("rng", ["k"])
+    got = sorted(r["k"] for r in eng.read_range("rng", {"k": (10, 19)}).collect())
+    assert got == list(range(10, 20))
