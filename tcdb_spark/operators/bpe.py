@@ -1,0 +1,188 @@
+"""Distributed BPE vocabulary learning (Sennrich et al. 2016,
+arXiv:1508.07909) — the tokenizer-training step of an LLM data pipeline.
+
+Scale shape: the corpus-sized work happens ONCE (word-frequency
+aggregation — one shuffle over the tokenized corpus). Every merge
+iteration after that runs on the *distinct-word* table (vocab-sized,
+orders of magnitude smaller than the corpus: ~10^5-10^6 rows at any
+corpus size, so 100 TB of text costs the same per iteration as 1 GB).
+Per iteration: adjacent-pair explode + weighted count (one vocab-sized
+shuffle), driver pulls the single argmax pair (deterministic tiebreak),
+and the merge is applied as a literal-pair fold over each word's symbol
+array. Lineage is truncated every few iterations (localCheckpoint) the
+same way operators/graph.py does for label propagation.
+
+The greedy left-to-right merge fold matches the reference BPE semantics
+(overlapping occurrences merge non-overlapping from the left);
+tests/test_bpe.py pins exact equality against a pure-Python
+re-implementation of the published algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def words_with_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> distinct-word frequency table (the one corpus-sized
+    pass). Words are whitespace tokens, lowercased."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol-pair counts over the vocab table."""
+    pairs = vocab.select(
+        "cnt",
+        F.explode(
+            # sequence(1, 0) steps DESCENDING (DEVNOTES #25) — guard the
+            # single-symbol words to an empty pair array
+            F.expr(
+                "CASE WHEN size(symbols) >= 2 THEN "
+                "transform(sequence(1, size(symbols) - 1), "
+                "i -> struct(element_at(symbols, i) AS l, element_at(symbols, i + 1) AS r)) "
+                "ELSE array() END"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.l", "p.r").agg(F.sum("cnt").alias("freq"))
+
+
+def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedy left-to-right merge of the (left, right) literal pair in
+    every word's symbol array — a fold over vocab-sized data only."""
+    l_lit, r_lit = F.lit(left), F.lit(right)
+    merged = F.aggregate(
+        F.col("symbols"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == l_lit)
+            & (x == r_lit),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(l_lit, r_lit)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return vocab.withColumn("symbols", merged)
+
+
+def bpe_learn(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a document corpus. Returns the
+    ordered merge list. Ties on pair frequency break lexicographically
+    (left, then right) so the result is deterministic under any
+    partitioning (float-free: counts are integers)."""
+    vocab = (
+        words_with_counts(docs, text_col)
+        .withColumn("symbols", F.split(F.col("word"), ""))
+        .select("symbols", "cnt")
+        .persist()
+    )
+    vocab.count()  # materialize the one corpus-sized pass
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.col("freq").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["freq"] < 2:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        old = vocab
+        vocab = _apply_merge(vocab, left, right)
+        if (i + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)  # truncate the fold chain
+        else:
+            vocab = vocab.persist()
+            vocab.count()
+        old.unpersist()
+    vocab.unpersist()
+    return merges
+
+
+def bpe_learn_reference(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
+    """Pure-Python reference of the published algorithm (test oracle)."""
+    from collections import Counter
+
+    words: Counter = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                words[tuple(w)] += 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, c in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 2:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        new_words: Counter = Counter()
+        for sym, c in words.items():
+            out = []
+            for x in sym:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_words[tuple(out)] += c
+        words = new_words
+    return merges
+
+
+def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text") -> DataFrame:
+    """Apply a learned merge list to tokenize documents: per-doc word
+    split -> char symbols -> the same greedy fold per merge, applied in
+    learned order as literal expressions (codegen per step, no Python in
+    the row path). Returns (doc columns..., tokens array<string>)."""
+    out = docs.withColumn(
+        "__words", F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).withColumn(
+        "__syms", F.transform(F.col("__words"), lambda w: F.split(w, ""))
+    )
+    # closure factories: a default-arg lambda would change the arity
+    # PySpark infers for the higher-order function
+    def _merge_word(l_lit, r_lit):
+        def fold(syms):
+            return F.aggregate(
+                syms,
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == l_lit)
+                    & (x == r_lit),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(l_lit, r_lit)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+
+        return fold
+
+    col = F.col("__syms")
+    for left, right in merges:
+        col = F.transform(col, _merge_word(F.lit(left), F.lit(right)))
+    return out.withColumn("tokens", F.flatten(col)).drop("__words", "__syms")

@@ -591,3 +591,21 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["dedup_canonical_keep"] = ORACLES["dedup_canonical_keep"].format(
     clusters=ORACLES["dedup_clusters"]
 )
+
+
+@register("bpe_learn_merges")  # iterative argmax loop -> rows-only check
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a 16-merge BPE vocabulary from the corpus (Sennrich 2016)
+    and emit the ordered merge table. Iterative (one vocab-sized
+    pair-count shuffle per merge after a single corpus-sized word
+    count), so not SQL-expressible — tests/test_bpe.py pins exact
+    equality against a pure-Python reference of the published
+    algorithm, which is the stronger check."""
+    from tcdb_spark.operators.bpe import bpe_learn
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    merges = bpe_learn(spark, d, n_merges=16)
+    return spark.createDataFrame(
+        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string",
+    )

@@ -204,3 +204,48 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = a.intersect(b).select(F.lit("both").alias("cohort"), "user_id")
     only = a.exceptAll(b).select(F.lit("browse_only").alias("cohort"), "user_id")
     return both.unionByName(only)
+
+
+@register(
+    "join_fuzzy_match",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS blk FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    """,
+)
+def join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: candidate pairs share a blocking key (the
+    part-type word), edit distance 1-2 confirms the match — the standard
+    entity-resolution shape (block -> equi-join -> verify) that keeps
+    approximate string matching off the all-pairs cliff. `levenshtein`
+    is a JVM built-in with identical integer semantics in DuckDB.
+
+    Scale shape: the self-join shuffles on blk only; block sizes are
+    bounded by the name vocabulary here, and at crawl scale a hot-block
+    df-cap (drop blocks with document frequency > cap, exactly like
+    NGRAM_DF_CAP in the shingle joins) bounds the pair explosion.
+    """
+    p = load_tables(spark, sf_dir, "part")["part"]
+    p = p.select(
+        "p_partkey", "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("blk")
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .where(lev.between(1, 2))
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lev.cast("int").alias("dist"),
+        )
+    )

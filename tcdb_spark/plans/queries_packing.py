@@ -287,3 +287,57 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(logit, 6).alias("logit"),
         (logit > 0).cast("int").alias("keep"),
     )
+
+
+@register(
+    "mix_temperature_sample",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(floor(sqrt(count(*))) AS BIGINT) AS isq
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(isq) AS BIGINT) AS s FROM counts),
+    quota AS (SELECT lang, CAST((200 * isq) // s AS BIGINT) AS k FROM counts, tot),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang FROM ranked r JOIN quota q USING (lang) WHERE r.rn <= q.k
+    """,
+)
+def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the alpha-sampling of
+    multilingual pretraining, alpha = 0.5): per-language quota
+    proportional to sqrt(count), so dominant languages are flattened
+    and low-resource ones up-weighted. All quota arithmetic is INTEGER
+    (floor(sqrt(n)) is exact for bounded counts; `div` is integer
+    division in both engines) — no float pow/sum ordering hazard —
+    and selection is a deterministic md5 rank, so the sample is
+    reproducible under any partitioning.
+
+    Scale shape: counts + quotas are one tiny agg (broadcast back);
+    the only data-sized operations are one window rank per language
+    partition and the final filter.
+    """
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    counts = d.groupBy("lang").agg(
+        F.floor(F.sqrt(F.count(F.lit(1)))).cast("bigint").alias("isq")
+    )
+    tot = counts.agg(F.sum("isq").cast("bigint").alias("s"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "lang", F.expr("CAST((200 * isq) div s AS BIGINT)").alias("k")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string")).cast("binary")),
+            F.col("doc_id"),
+        )
+    )
+    return (
+        d.select("doc_id", "lang").withColumn("rn", rn)
+        .join(F.broadcast(quota), "lang")
+        .where(F.col("rn") <= F.col("k"))
+        .select("doc_id", "lang")
+    )

@@ -194,3 +194,78 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.substring(F.md5(norm.cast("binary")), 1, 16).alias("fingerprint")
     )
+
+
+@register(
+    "quality_ngram_lm",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, lang, source, lower(text) AS t
+        FROM documents WHERE length(text) >= 3
+    ),
+    tri AS (
+        SELECT doc_id, lang, source,
+               substring(t, CAST(unnest(generate_series(1, length(t) - 2)) AS INTEGER), 3) AS tri
+        FROM docs
+    ),
+    ref AS (
+        SELECT tri, count(*) AS ref_count FROM tri
+        WHERE lang = 'en' AND source IN ('src1', 'src2', 'src3')
+        GROUP BY tri
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tri,
+           CAST(sum(CASE WHEN coalesce(r.ref_count, 0) >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+           CAST(floor(1000.0 * sum(CASE WHEN coalesce(r.ref_count, 0) >= 10 THEN 0 ELSE 1 END)
+                / count(*)) AS BIGINT) AS oov_pm
+    FROM tri t LEFT JOIN ref r USING (tri)
+    GROUP BY t.doc_id
+    """,
+)
+def quality_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language-model quality scoring (CCNet-style filter,
+    integer-safe variant): a reference LM is the trigram frequency table
+    of a trusted slice (en / src1-3); every document is scored by its
+    out-of-vocabulary rate against it — oov_pm (per-mille of trigrams
+    seen < 10 times in the reference) is the filter signal, emitted as
+    integers so the cross-engine compare is exact (no float log-prob
+    sum ordering hazard).
+
+    Scale shape: the trigram *model* is bounded by charset^3 regardless
+    of corpus size, so it broadcast-joins back onto the exploded corpus
+    — the only unbounded shuffle is the per-doc regroup on doc_id. The
+    exploded subtree is persisted once and feeds both the model build
+    and the scoring pass (the re-inline hazard of DEVNOTES #13).
+    """
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    docs = d.where(F.length("text") >= 3).select(
+        "doc_id", "lang", "source", F.lower(F.col("text")).alias("t")
+    )
+    # length(t) >= 3 so sequence(1, n>=1) is ascending (DEVNOTES #25)
+    tris = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+        ).alias("tri"),
+    ).persist()
+    ref = (
+        tris.where((F.col("lang") == "en") & F.col("source").isin("src1", "src2", "src3"))
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("ref_count"))
+    )
+    known = F.coalesce(F.col("ref_count"), F.lit(0)) >= 10
+    return (
+        tris.join(F.broadcast(ref), "tri", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum(F.when(known, 1).otherwise(0)).alias("n_known"),
+            F.floor(
+                F.lit(1000.0)
+                * F.sum(F.when(known, 0).otherwise(1))
+                / F.count(F.lit(1))
+            ).alias("oov_pm"),
+        )
+    )

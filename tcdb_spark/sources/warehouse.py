@@ -483,6 +483,49 @@ class Warehouse:
             removed.append(v)
         return removed
 
+    def restore(self, table: str, version: int) -> int:
+        """Roll the table back to a committed ``version`` by publishing
+        it as the NEXT version (the Delta ``RESTORE TABLE ... TO
+        VERSION`` shape): history stays linear and append-only, the
+        rollback itself is auditable, and the cost is metadata-only —
+        every data file of the target version is hard-linked into the
+        new directory, zero bytes rewritten. Bucket spec (and hence the
+        shuffle-free MERGE/join plans) carries over verbatim. Raises
+        FileNotFoundError if the target was vacuumed."""
+        with self._write_lock(table):
+            current = self.current_version(table)
+            if current is None:
+                raise FileNotFoundError(f"table {table} does not exist")
+            if version < 1 or version > current:
+                raise FileNotFoundError(
+                    f"table {table} has no version {version} (current: {current})"
+                )
+            src = os.path.join(self._dir(table), f"v={version}")
+            if not os.path.isdir(src):
+                raise FileNotFoundError(
+                    f"table {table} version {version} was vacuumed "
+                    f"(retained: {self.versions(table)})"
+                )
+            v_new = current + 1
+            dst = os.path.join(self._dir(table), f"v={v_new}")
+            shutil.rmtree(dst, ignore_errors=True)
+            os.makedirs(dst)
+            for f in sorted(os.listdir(src)):
+                if f.startswith(("_", ".")):
+                    continue
+                os.link(os.path.join(src, f), os.path.join(dst, f))
+            src_marker = self._bucket_marker(table, version)
+            if os.path.exists(src_marker):
+                shutil.copyfile(src_marker, self._bucket_marker(table, v_new))
+            stats = self._stats_path(table, version)
+            if os.path.exists(stats):
+                shutil.copyfile(stats, self._stats_path(table, v_new))
+            tmp = self._pointer(table) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(v_new))
+            os.replace(tmp, self._pointer(table))
+        return v_new
+
     def diff(
         self,
         table: str,

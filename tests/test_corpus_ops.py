@@ -187,3 +187,62 @@ def test_pack_bins_ffd_properties(spark):
             cap -= n
     assert ffd_bins <= naive_bins
     assert total_tokens / (ffd_bins * budget) > 0.9  # tight packing
+
+
+def test_quality_ngram_lm_signal(spark):
+    """The reference LM is English (src1-3), so English docs must score a
+    lower mean OOV rate than non-English ones, and the per-doc columns
+    must satisfy the structural invariants."""
+    from tcdb_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["quality_ngram_lm"](spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "lang")
+    rows = out.join(docs, "doc_id").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.oov_pm <= 1000
+        assert 0 <= r.n_known <= r.n_tri
+    en = [r.oov_pm for r in rows if r.lang == "en"]
+    other = [r.oov_pm for r in rows if r.lang != "en"]
+    assert en and other
+    assert sum(en) / len(en) < sum(other) / len(other)
+
+
+def test_join_fuzzy_match_invariants(spark):
+    """Every emitted pair is confirmed (dist 1-2), canonically ordered,
+    and block-consistent (same part-type word)."""
+    from tcdb_spark.plans import QUERIES
+
+    rows = QUERIES["join_fuzzy_match"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert 1 <= r.dist <= 2
+        assert r.id_a < r.id_b
+        assert r.name_a.split(" ")[1] == r.name_b.split(" ")[1]
+        assert (r.id_a, r.id_b) not in seen
+        seen.add((r.id_a, r.id_b))
+
+
+def test_mix_temperature_flattens_shares(spark):
+    """Alpha=0.5 sampling must shrink the dominant language's share
+    relative to raw and keep every language represented."""
+    from tcdb_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    raw = {
+        r.lang: r.n
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sampled = {
+        r.lang: r.n
+        for r in QUERIES["mix_temperature_sample"](spark, sf)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(sampled) == set(raw)
+    top = max(raw, key=raw.get)
+    raw_share = raw[top] / sum(raw.values())
+    mixed_share = sampled[top] / sum(sampled.values())
+    assert mixed_share < raw_share

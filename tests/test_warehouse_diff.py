@@ -149,3 +149,37 @@ def test_crashed_writer_recovery_flow(spark, tmp_path):
     assert wh.write("t", df2) == 2  # orphan dir clobbered, not skipped
     assert [r.k for r in wh.read("t").collect()] == [2]
     assert wh.current_version("t") == 2
+
+
+def test_restore_publishes_old_version_as_new(spark, tmp_path):
+    """RESTORE rolls back by publishing the target as version n+1:
+    content equals the target, history stays linear, bucket spec (and
+    the shuffle-free read path) carries over, and no bytes are copied
+    (hard links share inodes with the restored version's files)."""
+    wh = _wh(spark, tmp_path)
+    v_new = wh.restore("obs", 1)
+    assert v_new == 3
+    assert wh.current_version("obs") == 3
+    got = sorted((r.storm_id, r.wind) for r in wh.read("obs").collect())
+    want = sorted((r.storm_id, r.wind) for r in wh.read("obs", version=1).collect())
+    assert got == want
+    assert wh.is_bucketed("obs")
+    d1 = os.path.join(wh.root, "obs", "v=1")
+    d3 = os.path.join(wh.root, "obs", "v=3")
+    inodes1 = {f: os.stat(os.path.join(d1, f)).st_ino
+               for f in os.listdir(d1) if f.endswith(".parquet")}
+    for f, ino in inodes1.items():
+        assert os.stat(os.path.join(d3, f)).st_ino == ino
+
+
+def test_restore_vacuumed_version_raises(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    wh.vacuum("obs", keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        wh.restore("obs", 1)
+
+
+def test_restore_bad_version_raises(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    with pytest.raises(FileNotFoundError):
+        wh.restore("obs", 9)
