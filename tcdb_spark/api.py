@@ -244,3 +244,22 @@ class Engine:
         never opened (Warehouse.read_skipping); result is exact."""
         df, _info = self.warehouse.read_skipping(table, filters)
         return df
+
+    def learn_bpe(self, docs: DataFrame, n_merges: int = 1000) -> list[tuple[str, str]]:
+        """Learn a BPE merge list from a corpus (operators/bpe.bpe_learn):
+        one corpus-sized word count, then vocab-sized per-merge work."""
+        from tcdb_spark.operators.bpe import bpe_learn
+
+        return bpe_learn(self.spark, docs, n_merges)
+
+    def tokenize(self, docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+        """Apply a learned BPE merge list (operators/bpe.bpe_segment) —
+        adds a ``tokens`` array<string> column, codegen folds only."""
+        from tcdb_spark.operators.bpe import bpe_segment
+
+        return bpe_segment(docs, merges)
+
+    def restore(self, table: str, version: int) -> int:
+        """Roll a warehouse table back by republishing ``version`` as the
+        next version (metadata-only; Warehouse.restore)."""
+        return self.warehouse.restore(table, version)

@@ -148,3 +148,24 @@ def test_engine_search_chunk_semantic_and_range(spark, tmp_path):
     eng.collect_stats("rng", ["k"])
     got = sorted(r["k"] for r in eng.read_range("rng", {"k": (10, 19)}).collect())
     assert got == list(range(10, 20))
+
+
+def test_engine_bpe_and_restore(spark, tmp_path):
+    from tcdb_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    docs = spark.createDataFrame(
+        [("low lower lowest low low",), ("newer newest new lower",)], "text string"
+    )
+    merges = eng.learn_bpe(docs, n_merges=4)
+    assert len(merges) == 4
+    toks = eng.tokenize(docs, merges).select("tokens").collect()
+    assert all(r.tokens for r in toks)
+
+    df1 = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    df2 = spark.createDataFrame([(1, "b")], "id bigint, v string")
+    eng.warehouse.write("t", df1)
+    eng.warehouse.write("t", df2)
+    v = eng.restore("t", 1)
+    assert v == 3
+    assert eng.warehouse.read("t").collect()[0].v == "a"
