@@ -48,6 +48,7 @@ def merge(
     update_guards: Column | None = None,
     dedupe_incoming: bool = True,
     null_safe_keys: bool = False,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Pure-Spark MERGE: returns the post-merge table as a DataFrame.
 
@@ -74,6 +75,11 @@ def merge(
             (db/init_db_base.sql:137-145), and a null-safe join rewrites
             the key to ``(coalesce(k), isnull(k))``, which defeats
             bucket/partition co-location of the table side.
+        schema_evolution: the Delta ``mergeSchema`` semantics — columns
+            present only in ``incoming`` are APPENDED to the output
+            schema (NULL for rows the batch didn't touch). Off by
+            default: without the flag, incoming-only columns raise
+            instead of being silently dropped.
     """
     audit_cols = {"run_id", "last_update"}
     shared = [c for c in incoming.columns if c in set(current.columns)]
@@ -81,6 +87,14 @@ def merge(
     if compare_cols is None:
         compare_cols = data_cols
     current_only = [c for c in current.columns if c not in incoming.columns]
+    incoming_only = [
+        c for c in incoming.columns if c not in set(current.columns) and c not in audit_cols
+    ]
+    if incoming_only and not schema_evolution:
+        raise ValueError(
+            f"incoming has columns not in the target: {incoming_only}; "
+            "pass schema_evolution=True to append them (mergeSchema semantics)"
+        )
 
     inc = incoming.dropDuplicates(keys) if dedupe_incoming else incoming
     cur = current.alias("cur")
@@ -97,6 +111,10 @@ def merge(
     inc_exists = F.col(f"inc.{keys[0]}").isNotNull()
 
     changed = changed_predicate("cur", "inc", compare_cols)
+    for c in incoming_only:
+        # the current side's value for an evolved column is implicitly
+        # NULL, so a non-null incoming value is a change
+        changed = changed | F.col(f"inc.{c}").isNotNull()
     if update_guards is not None:
         # a guard comparing against a NULL current column yields NULL,
         # which when() treats as false — that would silently freeze rows
@@ -115,6 +133,13 @@ def merge(
         if c in audit_cols:
             continue
         out_cols.append(F.col(f"cur.{c}").alias(c))
+    for c in incoming_only:
+        dt = incoming.schema[c].dataType
+        out_cols.append(
+            F.when(take_incoming, F.col(f"inc.{c}"))
+            .otherwise(F.lit(None).cast(dt))
+            .alias(c)
+        )
 
     if "run_id" in current.columns:
         stamp = F.lit(run_id) if run_id is not None else F.lit(None).cast("string")

@@ -178,8 +178,19 @@ class Warehouse:
         carries the bucket spec + schema so any later session can
         re-register the external table and keep the shuffle-free plan."""
         name = self._catalog_name(table, v)
+        path = os.path.join(self._dir(table), f"v={v}")
         if self.spark.catalog.tableExists(name):
-            return name
+            # the catalog name is root-agnostic — a registration left by a
+            # Warehouse at a DIFFERENT root (tests, or two warehouses in
+            # one session) would silently read the wrong location
+            loc = (
+                self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+                .where(F.col("col_name") == "Location")
+                .collect()
+            )
+            if loc and loc[0]["data_type"].rstrip("/").endswith(path.rstrip("/")):
+                return name
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
         with open(self._bucket_marker(table, v)) as f:
             spec = json.load(f)
         schema = T.StructType.fromJson(spec["schema"])
@@ -358,8 +369,16 @@ class Warehouse:
 
             merged = _merge(current_touched, incoming, keys, **merge_kwargs)
             # parquet resolves columns by name, but keep the table order so
-            # every version shares one visible schema
-            merged = merged.select(*[f.name for f in schema.fields])
+            # every version shares one visible schema; with schema_evolution
+            # the evolved columns are appended AFTER the existing order, and
+            # carried files simply lack them (parquet schema-on-read fills
+            # NULL — the same mechanics a lakehouse mergeSchema relies on)
+            evolved = [c for c in merged.columns if c not in {f.name for f in schema.fields}]
+            order = [f.name for f in schema.fields] + evolved
+            merged = merged.select(*order)
+            if evolved:
+                spec = dict(spec)
+                spec["schema"] = merged.schema.jsonValue()
 
             self.spark.sql(f"DROP TABLE IF EXISTS {new_name}")
             w = merged.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)

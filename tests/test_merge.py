@@ -147,3 +147,56 @@ def test_warehouse_time_travel(spark, tmp_path):
     assert v1 == {1: 10.0, 2: 20.0}
     with pytest.raises(FileNotFoundError, match="no version"):
         wh.read("observations", version=5)
+
+
+def test_merge_schema_evolution_off_raises(spark):
+    import pytest
+
+    from tcdb_spark.operators.merge import merge
+
+    cur = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    inc = spark.createDataFrame([(1, "a", 9.0)], "id bigint, v string, extra double")
+    with pytest.raises(ValueError, match="extra"):
+        merge(cur, inc, ["id"])
+
+
+def test_merge_schema_evolution_appends_column(spark):
+    from tcdb_spark.operators.merge import merge
+
+    cur = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    inc = spark.createDataFrame([(1, "a", 9.0), (3, "c", 7.0)], "id bigint, v string, extra double")
+    out = merge(cur, inc, ["id"], schema_evolution=True)
+    rows = {r.id: (r.v, r.extra) for r in out.collect()}
+    # matched row 1: shared cols unchanged but the evolved value is a change
+    assert rows[1] == ("a", 9.0)
+    # untouched row 2: NULL for the evolved column
+    assert rows[2] == ("b", None)
+    # inserted row 3 carries its value
+    assert rows[3] == ("c", 7.0)
+    # replaying the same batch is a fixed point
+    again = merge(out, inc, ["id"], schema_evolution=True)
+    assert {r.id: (r.v, r.extra) for r in again.collect()} == rows
+
+
+def test_merge_scoped_schema_evolution(spark, tmp_path):
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 9)], "storm_id bigint, wind double"
+    )
+    wh.write_bucketed("obs", base, ["storm_id"], n_buckets=4)
+    inc = spark.createDataFrame(
+        [(1, 99.0, "reanalysis")], "storm_id bigint, wind double, provenance string"
+    )
+    info = wh.merge_scoped("obs", inc, ["storm_id"], schema_evolution=True)
+    assert info["carried_files"] > 0  # untouched buckets were not rewritten
+    got = {r.storm_id: (r.wind, r.provenance) for r in wh.read("obs").collect()}
+    assert got[1] == (99.0, "reanalysis")
+    for sid in range(2, 9):
+        assert got[sid] == (float(sid), None)  # carried files read NULL
+    # a later batch WITHOUT the evolved column still merges (keeps values)
+    inc2 = spark.createDataFrame([(1, 55.0)], "storm_id bigint, wind double")
+    wh.merge_scoped("obs", inc2, ["storm_id"])
+    got2 = {r.storm_id: (r.wind, r.provenance) for r in wh.read("obs").collect()}
+    assert got2[1] == (55.0, "reanalysis")

@@ -183,3 +183,20 @@ def test_restore_bad_version_raises(spark, tmp_path):
     wh = _wh(spark, tmp_path)
     with pytest.raises(FileNotFoundError):
         wh.restore("obs", 9)
+
+
+def test_two_roots_same_table_name_do_not_collide(spark, tmp_path):
+    """The catalog name wh_<table>__v<n> is root-agnostic; a stale
+    registration from another Warehouse root must not shadow this one
+    (regression: restore() published a version without re-registering,
+    reading another root's bytes)."""
+    a = Warehouse(spark, str(tmp_path / "ra"))
+    b = Warehouse(spark, str(tmp_path / "rb"))
+    df_a = spark.createDataFrame([(1, 1.0)], "storm_id bigint, wind double")
+    df_b = spark.createDataFrame([(2, 2.0)], "storm_id bigint, wind double")
+    a.write_bucketed("obs", df_a, ["storm_id"], n_buckets=2)
+    assert a.read("obs").collect()[0].storm_id == 1  # registers wh_obs__v1 at root A
+    b.write_bucketed("obs", df_b, ["storm_id"], n_buckets=2)
+    assert b.read("obs").collect()[0].storm_id == 2
+    # root A's registration was replaced; reading A again must re-register
+    assert a.read("obs").collect()[0].storm_id == 1
