@@ -29,3 +29,4 @@ from tcdb_spark.plans import queries_tpch2  # noqa: F401,E402
 from tcdb_spark.plans import queries_spans  # noqa: F401,E402
 from tcdb_spark.plans import queries_ranking  # noqa: F401,E402
 from tcdb_spark.plans import queries_chunking  # noqa: F401,E402
+from tcdb_spark.plans import queries_training  # noqa: F401,E402
