@@ -263,3 +263,38 @@ class Engine:
         """Roll a warehouse table back by republishing ``version`` as the
         next version (metadata-only; Warehouse.restore)."""
         return self.warehouse.restore(table, version)
+
+    def shuffle_order(
+        self, docs: DataFrame, id_col: str = "doc_id",
+        n_shards: int = 64, seed: str = "ep1",
+    ) -> DataFrame:
+        """Deterministic epoch shuffle for training order
+        (operators/packing.training_order): reproducible permutation,
+        no global sort; vary ``seed`` per epoch."""
+        from tcdb_spark.operators.packing import training_order
+
+        return training_order(docs, id_col, n_shards=n_shards, seed=seed)
+
+    def negatives(
+        self, items: DataFrame, id_col: str = "vec_id",
+        label_col: str = "label", k: int = 4,
+    ) -> DataFrame:
+        """Contrastive negative pairs without a cross join
+        (operators/packing.negative_pairs)."""
+        from tcdb_spark.operators.packing import negative_pairs
+
+        return negative_pairs(items, id_col, label_col, k=k)
+
+    def funnel(self, events: DataFrame, user_col: str, ts_col: str, stages) -> DataFrame:
+        """Ordered-event funnel counts (operators/aggregates.funnel):
+        stages = [(alias, predicate Column), ...] in order."""
+        from tcdb_spark.operators.aggregates import funnel as _funnel
+
+        return _funnel(events, user_col, ts_col, stages)
+
+    def pagerank(self, edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFrame:
+        """Fixed-iteration PageRank over an undirected edge list
+        (operators/graph.pagerank): one shuffle per iteration."""
+        from tcdb_spark.operators.graph import pagerank as _pr
+
+        return _pr(edges, iters=iters, damping=damping)

@@ -161,3 +161,36 @@ def grouped_counts_cube(df: DataFrame, dims: list[str], measure: Column | None =
     2^N groupings instead of N separate queries at 100 TB."""
     agg = measure if measure is not None else F.count(F.lit(1)).alias("n")
     return df.cube(*dims).agg(agg)
+
+
+def funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    stages: list[tuple[str, Column]],
+) -> DataFrame:
+    """Ordered-event funnel: ``stages`` is an ordered list of
+    (count_alias, membership predicate).  Stage i counts users whose
+    first qualifying event at stage i occurs at-or-after their first
+    qualifying event at stage i-1.  Every stage joins and aggregates on
+    the SAME user key (shuffle reuse / bucket co-location applies), and
+    stage frames shrink monotonically, so later joins are
+    broadcast-sized in practice.  Returns one row of stage counts."""
+    cur = None
+    counts = []
+    for alias, pred in stages:
+        stage_ev = events.where(pred)
+        if cur is None:
+            cur = stage_ev.groupBy(user_col).agg(F.min(ts_col).alias("__t"))
+        else:
+            cur = (
+                stage_ev.join(cur, user_col)
+                .where(F.col(ts_col) >= F.col("__t"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("__t"))
+            )
+        counts.append(cur.agg(F.count("*").alias(alias)))
+    out = counts[0]
+    for cdf in counts[1:]:
+        out = out.crossJoin(cdf)
+    return out

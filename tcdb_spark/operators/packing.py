@@ -84,3 +84,73 @@ def pack_bins_ffd(
         F.pmod(F.hash(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
     )
     return sized.groupBy("shard").applyInPandas(_ffd, schema=PACKED_SCHEMA)
+
+
+def training_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: str = "ep1",
+) -> DataFrame:
+    """Deterministic two-level training-order shuffle (see
+    queries_training.training_order_shuffle): seeded content hash ->
+    shard assignment + in-shard rank.  Reproducible across
+    partitionings and cluster sizes; changing ``seed`` yields a fresh
+    epoch permutation.  One hash shuffle + per-shard window; no global
+    sort."""
+    from pyspark.sql.window import Window as W
+
+    hx = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")).cast("binary")
+    )
+    withh = docs.select(
+        id_col,
+        hx.alias("__hx"),
+        (
+            (F.ascii(F.substring(hx, 1, 1)) * 256 + F.ascii(F.substring(hx, 2, 1)))
+            % n_shards
+        ).cast("int").alias("shard_id"),
+    )
+    w = W.partitionBy("shard_id").orderBy("__hx", id_col)
+    return withh.select(
+        id_col, "shard_id", F.row_number().over(w).alias("shard_rank")
+    )
+
+
+def negative_pairs(
+    items: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 4,
+    step: int = 97,
+) -> DataFrame:
+    """Ring-stride contrastive negative sampling (see
+    queries_training.negative_pair_sample): O(k·N) candidate rows and
+    ONE equi-join instead of an anchors×corpus cross join.  Ids must be
+    dense 0..N-1 (the usual contract after a zipWithIndex-style
+    re-keying); same-label accidental positives are filtered."""
+    base = items.select(id_col, label_col)
+    cnt = base.agg(F.count("*").alias("__n"))
+    pairs = (
+        base.crossJoin(F.broadcast(cnt))
+        .select(
+            id_col,
+            label_col,
+            "__n",
+            F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("j"),
+        )
+        .withColumn(
+            "neg_id", (F.col(id_col) + F.col("j") * F.lit(step)) % F.col("__n")
+        )
+    )
+    partners = base.select(
+        F.col(id_col).alias("neg_id"), F.col(label_col).alias("neg_label")
+    )
+    return (
+        pairs.join(partners, "neg_id")
+        .where(
+            (F.col("neg_label") != F.col(label_col))
+            & (F.col("neg_id") != F.col(id_col))
+        )
+        .select(id_col, "j", "neg_id", label_col, "neg_label")
+    )

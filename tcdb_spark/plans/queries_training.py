@@ -98,33 +98,10 @@ def negative_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible across engines and runs.  The corpus count enters the
     plan as a broadcast 1-row aggregate, not a driver-side collect.
     """
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
-        "vec_id", "label"
-    )
-    cnt = emb.agg(F.count("*").alias("__n"))
-    pairs = (
-        emb.crossJoin(F.broadcast(cnt))
-        .select(
-            "vec_id",
-            "label",
-            "__n",
-            F.explode(F.array(*[F.lit(j) for j in range(1, NEG_K + 1)])).alias("j"),
-        )
-        .withColumn(
-            "neg_id", (F.col("vec_id") + F.col("j") * F.lit(NEG_STEP)) % F.col("__n")
-        )
-    )
-    partners = emb.select(
-        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
-    )
-    return (
-        pairs.join(partners, "neg_id")
-        .where(
-            (F.col("neg_label") != F.col("label"))
-            & (F.col("neg_id") != F.col("vec_id"))
-        )
-        .select("vec_id", "j", "neg_id", "label", "neg_label")
-    )
+    from tcdb_spark.operators.packing import negative_pairs
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return negative_pairs(emb, "vec_id", "label", k=NEG_K, step=NEG_STEP)
 
 
 @register(
@@ -363,26 +340,10 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     change under repartitioning (DEVNOTES hazard family); the md5 device
     is stable by construction.
     """
-    d = load_tables(spark, sf_dir, "documents")["documents"]
-    hx = F.md5(
-        F.concat(F.lit("ep1:"), F.col("doc_id").cast("string")).cast("binary")
-    )
-    from pyspark.sql.window import Window as W
+    from tcdb_spark.operators.packing import training_order
 
-    withh = d.select(
-        "doc_id",
-        hx.alias("hx"),
-        (
-            (F.ascii(F.substring(hx, 1, 1)) * 256 + F.ascii(F.substring(hx, 2, 1)))
-            % NUM_SHARDS
-        ).alias("shard_id"),
-    )
-    w = W.partitionBy("shard_id").orderBy("hx", "doc_id")
-    return withh.select(
-        "doc_id",
-        F.col("shard_id").cast("int").alias("shard_id"),
-        F.row_number().over(w).alias("shard_rank"),
-    )
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return training_order(d, "doc_id", n_shards=NUM_SHARDS, seed="ep1")
 
 
 @register(
@@ -465,28 +426,16 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a signup and click in one batch) inside the funnel, and min() is
     order-independent, so no tiebreak can flap.
     """
+    from tcdb_spark.operators.aggregates import funnel
+
     ev = load_tables(spark, sf_dir, "events")["events"]
-    s = (
-        ev.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
-    )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(s, "user_id")
-        .where(F.col("ts") >= F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
-    )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") >= F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    return (
-        s.agg(F.count("*").alias("n_signup"))
-        .crossJoin(c.agg(F.count("*").alias("n_click_after")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    return funnel(
+        ev,
+        "user_id",
+        "ts",
+        [
+            ("n_signup", F.col("event_type") == "signup"),
+            ("n_click_after", F.col("event_type") == "click"),
+            ("n_purchase_after", F.col("event_type") == "purchase"),
+        ],
     )

@@ -169,3 +169,31 @@ def test_engine_bpe_and_restore(spark, tmp_path):
     v = eng.restore("t", 1)
     assert v == 3
     assert eng.warehouse.read("t").collect()[0].v == "a"
+
+
+def test_engine_training_facade(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.api import Engine
+    from tcdb_spark.plans.catalog import load_tables
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    t = load_tables(spark, "/root/testdata/sf0.001", "documents", "embeddings", "events")
+
+    so = eng.shuffle_order(t["documents"], "doc_id", n_shards=8, seed="ep2")
+    assert so.columns == ["doc_id", "shard_id", "shard_rank"]
+    assert so.where(F.col("shard_id") >= 8).count() == 0
+
+    neg = eng.negatives(t["embeddings"], k=2)
+    assert neg.where(F.col("label") == F.col("neg_label")).count() == 0
+
+    fun = eng.funnel(
+        t["events"], "user_id", "ts",
+        [("a", F.col("event_type") == "view"), ("b", F.col("event_type") == "error")],
+    ).first()
+    assert fun["a"] >= fun["b"]
+
+    pr = eng.pagerank(
+        spark.createDataFrame([("x", "y"), ("y", "z")], ["src", "dst"]), iters=2
+    )
+    assert abs(sum(r["val"] for r in pr.collect()) - 1.0) < 1e-9
