@@ -298,3 +298,17 @@ class Engine:
         from tcdb_spark.operators.graph import pagerank as _pr
 
         return _pr(edges, iters=iters, damping=damping)
+
+    def apply_changes(
+        self, table: str, feed: DataFrame, keys: list[str],
+        seq_col: str = "seq", op_col: str = "op",
+    ) -> int:
+        """Apply a CDC feed (I/U/D ops, per-key sequence) to a warehouse
+        table and commit the result as a new version
+        (operators/merge.apply_cdc; the APPLY CHANGES INTO shape).
+        Returns the new version number."""
+        from tcdb_spark.operators.merge import apply_cdc
+
+        cur = self.warehouse.read(table)
+        out = apply_cdc(cur, feed, keys, seq_col=seq_col, op_col=op_col)
+        return self.warehouse.write(table, out)

@@ -186,3 +186,55 @@ def latest_wins_dedupe(incoming: DataFrame, keys: list[str], order_desc: list[st
     """Deterministic pre-MERGE dedup of staged rows: newest wins per key."""
     w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_desc])
     return incoming.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def apply_cdc(
+    current: DataFrame,
+    feed: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    **merge_kwargs,
+) -> DataFrame:
+    """Apply a change-data-capture feed to a table (the Delta Live
+    Tables ``APPLY CHANGES INTO`` semantics, built from this module's
+    MERGE primitive):
+
+    1. the feed — rows (keys..., seq, op in {'I','U','D'}, payload) —
+       is reduced to the LATEST op per key by ``seq_col`` via one
+       window (out-of-order and duplicate deliveries collapse here, so
+       the apply is idempotent and replay-safe);
+    2. keys whose final op is I/U upsert through :func:`merge`;
+    3. keys whose final op is D anti-join out of the result.
+
+    Shuffle accounting: one window shuffle on the feed (batch-sized),
+    the MERGE full-outer join, and a broadcast-sized anti join — the
+    table side never shuffles twice, and against a bucketed warehouse
+    version the MERGE join is shuffle-free on the table side
+    (sources/warehouse.py merge_scoped then bounds the rewrite to
+    touched buckets).  Ordering contract: ``seq_col`` must be strictly
+    monotone per key (a CDC log's LSN); ties would make latest-op
+    selection nondeterministic, so they are broken by preferring 'D'
+    then 'U' then 'I' — the destructive op wins, matching
+    at-least-once delivery of a delete.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        # tie-break: destructive op wins (D > U > I lexicographically
+        # inverted via explicit rank)
+        F.when(F.col(op_col) == "D", 0).when(F.col(op_col) == "U", 1).otherwise(2),
+    )
+    latest = (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.where(F.col(op_col).isin("I", "U")).drop(seq_col, op_col)
+    merged = merge(current, upserts, keys, dedupe_incoming=False, **merge_kwargs)
+    deletes = latest.where(F.col(op_col) == "D").select(*keys)
+    # no broadcast hint: delete sets are usually tiny (AQE converts to
+    # broadcast at runtime) but a bulk-purge feed must not be forced
+    # through the driver
+    return merged.join(deletes, keys, "left_anti")

@@ -123,3 +123,83 @@ def dedup_file_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__prev").isNull() | (F.col("__h") != F.col("__prev")))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "cdc_apply",
+    oracle="""
+    WITH cur AS (
+        SELECT event_id, value AS v FROM events WHERE event_id % 2 = 0
+    ), feed AS (
+        SELECT event_id, 1 AS seq, 'U' AS op, value + 1.0 AS v
+        FROM events WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT event_id, 2 AS seq, 'D' AS op, NULL AS v
+        FROM events WHERE event_id % 6 = 0
+        UNION ALL
+        SELECT event_id + 10000000 AS event_id, 1 AS seq, 'I' AS op, 2.5 AS v
+        FROM events WHERE event_id % 5 = 0
+    ), latest AS (
+        SELECT event_id, op, v FROM (
+            SELECT f.*, row_number() OVER (
+                PARTITION BY event_id
+                ORDER BY seq DESC,
+                         CASE op WHEN 'D' THEN 0 WHEN 'U' THEN 1 ELSE 2 END
+            ) AS rn FROM feed f
+        ) WHERE rn = 1
+    ), ups AS (
+        SELECT event_id, v FROM latest WHERE op IN ('I','U')
+    ), merged AS (
+        SELECT coalesce(c.event_id, u.event_id) AS event_id,
+               CASE WHEN u.event_id IS NOT NULL THEN u.v ELSE c.v END AS v
+        FROM cur c FULL OUTER JOIN ups u ON c.event_id = u.event_id
+    )
+    SELECT m.event_id, m.v AS value
+    FROM merged m
+    WHERE NOT EXISTS (
+        SELECT 1 FROM latest d
+        WHERE d.op = 'D' AND d.event_id = m.event_id
+    )
+    """,
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-`APPLY CHANGES INTO` semantics over vanilla parquet
+    (`operators/merge.py apply_cdc`): an out-of-order CDC feed —
+    updates at seq 1, later deletes at seq 2 overriding half of them,
+    inserts of brand-new keys — collapses to the latest op per key
+    (one batch-sized window), upserts through MERGE, and anti-joins
+    the deletes.  The same key can appear as U then D in one batch and
+    the destructive op wins, which is what replaying a CDC log
+    at-least-once requires.  The oracle replays the identical
+    reduction as SQL.
+    """
+    from tcdb_spark.operators.merge import apply_cdc
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    cur = e.where(F.col("event_id") % 2 == 0).select("event_id", F.col("value"))
+    feed = (
+        e.where(F.col("event_id") % 3 == 0)
+        .select(
+            "event_id",
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("value") + F.lit(1.0)).alias("value"),
+        )
+        .unionByName(
+            e.where(F.col("event_id") % 6 == 0).select(
+                "event_id",
+                F.lit(2).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("value"),
+            )
+        )
+        .unionByName(
+            e.where(F.col("event_id") % 5 == 0).select(
+                (F.col("event_id") + F.lit(10000000)).alias("event_id"),
+                F.lit(1).alias("seq"),
+                F.lit("I").alias("op"),
+                F.lit(2.5).alias("value"),
+            )
+        )
+    )
+    return apply_cdc(cur, feed, keys=["event_id"]).select("event_id", "value")

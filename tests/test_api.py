@@ -197,3 +197,18 @@ def test_engine_training_facade(spark, tmp_path):
         spark.createDataFrame([("x", "y"), ("y", "z")], ["src", "dst"]), iters=2
     )
     assert abs(sum(r["val"] for r in pr.collect()) - 1.0) < 1e-9
+
+
+def test_engine_apply_changes(spark, tmp_path):
+    from tcdb_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh2"))
+    eng.warehouse.write("kv", spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    feed = spark.createDataFrame(
+        [(2, 1, "U", "b2"), (1, 1, "D", None), (9, 1, "I", "i")],
+        ["k", "seq", "op", "v"],
+    )
+    v = eng.apply_changes("kv", feed, keys=["k"])
+    assert v == 2
+    out = {r["k"]: r["v"] for r in eng.table("kv").collect()}
+    assert out == {2: "b2", 9: "i"}

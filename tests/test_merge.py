@@ -200,3 +200,32 @@ def test_merge_scoped_schema_evolution(spark, tmp_path):
     wh.merge_scoped("obs", inc2, ["storm_id"])
     got2 = {r.storm_id: (r.wind, r.provenance) for r in wh.read("obs").collect()}
     assert got2[1] == (55.0, "reanalysis")
+
+
+def test_apply_cdc_semantics_and_replay(spark):
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.operators.merge import apply_cdc
+
+    cur = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    feed = spark.createDataFrame(
+        [
+            (2, 1, "U", "b2"),   # update
+            (3, 1, "U", "c2"),   # update...
+            (3, 2, "D", None),   # ...then delete wins (higher seq)
+            (4, 1, "I", "d"),    # insert new key
+            (5, 1, "D", None),   # delete of a key we never had: no-op
+            (1, 7, "U", "a2"),   # same key, same seq as a D below
+            (1, 7, "D", None),   # tie -> destructive op wins
+        ],
+        ["k", "seq", "op", "v"],
+    )
+    out = {r["k"]: r["v"] for r in apply_cdc(cur, feed, keys=["k"]).collect()}
+    assert out == {2: "b2", 4: "d"}
+
+    # replaying the same feed over the applied table is a fixed point
+    applied = apply_cdc(cur, feed, keys=["k"])
+    again = {r["k"]: r["v"] for r in apply_cdc(applied, feed, keys=["k"]).collect()}
+    assert again == out
