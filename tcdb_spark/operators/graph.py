@@ -30,9 +30,20 @@ def connected_components(
     """Return (id, label) with label = min node id of the connected
     component. Only nodes that appear in ``edges`` are labelled
     (isolated nodes are by definition their own singleton cluster)."""
+    # symmetrize with ONE pass over the (possibly expensive) edge
+    # derivation: explode each edge into both directions instead of
+    # self-unioning the plan, which would execute the upstream join
+    # twice (measured 2x input bytes in SHUFFLE_PROFILE.md)
     sym = (
-        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("node"), F.col(dst).alias("nbr")),
+                    F.struct(F.col(dst).alias("node"), F.col(src).alias("nbr")),
+                )
+            ).alias("e")
+        )
+        .select("e.node", "e.nbr")
         .distinct()
         .persist()
     )
@@ -93,8 +104,15 @@ def pagerank(
     rounds 1..N-1.
     """
     sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .distinct()
         .persist()
     )
