@@ -238,3 +238,70 @@ def apply_cdc(
     # broadcast at runtime) but a bulk-purge feed must not be forced
     # through the driver
     return merged.join(deletes, keys, "left_anti")
+
+
+def cdc_bootstrap(
+    df: DataFrame, seq_col: str = "seq", deleted_col: str = "__deleted"
+) -> DataFrame:
+    """Prepare a plain table for :func:`apply_cdc_soft`: stamp every
+    existing row with sequence 0 and a live tombstone flag."""
+    return df.withColumn(seq_col, F.lit(0).cast("long")).withColumn(
+        deleted_col, F.lit(False)
+    )
+
+
+def cdc_view(
+    table: DataFrame, seq_col: str = "seq", deleted_col: str = "__deleted"
+) -> DataFrame:
+    """The user-facing view of a soft-delete CDC table: live rows only,
+    bookkeeping columns dropped."""
+    return table.where(~F.col(deleted_col)).drop(seq_col, deleted_col)
+
+
+def apply_cdc_soft(
+    current: DataFrame,
+    feed: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    deleted_col: str = "__deleted",
+) -> DataFrame:
+    """CDC apply that stays correct under out-of-order delivery ACROSS
+    batches — the property :func:`apply_cdc` cannot give (a hard delete
+    leaves nothing for a later-arriving stale update to compare
+    against, so the stale row would resurrect).  Standard lakehouse
+    remedy: tombstones.  Deletes become rows with ``deleted_col=true``,
+    every row carries the sequence number that produced it, and a MERGE
+    guard rejects any incoming op whose sequence is behind the row's —
+    so batches may arrive in any order and replays are no-ops.  Ties
+    resolve destructively (a delete at the same sequence as an update
+    wins).  ``current`` must carry ``seq_col``/``deleted_col``
+    (bootstrap with :func:`cdc_bootstrap`); read through
+    :func:`cdc_view`.  Same shuffle shape as apply_cdc: one batch-sized
+    window + the MERGE join.  Tombstone GC is a maintenance delete
+    (delete_where on deleted rows older than the replay horizon).
+    """
+    w = W.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        F.when(F.col(op_col) == "D", 0).when(F.col(op_col) == "U", 1).otherwise(2),
+    )
+    latest = (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    inc = latest.withColumn(deleted_col, F.col(op_col) == "D").drop(op_col)
+    # newer sequence always applies; equal sequence only if destructive
+    guard = (F.col(f"inc.{seq_col}") > F.col(f"cur.{seq_col}")) | (
+        (F.col(f"inc.{seq_col}") == F.col(f"cur.{seq_col}"))
+        & F.col(f"inc.{deleted_col}")
+    )
+    compare = [c for c in inc.columns if c not in keys]
+    return merge(
+        current,
+        inc,
+        keys,
+        compare_cols=compare,
+        update_guards=guard,
+        dedupe_incoming=False,
+    )

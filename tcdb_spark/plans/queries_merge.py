@@ -203,3 +203,83 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return apply_cdc(cur, feed, keys=["event_id"]).select("event_id", "value")
+
+
+@register(
+    "cdc_apply_soft",
+    oracle="""
+    WITH cur AS (
+        SELECT event_id, value AS v, CAST(0 AS BIGINT) AS seq, FALSE AS del
+        FROM events WHERE event_id % 2 = 0
+    ), feed AS (
+        SELECT event_id, CAST(1 AS BIGINT) AS seq, 'U' AS op, value + 1.0 AS v
+        FROM events WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT event_id, CAST(2 AS BIGINT) AS seq, 'D' AS op, NULL AS v
+        FROM events WHERE event_id % 6 = 0
+        UNION ALL
+        SELECT event_id + 10000000 AS event_id, CAST(1 AS BIGINT) AS seq,
+               'I' AS op, 2.5 AS v
+        FROM events WHERE event_id % 5 = 0
+    ), unioned AS (
+        SELECT event_id, v, seq, del FROM cur
+        UNION ALL
+        SELECT event_id, v, seq, (op = 'D') AS del FROM feed
+    ), latest AS (
+        SELECT event_id, v, seq, del FROM (
+            SELECT u.*, row_number() OVER (
+                PARTITION BY event_id
+                ORDER BY seq DESC, CASE WHEN del THEN 0 ELSE 1 END
+            ) AS rn FROM unioned u
+        ) WHERE rn = 1
+    )
+    SELECT event_id, v AS value, seq AS applied_seq
+    FROM latest WHERE NOT del
+    """,
+)
+def cdc_apply_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-delete CDC apply (`operators/merge.py apply_cdc_soft`):
+    tombstones + a per-row applied-sequence guard make the apply
+    correct under out-of-order delivery ACROSS batches, not just
+    within one (a hard delete leaves nothing to compare a late stale
+    update against — the tombstone does).  The oracle states the
+    fixpoint directly: per key, the max-sequence op wins
+    (destructive on ties), and tombstoned keys disappear from the
+    live view.  Same feed as `cdc_apply`, so the two rows together
+    document exactly what the soft variant buys.
+    """
+    from tcdb_spark.operators.merge import apply_cdc_soft, cdc_bootstrap
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    cur = cdc_bootstrap(
+        e.where(F.col("event_id") % 2 == 0).select("event_id", "value")
+    )
+    feed = (
+        e.where(F.col("event_id") % 3 == 0)
+        .select(
+            "event_id",
+            F.lit(1).cast("long").alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("value") + F.lit(1.0)).alias("value"),
+        )
+        .unionByName(
+            e.where(F.col("event_id") % 6 == 0).select(
+                "event_id",
+                F.lit(2).cast("long").alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("value"),
+            )
+        )
+        .unionByName(
+            e.where(F.col("event_id") % 5 == 0).select(
+                (F.col("event_id") + F.lit(10000000)).alias("event_id"),
+                F.lit(1).cast("long").alias("seq"),
+                F.lit("I").alias("op"),
+                F.lit(2.5).alias("value"),
+            )
+        )
+    )
+    out = apply_cdc_soft(cur, feed, keys=["event_id"])
+    return out.where(~F.col("__deleted")).select(
+        "event_id", "value", F.col("seq").alias("applied_seq")
+    )

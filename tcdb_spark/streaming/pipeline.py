@@ -439,3 +439,67 @@ def stream_embedding_index(
         )
         .start()
     )
+
+
+def stream_cdc_apply(
+    spark: SparkSession,
+    feed_dir: str,
+    warehouse: Warehouse,
+    schema: T.StructType,
+    table: str,
+    keys: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous CDC ingestion: change files land in ``feed_dir``, each
+    micro-batch applies through ``operators/merge.apply_cdc_soft`` and
+    commits a new warehouse version — the streaming half of the
+    ``cdc_apply_soft`` catalog query.
+
+    The soft variant is what makes this safe as a STREAM: micro-batch
+    boundaries are arbitrary cuts of the log, so ops for one key can
+    straddle batches in any order — the per-row applied-sequence guard
+    and tombstones make every batch order converge to the same table,
+    and checkpoint-recovery re-delivery of a whole batch is a no-op.
+    The table must be bootstrapped (``cdc_bootstrap``) or absent (first
+    batch creates it).  Read through ``cdc_view``.
+
+    Returns the started StreamingQuery (AvailableNow).
+    """
+    from tcdb_spark.operators.merge import apply_cdc_soft, cdc_bootstrap
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # AvailableNow honors source rate limits: one file per
+        # micro-batch exercises the cross-batch ordering guarantees
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(feed_dir)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if warehouse.exists(table):
+            cur = warehouse.read(table)
+        else:
+            payload = [
+                c for c in batch_df.columns if c not in {seq_col, op_col}
+            ]
+            cur = cdc_bootstrap(
+                batch_df.select(*payload).limit(0), seq_col=seq_col
+            )
+        out = apply_cdc_soft(
+            cur, batch_df, keys, seq_col=seq_col, op_col=op_col
+        )
+        warehouse.write(table, out)
+
+    writer = (
+        feed.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{warehouse.root}/_checkpoints/cdc_{table}",
+        )
+    )
+    return writer.start()

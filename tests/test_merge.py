@@ -229,3 +229,65 @@ def test_apply_cdc_semantics_and_replay(spark):
     applied = apply_cdc(cur, feed, keys=["k"])
     again = {r["k"]: r["v"] for r in apply_cdc(applied, feed, keys=["k"]).collect()}
     assert again == out
+
+
+def test_apply_cdc_soft_out_of_order_batches(spark):
+    """Soft CDC must converge to the same table whichever order the
+    batches arrive in — the guarantee the hard-delete form cannot give."""
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.operators.merge import apply_cdc_soft, cdc_bootstrap, cdc_view
+
+    cur = cdc_bootstrap(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    # true log order: seq1 U(k=1,a2), seq2 D(k=1), seq3 U(k=2,b2)
+    b_early = spark.createDataFrame(
+        [(1, 1, "U", "a2"), (3, 1, "I", "c")], ["k", "seq", "op", "v"]
+    )
+    b_late = spark.createDataFrame(
+        [(1, 2, "D", None), (2, 3, "U", "b2")], ["k", "seq", "op", "v"]
+    )
+
+    in_order = apply_cdc_soft(apply_cdc_soft(cur, b_early, ["k"]), b_late, ["k"])
+    reversed_ = apply_cdc_soft(apply_cdc_soft(cur, b_late, ["k"]), b_early, ["k"])
+
+    want = {2: "b2", 3: "c"}  # k=1 deleted; stale U(k=1) must NOT resurrect
+    assert {r["k"]: r["v"] for r in cdc_view(in_order).collect()} == want
+    assert {r["k"]: r["v"] for r in cdc_view(reversed_).collect()} == want
+    # tombstone retains the delete's sequence for future staleness checks
+    dead = in_order.where(F.col("__deleted")).collect()
+    assert [(r["k"], r["seq"]) for r in dead] == [(1, 2)]
+
+
+def test_stream_cdc_apply_end_to_end(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from tcdb_spark.operators.merge import cdc_view
+    from tcdb_spark.sources.warehouse import Warehouse
+    from tcdb_spark.streaming.pipeline import stream_cdc_apply
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    feed_dir = str(tmp_path / "feed")
+    # file 1 carries the LATER half of the log, file 2 the earlier half
+    spark.createDataFrame(
+        [(1, 2, "D", None), (2, 3, "U", "b2")], schema
+    ).coalesce(1).write.parquet(feed_dir)
+    spark.createDataFrame(
+        [(1, 1, "U", "a1"), (2, 1, "I", "b"), (3, 1, "I", "c")], schema
+    ).coalesce(1).write.mode("append").parquet(feed_dir)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    q = stream_cdc_apply(
+        spark, feed_dir, wh, schema, "kv", ["k"], max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    out = {r["k"]: r["v"] for r in cdc_view(wh.read("kv")).collect()}
+    assert out == {2: "b2", 3: "c"}
+    assert len(wh.versions("kv")) >= 2  # one commit per non-empty batch
