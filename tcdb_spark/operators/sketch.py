@@ -27,6 +27,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def misra_gries_partials(tokens: DataFrame, col: str, capacity: int) -> DataFrame:
@@ -92,3 +93,75 @@ def heavy_hitters_exact(
         .where(F.col("cnt") * k >= F.col("__n"))
         .select("token", "cnt")
     )
+
+
+def hist_partials(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Equi-width histogram partials — the mergeable quantile summary
+    (the fixed-binning cousin of t-digest/KLL: coarser but exactly
+    deterministic, so the DuckDB oracle reproduces it bit-for-bit).
+    One row per (group, bin); merging shards/batches is a SUM — the
+    same contract as the HLL/Misra-Gries state in this module, so it
+    drops into rollup_partial/rollup_merge unchanged.  Values outside
+    [lo, hi) clamp to the edge bins."""
+    width = (hi - lo) / n_bins
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+        ),
+    ).cast("int")
+    return (
+        df.groupBy(*group_cols, bin_col.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_quantile(
+    partials: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Quantile estimates from histogram partials: walk the cumulative
+    bin counts to the first bin covering q*total, interpolate linearly
+    inside it.  The estimate lands in the bin holding the ceil(q*n)-th
+    order statistic, so error vs that order stat is bounded by one bin
+    width (test-gated; note interpolated ``percentile()`` is a
+    different estimator and can sit an order-statistic gap away in a
+    sparse tail).  All arithmetic is integer counts plus one
+    division, so the estimate is cross-engine exact (no order-dependent
+    float sums)."""
+    width = (hi - lo) / n_bins
+    w = W.partitionBy(*group_cols).orderBy("bin")
+    cum = partials.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(W.partitionBy(*group_cols))
+    )
+    out = None
+    for q in qs:
+        target = F.ceil(F.lit(q) * F.col("total"))
+        # the first bin whose cumulative count reaches the target
+        hit = (
+            cum.where(F.col("cum") >= target)
+            .withColumn(
+                "__rn",
+                F.row_number().over(W.partitionBy(*group_cols).orderBy("bin")),
+            )
+            .where(F.col("__rn") == 1)
+        )
+        frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        est = hit.select(
+            *group_cols,
+            F.lit(q).alias("q"),
+            F.round(F.lit(lo) + (F.col("bin") + frac) * F.lit(width), 4).alias("est"),
+        )
+        out = est if out is None else out.unionByName(est)
+    return out

@@ -447,3 +447,47 @@ def variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").alias("n_distinct_k"),
         )
     )
+
+
+@register(
+    "approx_quantile_hist",
+    oracle="""
+    WITH bins AS (
+        SELECT source,
+               CAST(least(63, greatest(0, CAST(floor(n_chars / 10.0) AS BIGINT)))
+                    AS INTEGER) AS bin,
+               count(*) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), cum AS (
+        SELECT source, bin, cnt,
+               sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+               sum(cnt) OVER (PARTITION BY source) AS total
+        FROM bins
+    ), qv AS (
+        SELECT CAST(0.5 AS DOUBLE) AS q UNION ALL SELECT CAST(0.9 AS DOUBLE)
+    ), hit AS (
+        SELECT c.source, qv.q, c.bin, c.cnt, c.cum, c.total,
+               row_number() OVER (PARTITION BY c.source, qv.q ORDER BY c.bin) AS rn
+        FROM cum c JOIN qv ON c.cum >= ceil(qv.q * c.total)
+    )
+    SELECT source, q,
+           round((bin + (ceil(q * total) - (cum - cnt)) * 1.0 / cnt) * 10.0, 4) AS est
+    FROM hit WHERE rn = 1
+    """,
+)
+def approx_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles (`operators/sketch.py
+    hist_partials`/`hist_quantile`): p50/p90 of document length per
+    source from a 64-bin equi-width summary.  The partials are a SUM
+    under merge — the same contract as the HLL and Misra-Gries state,
+    so shards/days combine without touching raw data; error is bounded
+    by one bin width (test-gated vs exact percentile).  Unlike
+    approx_percentile's randomized sketch, fixed binning is
+    deterministic, which is what makes a cross-engine value-exact
+    oracle possible for an *approximate* operator.
+    """
+    from tcdb_spark.operators.sketch import hist_partials, hist_quantile
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    parts = hist_partials(d, "n_chars", ["source"], lo=0.0, hi=640.0, n_bins=64)
+    return hist_quantile(parts, ["source"], [0.5, 0.9], lo=0.0, hi=640.0, n_bins=64)

@@ -227,3 +227,50 @@ def test_ivf_persisted_index_prunes_partitions_and_matches(spark, tmp_path):
     got.collect()
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200], plan[:1500]
+
+
+def test_hist_quantile_error_bound_and_merge(spark):
+    """Histogram quantile must sit within one bin width of the exact
+    percentile, and partials must merge by SUM (shard-invariance)."""
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.operators.sketch import hist_partials, hist_quantile
+    from tcdb_spark.plans.catalog import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.001", "documents")["documents"]
+    lo, hi, bins = 0.0, 640.0, 64
+    width = (hi - lo) / bins
+
+    parts = hist_partials(d, "n_chars", ["source"], lo, hi, bins)
+    est = {
+        (r["source"], r["q"]): r["est"]
+        for r in hist_quantile(parts, ["source"], [0.5, 0.9], lo, hi, bins).collect()
+    }
+    # the sketch targets the DISCRETE rank ceil(q*n) (interpolated
+    # percentile() can sit a whole order-statistic gap away in a sparse
+    # tail); the ceil(q*n)-th value lies in the hit bin, so the bound
+    # vs that order stat is one bin width
+    import math
+
+    by_src: dict[str, list[int]] = {}
+    for r in d.select("source", "n_chars").collect():
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    for src, vals in by_src.items():
+        vals.sort()
+        for q in (0.5, 0.9):
+            v = vals[math.ceil(q * len(vals)) - 1]
+            assert abs(est[(src, q)] - v) <= width
+
+    # shard-merge: partials from two halves, summed, give identical estimates
+    h1 = hist_partials(d.where(F.col("doc_id") % 2 == 0), "n_chars", ["source"], lo, hi, bins)
+    h2 = hist_partials(d.where(F.col("doc_id") % 2 == 1), "n_chars", ["source"], lo, hi, bins)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("source", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    est2 = {
+        (r["source"], r["q"]): r["est"]
+        for r in hist_quantile(merged, ["source"], [0.5, 0.9], lo, hi, bins).collect()
+    }
+    assert est == est2
