@@ -106,10 +106,11 @@ def hist_partials(
     """Equi-width histogram partials — the mergeable quantile summary
     (the fixed-binning cousin of t-digest/KLL: coarser but exactly
     deterministic, so the DuckDB oracle reproduces it bit-for-bit).
-    One row per (group, bin); merging shards/batches is a SUM — the
-    same contract as the HLL/Misra-Gries state in this module, so it
-    drops into rollup_partial/rollup_merge unchanged.  Values outside
-    [lo, hi) clamp to the edge bins."""
+    One row per (group, bin); merging shards/batches is a SUM on
+    (group, bin) — the same mergeable-state contract as the
+    HLL/Misra-Gries summaries in this module, composing with the
+    incremental-rollup pattern (state keyed one level finer).  Values
+    outside [lo, hi) clamp to the edge bins."""
     width = (hi - lo) / n_bins
     bin_col = F.least(
         F.lit(n_bins - 1),

@@ -34,7 +34,13 @@ import glob
 import gzip
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class DeckFilePartition(InputPartition):
@@ -83,8 +89,78 @@ class DeckDataSource(DataSource):
     def reader(self, schema) -> DeckReader:
         return DeckReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "DeckWriter":
+        return DeckWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent session registration:
     ``spark.read.format('deckdir').option('path', dir).load()``."""
     spark.dataSource.register(DeckDataSource)
+
+
+class DeckCommitMessage(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class DeckWriter(DataSourceWriter):
+    """Writer half of the custom source: one deck text file per
+    partition, written executor-side (the distributed form of the
+    reference's file-per-group sink loops, db/sql_export.py:19-28).
+
+    Commit protocol: each task writes ``part-<partition>-<attempt>`` to
+    a hidden staging name and reports it in its commit message; the
+    driver's ``commit`` publishes a ``_MANIFEST`` naming exactly the
+    committed files, so readers (and ``abort`` cleanup) never see
+    half-written output — the same files-then-pointer discipline as the
+    versioned warehouse.  ``line_col`` selects the string column to
+    emit; ``gz`` compresses members like real deck archives.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.dir = options["path"]
+        self.line_col = options.get("line_col", "line")
+        self.gz = options.get("gz", "false").lower() == "true"
+        if overwrite and os.path.isdir(self.dir):
+            for f in glob.glob(os.path.join(self.dir, "*")):
+                os.remove(f)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid, att = ctx.partitionId(), ctx.taskAttemptId()
+        ext = ".dat.gz" if self.gz else ".dat"
+        name = f".staged-part-{pid:05d}-{att}{ext}"
+        path = os.path.join(self.dir, name)
+        opener = gzip.open if self.gz else open
+        n = 0
+        with opener(path, "wt") as f:
+            for row in iterator:
+                f.write(getattr(row, self.line_col) + "\n")
+                n += 1
+        if n == 0:
+            os.remove(path)
+            return DeckCommitMessage("", 0)
+        return DeckCommitMessage(path, n)
+
+    def commit(self, messages):
+        final = []
+        for m in messages:
+            if not m.path:
+                continue
+            pub = os.path.join(
+                self.dir, os.path.basename(m.path).removeprefix(".staged-")
+            )
+            os.replace(m.path, pub)
+            final.append(os.path.basename(pub))
+        with open(os.path.join(self.dir, "_MANIFEST"), "w") as f:
+            f.write("\n".join(sorted(final)) + "\n")
+
+    def abort(self, messages):
+        for m in messages:
+            if m.path and os.path.exists(m.path):
+                os.remove(m.path)

@@ -92,3 +92,49 @@ def test_deckdir_python_datasource(spark, tmp_path):
     parsed = parse_bdeck_lines(df.select(F.col("line").alias("value")))
     assert parsed.count() == 4
     assert parsed.where(F.col("basin") == "AL").count() == 4
+
+
+def test_deckdir_writer_roundtrip(spark, tmp_path):
+    """Writer half of the custom Python DataSource: partitioned deck
+    write with a staged-then-manifest commit, read back via the reader."""
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.sources import deck_source
+
+    deck_source.register(spark)
+    out = tmp_path / "deckout"
+    lines = [f"AL, 09, 2022091{i}00, {i:02d}" for i in range(20)]
+    df = spark.createDataFrame([(ln,) for ln in lines], ["line"]).repartition(4)
+    df.write.format("deckdir").option("path", str(out)).mode("overwrite").save()
+
+    import os
+
+    names = sorted(os.listdir(out))
+    assert "_MANIFEST" in names
+    assert not [n for n in names if n.startswith(".staged-")]
+    manifest = (out / "_MANIFEST").read_text().split()
+    assert all((out / m).exists() for m in manifest)
+
+    back = spark.read.format("deckdir").option("path", str(out)).load()
+    got = sorted(r["line"] for r in back.select("line").collect())
+    assert got == sorted(lines)
+
+    # overwrite replaces prior content (no stale parts accumulate)
+    df.limit(3).write.format("deckdir").option("path", str(out)).mode(
+        "overwrite"
+    ).save()
+    again = spark.read.format("deckdir").option("path", str(out)).load()
+    assert again.count() == 3
+
+
+def test_deckdir_writer_gz(spark, tmp_path):
+    from tcdb_spark.sources import deck_source
+
+    deck_source.register(spark)
+    out = tmp_path / "deckgz"
+    df = spark.createDataFrame([("a b c",), ("d e f",)], ["line"]).coalesce(1)
+    df.write.format("deckdir").option("path", str(out)).option("gz", "true").mode(
+        "overwrite"
+    ).save()
+    back = spark.read.format("deckdir").option("path", str(out)).load()
+    assert sorted(r["line"] for r in back.collect()) == ["a b c", "d e f"]
