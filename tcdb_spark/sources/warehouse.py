@@ -406,7 +406,13 @@ class Warehouse:
             "n_buckets": n_buckets,
         }
 
-    def compact(self, table: str, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    def compact(
+        self,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        zorder_cols: list[str] | None = None,
+        zorder_bits: int = 16,
+    ) -> dict:
         """Rewrite the current version into right-sized files as version
         n+1 (content-identical — only the file layout changes).
 
@@ -424,6 +430,14 @@ class Warehouse:
         - plain tables: round-robin repartition to
           ``ceil(bytes / target_file_bytes)`` tasks.
 
+        ``zorder_cols`` turns the rewrite into Delta's OPTIMIZE ZORDER
+        BY for plain tables: rows are range-partitioned and sorted on
+        the Morton key (sources/clustering.py) during the same rewrite,
+        so multi-column box predicates skip row groups afterwards
+        (re-collect file stats to also enable file-level skipping).
+        Rejected for bucketed tables — their organizing principle is
+        the bucket hash + sort spec, which z-ordering would fight.
+
         Old version stays readable until vacuumed. Single-writer contract
         applies. Returns {'version', 'files_before', 'files_after'}.
         """
@@ -438,6 +452,11 @@ class Warehouse:
             if not n.startswith(("_", "."))
         )
         if os.path.exists(self._bucket_marker(table, v_old)):
+            if zorder_cols:
+                raise ValueError(
+                    "zorder_cols applies to plain tables; bucketed tables "
+                    "keep their bucket-hash clustering through compaction"
+                )
             spec = self._bucket_spec(table, v_old)
             # read the files directly, NOT through the bucketed catalog
             # table: a bucketed scan reports HashPartitioning(cols, n), so
@@ -466,7 +485,20 @@ class Warehouse:
                 if not n.startswith(("_", "."))
             )
             n_files = max(1, -(-total_bytes // target_file_bytes))
-            v_new = self.write(table, df.repartition(n_files), expect_version=v_old)
+            if zorder_cols:
+                from tcdb_spark.sources.clustering import zorder_key
+
+                keyed = df.withColumn(
+                    "__zkey", zorder_key(df, zorder_cols, zorder_bits)
+                )
+                packed = (
+                    keyed.repartitionByRange(n_files, F.col("__zkey"))
+                    .sortWithinPartitions("__zkey")
+                    .drop("__zkey")
+                )
+            else:
+                packed = df.repartition(n_files)
+            v_new = self.write(table, packed, expect_version=v_old)
         new_path = os.path.join(self._dir(table), f"v={v_new}")
         files_after = sum(
             1

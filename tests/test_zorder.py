@@ -113,3 +113,49 @@ def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
     # and the pruned scan still projects only the referenced column
     read = plan.split("ReadSchema")[1][:100]
     assert "v:bigint" in read
+
+
+def test_compact_with_zorder(spark, tmp_path):
+    """OPTIMIZE-ZORDER path of Warehouse.compact: content identical,
+    multi-column box predicate skips row groups after the rewrite."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = 40_000
+    df = (
+        spark.range(n)
+        .withColumn("x", (F.col("id") * 7919) % 1000)
+        .withColumn("y", (F.col("id") * 104729) % 1000)
+        .repartition(16)  # fragmented, unordered layout
+    )
+    wh.write("pts", df)
+    before = wh.read("pts").agg(F.sum(F.hash("id", "x", "y"))).first()[0]
+
+    info = wh.compact("pts", target_file_bytes=64 * 1024, zorder_cols=["x", "y"])
+    assert info["version"] == 2
+    after = wh.read("pts").agg(F.sum(F.hash("id", "x", "y"))).first()[0]
+    assert before == after  # rewrite is content-identical
+
+    # a 10%x10% box should now skip most row groups in every file
+    from tcdb_spark.sources.clustering import row_groups_matching
+
+    files = g.glob(str(tmp_path / "wh" / "pts" / "v=2" / "*.parquet"))
+    hit = tot = 0
+    for p in files:
+        h, t = row_groups_matching(p, {"x": (0, 100), "y": (0, 100)})
+        hit += h
+        tot += t
+    assert tot > 4
+    assert hit / tot < 0.5, f"z-order should prune: {hit}/{tot}"
+
+    # bucketed tables refuse the option
+    wh.write_bucketed("bk", df, ["id"], 4, ["id"])
+    try:
+        wh.compact("bk", zorder_cols=["x"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
