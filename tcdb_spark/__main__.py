@@ -137,6 +137,27 @@ def cmd_optimize(args) -> int:
     return 0
 
 
+def cmd_cdc(args) -> int:
+    """Continuous CDC ingestion: drain change files from a landing dir
+    into a warehouse table via the soft-delete apply (out-of-order
+    safe, replay-idempotent); see OPERATIONS.md ingest cadence."""
+    from pyspark.sql import types as T
+
+    from tcdb_spark.streaming.pipeline import stream_cdc_apply
+
+    spark = _spark()
+    wh = _wh(spark, args.warehouse)
+    schema = T.StructType.fromJson(__import__("json").load(open(args.schema)))
+    q = stream_cdc_apply(
+        spark, args.feed, wh, schema, args.table, args.keys,
+        seq_col=args.seq_col, op_col=args.op_col,
+        checkpoint_dir=args.checkpoint,
+    )
+    q.awaitTermination()
+    print({"table": args.table, "version": wh.current_version(args.table)})
+    return 0
+
+
 def cmd_export(args) -> int:
     from tcdb_spark.sources.sinks import export_tables
 
@@ -216,6 +237,17 @@ def build_parser() -> argparse.ArgumentParser:
     sd.add_argument("--window", type=int, default=10)
     sd.add_argument("--max-files-per-trigger", type=int, default=64)
     sd.set_defaults(fn=cmd_span_dedup)
+
+    c = sub.add_parser("cdc", help="apply a CDC feed directory to a warehouse table")
+    common(c)
+    c.add_argument("--feed", required=True, help="landing dir of change-file parquet")
+    c.add_argument("--table", required=True)
+    c.add_argument("--keys", nargs="+", required=True)
+    c.add_argument("--schema", required=True, help="feed schema json (StructType.jsonValue)")
+    c.add_argument("--seq-col", default="seq")
+    c.add_argument("--op-col", default="op")
+    c.add_argument("--checkpoint", default=None)
+    c.set_defaults(fn=cmd_cdc)
 
     e = sub.add_parser("export", help="dump warehouse tables for validation")
     common(e)

@@ -312,3 +312,15 @@ class Engine:
         cur = self.warehouse.read(table)
         out = apply_cdc(cur, feed, keys, seq_col=seq_col, op_col=op_col)
         return self.warehouse.write(table, out)
+
+    def quantiles(
+        self, df: DataFrame, value_col: str, group_cols: list[str],
+        qs: list[float], lo: float, hi: float, n_bins: int = 64,
+    ) -> DataFrame:
+        """Mergeable histogram quantiles (operators/sketch.py
+        hist_partials + hist_quantile) — deterministic approximate
+        percentiles whose state merges by SUM across shards/days."""
+        from tcdb_spark.operators.sketch import hist_partials, hist_quantile
+
+        parts = hist_partials(df, value_col, group_cols, lo, hi, n_bins)
+        return hist_quantile(parts, group_cols, qs, lo, hi, n_bins)

@@ -105,3 +105,44 @@ def test_cli_span_dedup(spark, tmp_path):
     )
     spans = spark.read.parquet(str(tmp_path / "spans"))
     assert [r.doc_id for r in spans.collect()] == [2]  # doc 1 owns the passage
+
+
+def test_cli_cdc_apply(spark, tmp_path):
+    import json
+
+    from pyspark.sql import types as T
+
+    from tcdb_spark.__main__ import main
+    from tcdb_spark.operators.merge import cdc_view
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    feed = tmp_path / "feed"
+    spark.createDataFrame(
+        [(1, 1, "I", "a"), (2, 1, "I", "b"), (1, 2, "D", None)], schema
+    ).coalesce(1).write.parquet(str(feed))
+    sp = tmp_path / "schema.json"
+    sp.write_text(json.dumps(schema.jsonValue()))
+
+    rc = main(
+        [
+            "cdc",
+            "--warehouse", str(tmp_path / "wh"),
+            "--feed", str(feed),
+            "--table", "kv",
+            "--keys", "k",
+            "--schema", str(sp),
+            "--checkpoint", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    out = {r["k"]: r["v"] for r in cdc_view(wh.read("kv")).collect()}
+    assert out == {2: "b"}
