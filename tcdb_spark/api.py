@@ -324,3 +324,8 @@ class Engine:
 
         parts = hist_partials(df, value_col, group_cols, lo, hi, n_bins)
         return hist_quantile(parts, group_cols, qs, lo, hi, n_bins)
+
+    def clone(self, src_table: str, dst_table: str, version: int | None = None) -> int:
+        """Shallow clone a warehouse table (zero-copy hard links;
+        Warehouse.clone) — the sandbox-experiment primitive."""
+        return self.warehouse.clone(src_table, dst_table, version)

@@ -534,6 +534,49 @@ class Warehouse:
             removed.append(v)
         return removed
 
+    def clone(self, src_table: str, dst_table: str, version: int | None = None) -> int:
+        """Shallow clone (the Delta ``CREATE TABLE ... SHALLOW CLONE``
+        shape): publish ``dst_table`` v=1 whose data files are hard
+        links into ``src_table``'s ``version`` (default: current) —
+        O(files) metadata, zero bytes copied. The clone is immediately
+        writable and fully independent: its MERGEs publish new versions
+        under its own directory, never touching the source's files
+        (hard-linked parquet is never modified in place — every write
+        path here creates new files). Bucket spec and file stats carry
+        over, so the clone keeps shuffle-free MERGE plans and skipping.
+        The sandbox-experiment primitive: curate/repair on a clone,
+        diff against the source, then either promote or drop it."""
+        v_src = version if version is not None else self.current_version(src_table)
+        if v_src is None:
+            raise FileNotFoundError(f"table {src_table} does not exist")
+        src = os.path.join(self._dir(src_table), f"v={v_src}")
+        if not os.path.isdir(src):
+            raise FileNotFoundError(
+                f"table {src_table} version {v_src} was vacuumed "
+                f"(retained: {self.versions(src_table)})"
+            )
+        if self.exists(dst_table):
+            raise FileExistsError(f"table {dst_table} already exists")
+        with self._write_lock(dst_table):
+            dst = os.path.join(self._dir(dst_table), "v=1")
+            shutil.rmtree(dst, ignore_errors=True)
+            os.makedirs(dst)
+            for f in sorted(os.listdir(src)):
+                if f.startswith(("_", ".")):
+                    continue
+                os.link(os.path.join(src, f), os.path.join(dst, f))
+            src_marker = self._bucket_marker(src_table, v_src)
+            if os.path.exists(src_marker):
+                shutil.copyfile(src_marker, self._bucket_marker(dst_table, 1))
+            stats = self._stats_path(src_table, v_src)
+            if os.path.exists(stats):
+                shutil.copyfile(stats, self._stats_path(dst_table, 1))
+            tmp = self._pointer(dst_table) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write("1")
+            os.replace(tmp, self._pointer(dst_table))
+        return 1
+
     def restore(self, table: str, version: int) -> int:
         """Roll the table back to a committed ``version`` by publishing
         it as the NEXT version (the Delta ``RESTORE TABLE ... TO

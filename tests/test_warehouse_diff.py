@@ -200,3 +200,40 @@ def test_two_roots_same_table_name_do_not_collide(spark, tmp_path):
     assert b.read("obs").collect()[0].storm_id == 2
     # root A's registration was replaced; reading A again must re-register
     assert a.read("obs").collect()[0].storm_id == 1
+
+
+def test_shallow_clone_independent_and_zero_copy(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.operators.merge import merge
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whc"))
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    wh.write("base", df)
+
+    assert wh.clone("base", "sandbox") == 1
+    # zero-copy: same inodes
+    b = {f: os.stat(os.path.join(tmp_path, "whc", "base", "v=1", f)).st_ino
+         for f in os.listdir(tmp_path / "whc" / "base" / "v=1")
+         if not f.startswith(("_", "."))}
+    c = {f: os.stat(os.path.join(tmp_path, "whc", "sandbox", "v=1", f)).st_ino
+         for f in os.listdir(tmp_path / "whc" / "sandbox" / "v=1")
+         if not f.startswith(("_", "."))}
+    assert b == c and len(b) > 0
+
+    # writes to the clone do not leak into the source
+    inc = spark.createDataFrame([(1, 999), (500, 1)], ["k", "v"])
+    wh.write("sandbox", merge(wh.read("sandbox"), inc, ["k"]))
+    assert wh.read("sandbox").count() == 101
+    assert wh.read("base").count() == 100
+    assert wh.read("base").where(F.col("v") == 999).count() == 0
+
+    # cloning onto an existing name refuses
+    try:
+        wh.clone("base", "sandbox")
+        raise AssertionError("expected FileExistsError")
+    except FileExistsError:
+        pass
