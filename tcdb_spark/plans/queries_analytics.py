@@ -491,3 +491,73 @@ def approx_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     parts = hist_partials(d, "n_chars", ["source"], lo=0.0, hi=640.0, n_bins=64)
     return hist_quantile(parts, ["source"], [0.5, 0.9], lo=0.0, hi=640.0, n_bins=64)
+
+
+@register(
+    "grouped_arrow_ols",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope("value", epoch(ts) / 86400.0), 9) AS slope,
+           round(regr_intercept("value", epoch(ts) / 86400.0), 5) AS intercept
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def grouped_arrow_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend fit via ``groupBy().applyInArrow`` — the
+    grouped Arrow-native lane (SURVEY.md §2.11), completing the Python
+    surface matrix (mapInPandas, mapInArrow, grouped/cogrouped
+    applyInPandas, UDTF, pandas_udf).  The group arrives as a
+    ``pyarrow.Table``; numpy computes the closed-form slope/intercept
+    of value over time directly on the Arrow buffers (zero-copy for
+    numeric columns — no pandas object boxing).  The DuckDB oracle is
+    the built-in ``regr_slope``/``regr_intercept`` pair, and Spark's
+    own ``regr_slope``/``regr_intercept`` aggregates are the
+    recommended production plan (codegen, partial-aggregated) — as
+    with grouped_map_zscore, the Arrow lane exists for per-group logic
+    built-ins cannot express.  Zero-variance groups yield NULL in both
+    engines; slopes are per-day and computed in centered form on both
+    sides, so rounding (1e-9 slope / 1e-5 intercept) sits well above
+    the cross-engine summation noise.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "user_id", "ts", "value"
+    )
+
+    def fit(table: pa.Table) -> pa.Table:
+        uid = table.column("user_id")[0].as_py()
+        x = np.asarray(
+            table.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        ) / (86400.0 * 1_000_000.0)  # timestamp us -> days
+        y = table.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(y)
+        # centered form: the raw normal equations (n*Sxx - Sx^2) cancel
+        # catastrophically when x is epoch days (~2e4) — ~10 digits lost,
+        # measured as 1e-9 slope disagreement vs DuckDB's stable regr_*
+        xc = x - x.mean()
+        yc = y - y.mean()
+        den = float((xc * xc).sum())
+        if den == 0.0:
+            slope, intercept = None, None
+        else:
+            slope = float((xc * yc).sum()) / den
+            intercept = float(y.mean() - slope * x.mean())
+            slope = round(slope, 9)
+            intercept = round(intercept, 5)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "slope": pa.array([slope], pa.float64()),
+                "intercept": pa.array([intercept], pa.float64()),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInArrow(
+        fit, schema="user_id long, n long, slope double, intercept double"
+    )

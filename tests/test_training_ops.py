@@ -179,3 +179,31 @@ def test_join_hint_contracts(spark):
 
     p_merge = plan(big.join(dim.hint("MERGE"), "k"))
     assert "SortMergeJoin" in p_merge
+
+
+def test_grouped_arrow_ols_matches_builtin_regr(spark):
+    """The applyInArrow OLS must agree with Spark's own regr_slope/
+    regr_intercept aggregates (the recommended production plan)."""
+    from tcdb_spark.plans.queries_analytics import grouped_arrow_ols
+
+    got = {
+        r["user_id"]: (r["slope"], r["intercept"])
+        for r in grouped_arrow_ols(spark, SF).collect()
+    }
+    from tcdb_spark.plans.catalog import load_tables
+
+    ev = load_tables(spark, SF, "events")["events"]
+    want = {
+        r["user_id"]: (r["slope"], r["intercept"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.round(
+                F.expr("regr_slope(value, unix_micros(ts) / 86400.0e6)"), 9
+            ).alias("slope"),
+            F.round(
+                F.expr("regr_intercept(value, unix_micros(ts) / 86400.0e6)"), 5
+            ).alias("intercept"),
+        )
+        .collect()
+    }
+    assert got == want
