@@ -244,3 +244,66 @@ def _islands(sorted_positions):
         else:
             runs.append([p, p])
     return [(a, b) for a, b in runs]
+
+
+@_slow
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),          # key
+            st.sampled_from(["I", "U", "D"]),               # op
+            st.integers(min_value=0, max_value=99),         # payload
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    cuts=st.lists(st.integers(min_value=1, max_value=11), max_size=3),
+    order_seed=st.integers(min_value=0, max_value=1000),
+)
+def test_apply_cdc_soft_converges_under_any_batching(spark, ops, cuts, order_seed):
+    """PROPERTY: soft CDC apply reaches the same final table for ANY
+    split of the log into batches applied in ANY order — the guarantee
+    the tombstone + applied-seq guard is supposed to provide."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from tcdb_spark.operators.merge import apply_cdc_soft, cdc_bootstrap, cdc_view
+
+    # one global strictly-increasing seq per event (a log's LSN)
+    feed_rows = [(k, i + 1, op, f"v{val}") for i, (k, op, val) in enumerate(ops)]
+
+    # ground truth: max-seq op per key
+    final: dict[int, tuple[int, str, str]] = {}
+    for k, seq, op, v in feed_rows:
+        if k not in final or seq > final[k][0]:
+            final[k] = (seq, op, v)
+    want = {k: v for k, (seq, op, v) in final.items() if op != "D"}
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    empty = cdc_bootstrap(spark.createDataFrame([], "k long, v string"))
+
+    # split the log at the given cut points, shuffle batch order
+    bounds = sorted({c for c in cuts if c < len(feed_rows)})
+    batches, prev = [], 0
+    for b in bounds + [len(feed_rows)]:
+        if b > prev:
+            batches.append(feed_rows[prev:b])
+            prev = b
+    random.Random(order_seed).shuffle(batches)
+
+    table = empty
+    for batch in batches:
+        table = apply_cdc_soft(
+            table, spark.createDataFrame(batch, schema), ["k"]
+        ).localCheckpoint()
+
+    got = {r["k"]: r["v"] for r in cdc_view(table).collect()}
+    assert got == want
