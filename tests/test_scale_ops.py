@@ -599,3 +599,46 @@ def test_topn_two_phase_equals_plain_window(spark):
         .collect()
     }
     assert two == plain and len(plain) == 25 * 8
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """session.py turns spark.sql.adaptive.skewJoin.enabled on; this
+    pins that AQE actually marks and splits the hot partition
+    (skew=true in the final SMJ) when a join key is pathological —
+    the runtime backstop behind the salted-join operators."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        # 80% of left rows share key 0; right side is uniform
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 5 != 0, F.lit(0))
+            .otherwise(F.pmod(F.col("id"), F.lit(10_000)))
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(10_000).select(
+            F.col("id").alias("k"), F.concat(F.lit("r"), F.col("id")).alias("rv")
+        )
+        j = left.join(right, "k").select("k")
+        # collect() on THIS DataFrame so its own QueryExecution holds
+        # the final adaptive plan (count() would spawn a separate one)
+        assert len(j.collect()) == 400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        # hazard 26: restore via unset when the key was never set
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
