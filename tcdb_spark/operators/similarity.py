@@ -64,9 +64,14 @@ def ivf_search(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 3,
+    candidate_filter=None,
 ) -> DataFrame:
     """Probe the nprobe nearest centroid buckets per query, exact cosine
-    top-k inside. ``queries``: (q_id, q_emb array<double>)."""
+    top-k inside. ``queries``: (q_id, q_emb array<double>).
+    ``candidate_filter``: optional Column over the joined (query x
+    candidate) frame applied BEFORE top-k — e.g. a label-mismatch
+    predicate turns the search into hard-negative mining (k nearest
+    among a constrained candidate class)."""
     cents = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
     # per query: distances to every centroid -> nprobe smallest bucket ids.
     # queries are normalized to match the spherical quantizer (ivf_build)
@@ -101,9 +106,13 @@ def ivf_search(
                 nprobe,
             )
         ),
-    ).select("q_id", "q_emb", "q_nrm", F.col("bucket.bucket").alias("bucket"))
+    ).select(
+        *queries.columns, "q_nrm", F.col("bucket.bucket").alias("bucket")
+    )  # carry ALL query-side columns (e.g. q_label for candidate_filter)
 
     cand = indexed.join(probe, on="bucket").where(F.col("vec_id") != F.col("q_id"))
+    if candidate_filter is not None:
+        cand = cand.where(candidate_filter)
     scored = cand.select(
         "q_id",
         "vec_id",
@@ -412,3 +421,35 @@ def semantic_dedup_pairs(
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return pairs
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    k_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    candidate_filter=None,
+) -> DataFrame:
+    """Approximate k-NN JOIN: every row of ``left`` (q_id, q_emb) gets
+    its k nearest ``right`` rows (vec_id, emb[, extra cols]) by cosine
+    — both sides large.  The exact formulation is a cross join
+    (|L|x|R| pairs — the first casualty at 100 TB); here both sides
+    meet only inside shared IVF cells: right is bucketed once by the
+    coarse quantizer, left probes its ``nprobe`` nearest cells, and the
+    equi-join on bucket bounds the pair space to ~nprobe/k_centroids of
+    the cross product, tunable recall-vs-cost.  With a label-mismatch
+    ``candidate_filter`` this is hard-negative mining for contrastive
+    training (the quality upgrade over the ring-sampled
+    ``negative_pairs``: nearest WRONG-class examples, not random ones).
+    Recall-gated in tests against the brute-force join.
+    """
+    indexed, centroids = ivf_build(right, k_centroids=k_centroids, seed=seed)
+    extra = [c for c in right.columns if c not in {"vec_id", "embedding"}]
+    if extra:
+        indexed = indexed.join(right.select("vec_id", *extra), "vec_id")
+    return ivf_search(
+        indexed, centroids, left, k=k, nprobe=nprobe,
+        candidate_filter=candidate_filter,
+    )

@@ -294,3 +294,34 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("pca"), lambda x: F.round(x, 6)).alias("pca"),
     )
+
+
+@register("hard_negative_mining")  # rows-only: ANN is approximate by nature
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN JOIN constrained to label mismatch — hard
+    negative mining for contrastive training (`operators/similarity.py
+    knn_join`): every embedding gets its 5 nearest OTHER-label vectors
+    by cosine.  Both sides are the full corpus; they meet only inside
+    shared IVF cells (left multi-probes its 6 nearest of 16), so the
+    pair space is ~6/16 of the cross product and shrinks further as
+    k_centroids grows at scale.  The quality upgrade over the ring-
+    sampled `negative_pair_sample`: nearest wrong-class examples, not
+    random ones.  Rows-only in the driver gate (approximate); pytest
+    gates recall@5 >= 0.7 vs the brute-force label-constrained join.
+    """
+    from tcdb_spark.operators.similarity import knn_join
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    left = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    return knn_join(
+        left,
+        emb,
+        k=5,
+        k_centroids=16,
+        nprobe=6,
+        candidate_filter=F.col("label") != F.col("q_label"),
+    ).select("q_id", "vec_id", "cosine", "rank_in_group")

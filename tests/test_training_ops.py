@@ -207,3 +207,44 @@ def test_grouped_arrow_ols_matches_builtin_regr(spark):
         .collect()
     }
     assert got == want
+
+
+def test_hard_negative_mining_recall(spark):
+    """ANN hard-negative mining must recover >= 0.7 of the brute-force
+    label-constrained top-5 (same gate family as the other ANN ops)."""
+    from pyspark.sql.window import Window as W
+
+    from tcdb_spark.plans.catalog import load_tables
+    from tcdb_spark.plans.queries_sim import hard_negative_mining
+
+    got = hard_negative_mining(spark, SF)
+    approx = {(r["q_id"], r["vec_id"]) for r in got.collect()}
+
+    emb = load_tables(spark, SF, "embeddings")["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    a = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
+        F.lit(0.0), lambda s, x: s + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    pairs = (
+        a.crossJoin(emb)
+        .where((F.col("label") != F.col("ql")) & (F.col("vec_id") != F.col("q_id")))
+        .select("q_id", "vec_id", (dot / (nrm(F.col("qe")) * nrm(F.col("e")))).alias("cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.7, f"recall@5 = {recall:.3f}"
