@@ -329,3 +329,23 @@ class Engine:
         """Shallow clone a warehouse table (zero-copy hard links;
         Warehouse.clone) — the sandbox-experiment primitive."""
         return self.warehouse.clone(src_table, dst_table, version)
+
+    def hard_negatives(
+        self, emb: DataFrame, k: int = 5, k_centroids: int = 16, nprobe: int = 6,
+    ) -> DataFrame:
+        """Hard-negative mining: k nearest OTHER-label vectors per
+        anchor via the IVF-bounded k-NN join (operators/similarity.py
+        knn_join) — contrastive negatives by difficulty, not chance."""
+        from pyspark.sql import functions as F
+
+        from tcdb_spark.operators.similarity import knn_join
+
+        left = emb.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("q_emb"),
+            F.col("label").alias("q_label"),
+        )
+        return knn_join(
+            left, emb, k=k, k_centroids=k_centroids, nprobe=nprobe,
+            candidate_filter=F.col("label") != F.col("q_label"),
+        )
