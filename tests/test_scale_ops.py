@@ -609,10 +609,16 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     from pyspark.sql import functions as F
 
     overrides = {
+        # pin EVERYTHING the behavior depends on — the shared session
+        # may have been reconfigured by any earlier test in the suite
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "4",
     }
     saved = {k: spark.conf.get(k, None) for k in overrides}
     try:
