@@ -503,3 +503,66 @@ def stream_cdc_apply(
         )
     )
     return writer.start()
+
+
+def stream_hist_quantiles(
+    spark: SparkSession,
+    docs_dir: str,
+    warehouse: Warehouse,
+    schema: T.StructType,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    table: str = "hist_state",
+    checkpoint_dir: str | None = None,
+):
+    """Continuous quantile monitoring: document files land, each
+    micro-batch folds its histogram partials (`operators/sketch.py
+    hist_partials`) into a persistent state table by SUM — the
+    mergeable-summary contract doing its job in streaming form.  The
+    state stays (groups x bins) rows regardless of how much data has
+    flowed through, and `hist_quantile` over the state at any moment
+    gives the corpus-to-date p50/p99 — the drift signal a curation
+    pipeline watches.  Replay safety: a re-delivered batch would
+    double-count, so the batch id is stored and re-application of the
+    same epoch is skipped (the usual foreachBatch transactional-sink
+    discipline for non-idempotent folds).
+
+    Returns the started StreamingQuery (AvailableNow).
+    """
+    from tcdb_spark.operators.sketch import hist_partials
+
+    feed = spark.readStream.schema(schema).parquet(docs_dir)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        parts = hist_partials(batch_df, value_col, group_cols, lo, hi, n_bins)
+        parts = parts.withColumn("__epoch", F.lit(int(epoch_id)))
+        if warehouse.exists(table):
+            state = warehouse.read(table)
+            if state.where(F.col("__epoch") == int(epoch_id)).limit(1).count() > 0:
+                return  # this batch already folded in (restart re-delivery)
+            merged = (
+                state.unionByName(parts)
+                .groupBy(*group_cols, "bin")
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.max("__epoch").alias("__epoch"),
+                )
+            )
+        else:
+            merged = parts
+        warehouse.write(table, merged)
+
+    writer = (
+        feed.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{warehouse.root}/_checkpoints/hist_{table}",
+        )
+    )
+    return writer.start()

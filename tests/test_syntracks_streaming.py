@@ -274,3 +274,57 @@ def test_streaming_span_dedup_matches_one_shot(spark, tmp_path):
 
     idx = spark.read.parquet(str(tmp_path / "span_idx"))
     assert idx.count() == idx.select("h").distinct().count()
+
+
+def test_stream_hist_quantiles_state_equals_one_shot(spark, tmp_path):
+    """Streaming histogram-state maintenance must converge to exactly
+    the partials a one-shot batch pass computes, and quantiles read
+    from the state must match the batch sketch."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tcdb_spark.operators.sketch import hist_partials, hist_quantile
+    from tcdb_spark.sources.warehouse import Warehouse
+    from tcdb_spark.streaming.pipeline import stream_hist_quantiles
+
+    schema = T.StructType(
+        [T.StructField("src", T.StringType()), T.StructField("x", T.LongType())]
+    )
+    d = tmp_path / "docs"
+    rows1 = [("a", i % 100) for i in range(500)] + [("b", i % 37) for i in range(300)]
+    rows2 = [("a", 50 + i % 200) for i in range(400)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(d))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(str(d))
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    q = stream_hist_quantiles(
+        spark, str(d), wh, schema, "x", ["src"], lo=0.0, hi=256.0, n_bins=32
+    )
+    q.awaitTermination(120)
+
+    state = wh.read("hist_state")
+    got = {
+        (r["src"], r["bin"]): r["cnt"]
+        for r in state.select("src", "bin", "cnt").collect()
+    }
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        (r["src"], r["bin"]): r["cnt"]
+        for r in hist_partials(batch, "x", ["src"], 0.0, 256.0, 32).collect()
+    }
+    assert got == want
+
+    qs_state = {
+        (r["src"], r["q"]): r["est"]
+        for r in hist_quantile(
+            state.select("src", "bin", "cnt"), ["src"], [0.5, 0.99], 0.0, 256.0, 32
+        ).collect()
+    }
+    qs_batch = {
+        (r["src"], r["q"]): r["est"]
+        for r in hist_quantile(
+            hist_partials(batch, "x", ["src"], 0.0, 256.0, 32),
+            ["src"], [0.5, 0.99], 0.0, 256.0, 32,
+        ).collect()
+    }
+    assert qs_state == qs_batch
