@@ -439,3 +439,33 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("n_purchase_after", F.col("event_type") == "purchase"),
         ],
     )
+
+
+from tcdb_spark.plans.catalog import ORACLES as _ORACLES  # noqa: E402
+
+_LANG_GUESS_SQL = _ORACLES["text_lang_id"]
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH guesses AS ({_LANG_GUESS_SQL})
+    SELECT lang_label, lang_guess, CAST(count(*) AS BIGINT) AS n
+    FROM guesses GROUP BY lang_label, lang_guess
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality audit: confusion matrix of labeled vs
+    detected language over the corpus — the accuracy dashboard a
+    curation pipeline watches before trusting a lang filter.  Reuses
+    the `text_lang_id` plan verbatim (and its oracle as a CTE — one
+    definition, two checked queries), then one partial-aggregated
+    groupBy on a 25-cell key space: the audit costs one corpus scan no
+    matter the scale.
+    """
+    from tcdb_spark.plans.queries_text import text_lang_id
+
+    guesses = text_lang_id(spark, sf_dir)
+    return guesses.groupBy("lang_label", "lang_guess").agg(
+        F.count("*").alias("n")
+    )
