@@ -469,3 +469,61 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return guesses.groupBy("lang_label", "lang_guess").agg(
         F.count("*").alias("n")
     )
+
+
+_MINHASH_PAIRS_SQL = _ORACLES["dedup_minhash_lsh"]
+
+_SPLIT_CASE = (
+    "CASE WHEN (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256"
+    " + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80 THEN 'train'"
+    " WHEN (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256"
+    " + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 90 THEN 'val'"
+    " ELSE 'test' END"
+)
+
+
+@register(
+    "split_leakage_check",
+    oracle=f"""
+    WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+    splits AS (
+        SELECT doc_id, {_SPLIT_CASE} AS split FROM documents
+    )
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           CAST(count(*) AS BIGINT) AS n_leaking_pairs
+    FROM pairs p
+    JOIN splits sa ON p.doc_a = sa.doc_id
+    JOIN splits sb ON p.doc_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    GROUP BY sa.split, sb.split
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-contamination audit through NEAR duplicates: exact-match
+    decontamination (`contamination_check`) misses paraphrased leakage,
+    so this composes the MinHash-LSH candidate pairs with the
+    deterministic split assignment and counts pairs straddling a split
+    boundary — the eval-integrity check run before trusting any
+    held-out metric.  Reuses the dedup_minhash_lsh plan and oracle
+    verbatim; the split join keys on the real corpus, so synthetic
+    planted-dup ids fall out and the audit reports leakage among
+    actual documents.  Cost: the LSH candidate generation the
+    dedup pipeline already pays, plus two broadcast-sized split joins.
+    """
+    from tcdb_spark.plans.queries_dedup_near import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    bucket = (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 100
+    splits = d.select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    return (
+        pairs.join(splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")), "doc_a")
+        .join(splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")), "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_leaking_pairs"))
+    )
