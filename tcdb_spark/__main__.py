@@ -158,6 +158,31 @@ def cmd_cdc(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """Corpus-quality audit bundle: run the data-health catalog queries
+    (skew, lang-ID confusion, split leakage, robust length outliers,
+    per-source quantiles) against a table directory and print one JSON
+    report — the pre-training go/no-go checklist as a single command."""
+    import json as _json
+
+    from tcdb_spark.plans import QUERIES
+
+    spark = _spark()
+    names = [
+        "skew_diagnose",
+        "lang_id_confusion",
+        "split_leakage_check",
+        "mad_outlier_filter",
+        "approx_quantile_hist",
+    ]
+    report = {}
+    for name in names:
+        rows = QUERIES[name](spark, args.sf_dir).collect()
+        report[name] = [r.asDict() for r in rows]
+    print(_json.dumps(report, default=str))
+    return 0
+
+
 def cmd_export(args) -> int:
     from tcdb_spark.sources.sinks import export_tables
 
@@ -248,6 +273,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--op-col", default="op")
     c.add_argument("--checkpoint", default=None)
     c.set_defaults(fn=cmd_cdc)
+
+    au = sub.add_parser("audit", help="corpus-quality audit bundle -> one JSON report")
+    au.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    au.set_defaults(fn=cmd_audit)
 
     e = sub.add_parser("export", help="dump warehouse tables for validation")
     common(e)

@@ -146,3 +146,19 @@ def test_cli_cdc_apply(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     out = {r["k"]: r["v"] for r in cdc_view(wh.read("kv")).collect()}
     assert out == {2: "b"}
+
+
+def test_cli_audit_bundle(spark, capsys):
+    import json
+
+    from tcdb_spark.__main__ import main
+
+    rc = main(["audit", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    report = json.loads(out)
+    assert set(report) == {
+        "skew_diagnose", "lang_id_confusion", "split_leakage_check",
+        "mad_outlier_filter", "approx_quantile_hist",
+    }
+    assert all(len(v) > 0 for v in report.values())
