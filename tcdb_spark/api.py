@@ -304,14 +304,30 @@ class Engine:
         seq_col: str = "seq", op_col: str = "op",
     ) -> int:
         """Apply a CDC feed (I/U/D ops, per-key sequence) to a warehouse
-        table and commit the result as a new version
-        (operators/merge.apply_cdc; the APPLY CHANGES INTO shape).
-        Returns the new version number."""
-        from tcdb_spark.operators.merge import apply_cdc
+        table and commit the result as a new version — the APPLY CHANGES
+        INTO semantics, correct under out-of-order delivery ACROSS
+        batches (operators/merge.apply_cdc_soft: tombstones + applied-seq
+        guard, so a delete leaves a guarded row behind and a
+        later-arriving stale update cannot resurrect the key).  A table
+        not yet carrying the bookkeeping columns is bootstrapped in the
+        same commit (every existing row stamped seq=0, live).  Read the
+        live rows back through :meth:`read_changes_view`.  For the
+        hard-delete single-batch primitive use operators/merge.apply_cdc
+        directly.  Returns the new version number."""
+        from tcdb_spark.operators.merge import apply_cdc_soft, cdc_bootstrap
 
         cur = self.warehouse.read(table)
-        out = apply_cdc(cur, feed, keys, seq_col=seq_col, op_col=op_col)
+        if seq_col not in cur.columns or "__deleted" not in cur.columns:
+            cur = cdc_bootstrap(cur, seq_col=seq_col)
+        out = apply_cdc_soft(cur, feed, keys, seq_col=seq_col, op_col=op_col)
         return self.warehouse.write(table, out)
+
+    def read_changes_view(self, table: str, seq_col: str = "seq") -> DataFrame:
+        """Live-rows view of a table maintained by :meth:`apply_changes`
+        (tombstones filtered, bookkeeping columns dropped)."""
+        from tcdb_spark.operators.merge import cdc_view
+
+        return cdc_view(self.warehouse.read(table), seq_col=seq_col)
 
     def quantiles(
         self, df: DataFrame, value_col: str, group_cols: list[str],

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 
@@ -175,9 +176,18 @@ def funnel(
     qualifying event at stage i-1.  Every stage joins and aggregates on
     the SAME user key (shuffle reuse / bucket co-location applies), and
     stage frames shrink monotonically, so later joins are
-    broadcast-sized in practice.  Returns one row of stage counts."""
+    broadcast-sized in practice.
+
+    Each intermediate per-user frame is persisted and its count taken
+    eagerly, then freed — so the events table is scanned exactly once
+    per stage (an uncached chain would re-execute stages 1..i for
+    count i AND again for the final assembly: O(S^2) scans — the
+    round-2 ADVICE finding).  Returns a materialized one-row frame of
+    stage counts (bigint), the same shape the lazy version produced."""
     cur = None
-    counts = []
+    names: list[str] = []
+    values: list[int] = []
+    cached = []
     for alias, pred in stages:
         stage_ev = events.where(pred)
         if cur is None:
@@ -189,8 +199,11 @@ def funnel(
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias("__t"))
             )
-        counts.append(cur.agg(F.count("*").alias(alias)))
-    out = counts[0]
-    for cdf in counts[1:]:
-        out = out.crossJoin(cdf)
-    return out
+        cur = cur.persist()
+        cached.append(cur)
+        names.append(alias)
+        values.append(cur.count())  # materializes the cache for stage i+1
+    for c in cached:
+        c.unpersist()
+    schema = T.StructType([T.StructField(n, T.LongType(), False) for n in names])
+    return events.sparkSession.createDataFrame([tuple(values)], schema)

@@ -316,12 +316,20 @@ def ivf_search_persisted(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 8,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Search the persisted index: centroids load driver-side (tiny),
     the union of every query's nprobe nearest buckets becomes a static
     ``bucket IN (...)`` predicate — so the index scan prunes to the
     probed partitions before any row is read — and the pruned index
-    flows through the same exact-rerank ivf_search."""
+    flows through the same exact-rerank ivf_search.
+
+    CONTRACT: this is the POINT-LOOKUP path — the query set is collected
+    to the driver (that is what enables the static partition-pruning
+    predicate). It refuses more than ``max_queries`` rows instead of
+    OOMing the driver; bulk both-sides-large search belongs to
+    :func:`knn_join`, which keeps both sides distributed and meets them
+    inside shared IVF cells."""
     import numpy as np
 
     cent_rows = warehouse.read(f"{table}__centroids").collect()
@@ -330,7 +338,14 @@ def ivf_search_persisted(
     ]
     C = np.array(centroids)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    q_local = queries.select("q_id", "q_emb").collect()
+    q_local = queries.select("q_id", "q_emb").limit(max_queries + 1).collect()
+    if len(q_local) > max_queries:
+        raise ValueError(
+            f"ivf_search_persisted collects the query side driver-side and got "
+            f"more than max_queries={max_queries} rows; use knn_join for bulk "
+            "(both-sides-large) nearest-neighbor search, or raise max_queries "
+            "if the driver can hold the query set"
+        )
     probed: set[int] = set()
     for r in q_local:
         q = np.array(r["q_emb"], dtype=float)

@@ -2,8 +2,18 @@
 (SURVEY.md §2.12; generalizes the nearest-storm argmin join,
 tcdb/etl/process_storms.py:43-56).
 
-Brute-force exact top-k is the correctness baseline (oracle-checked);
-the LSH-bucketed variant is the 100 TB scale path.
+Brute-force exact top-k is the correctness baseline (oracle-checked).
+
+Attestation layout (round-3 contract): each approximate operator ships
+BOTH a driver-attestable exact-mode degeneracy (registered in the
+catalog with a DuckDB hash-match oracle — all buckets probed, so the
+result equals brute force while exercising the identical
+bucket -> candidate-join -> re-rank machinery) AND the pruned
+production configuration (`*_pruned` module functions) whose recall@5
+is gated in pytest (tests/test_scale_ops.py, tests/test_training_ops.py)
+and whose cost is tracked in bench.py. The pruning heuristic is the
+ONLY thing the exact mode does not cover — exactly what the recall
+gates measure.
 """
 
 from __future__ import annotations
@@ -20,6 +30,7 @@ from tcdb_spark.plans.catalog import load_tables, register
 
 K = 5
 N_QUERIES = 5
+DIM = 64  # testdata embeddings are 64-dim float vectors (TESTDATA.md)
 
 
 def _dot(a, b):
@@ -40,9 +51,11 @@ def norm_of(a):
     return F.sqrt(_dot(a, a))
 
 
-@register(
-    "sim_topk_cosine",
-    oracle=f"""
+# Shared brute-force oracle: exact top-K cosine for the first N_QUERIES
+# vectors. sim_topk_cosine computes it directly; the exact-mode ANN
+# degeneracies (sim_ann_lsh all-buckets, sim_ann_ivf nprobe=k_centroids)
+# must hash-match the very same rows.
+_BRUTE_ORACLE = f"""
     WITH q AS (
         SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
         FROM embeddings WHERE vec_id < {N_QUERIES}
@@ -61,8 +74,10 @@ def norm_of(a):
                PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank_in_group
     FROM pairs
     QUALIFY rank_in_group <= {K}
-    """,
-)
+    """
+
+
+@register("sim_topk_cosine", oracle=_BRUTE_ORACLE)
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force top-k cosine neighbors for the first
     ``N_QUERIES`` vectors: broadcast the query set, one scan over the
@@ -113,11 +128,12 @@ def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
 def lsh_bucket_ann(
     emb: DataFrame,
     queries: DataFrame,
-    dim: int = 64,
+    dim: int = DIM,
     n_planes: int = 6,
     n_tables: int = 12,
     n_flip: int = 3,
     k: int = K,
+    exact: bool = False,
 ) -> DataFrame:
     """Multi-table sign-LSH approximate NN with margin-guided multi-probe.
 
@@ -130,6 +146,13 @@ def lsh_bucket_ann(
     which is what makes weakly-correlated neighbors (this corpus: top-5
     cosine ≈ 0.26-0.40, per-bit agreement ≈ 0.6) reachable at all.
     Candidates are unioned across tables, deduped, exactly re-ranked.
+
+    ``exact=True`` probes EVERY one of the 2^n_planes buckets per table
+    (use with n_tables=1): the candidate set degenerates to the whole
+    corpus, so the output equals brute force — the driver-attestable
+    mode that hash-matches the DuckDB oracle while running the same
+    bucket -> candidate-join -> dedup -> re-rank plan. The pruned mode's
+    recall is gated separately (tests/test_scale_ops.py).
 
     Scale: the base table is hashed in ONE scan into an L-row-per-vector
     index (the classic L× LSH index cost); the query side is a tiny
@@ -180,47 +203,57 @@ def lsh_bucket_ann(
         .drop("__all_dots")
     )
 
-    q = (
-        queries.select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").cast("array<double>").alias("q_emb"),
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    ).withColumn("q_nrm", norm_of(F.col("q_emb")))
+
+    if exact:
+        # all-buckets probe: per table every bucket id is a probe, so the
+        # bucket equi-join below degenerates to the full candidate set
+        q = q.select(
+            "q_id", "q_emb", "q_nrm",
+            F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl"),
+        ).withColumn(
+            "bucket", F.explode(F.sequence(F.lit(0), F.lit(2 ** n_planes - 1)))
         )
-        .withColumn("q_nrm", norm_of(F.col("q_emb")))
-        .withColumn("__all_dots", _all_dots(F.col("q_emb")))
-        .select("q_id", "q_emb", "q_nrm", "__all_dots", tbl_idx)
-        .withColumn("__dots", table_dots(F.col("__all_dots")))
-        .withColumn("__b0", bucket_of_dots(F.col("__dots")))
-    )
-    # planes ordered by |margin| ascending: the bits most likely to differ
-    # for a true near neighbor (array_sort on (|dot|, idx) structs)
-    q = q.withColumn(
-        "__order",
-        F.transform(
-            F.array_sort(
-                F.zip_with(
-                    F.col("__dots"),
-                    F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                    lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("idx")),
-                )
+    else:
+        q = (
+            q.withColumn("__all_dots", _all_dots(F.col("q_emb")))
+            .select("q_id", "q_emb", "q_nrm", "__all_dots", tbl_idx)
+            .withColumn("__dots", table_dots(F.col("__all_dots")))
+            .withColumn("__b0", bucket_of_dots(F.col("__dots")))
+        )
+        # planes ordered by |margin| ascending: the bits most likely to differ
+        # for a true near neighbor (array_sort on (|dot|, idx) structs)
+        q = q.withColumn(
+            "__order",
+            F.transform(
+                F.array_sort(
+                    F.zip_with(
+                        F.col("__dots"),
+                        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                        lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("idx")),
+                    )
+                ),
+                lambda s: s["idx"],
             ),
-            lambda s: s["idx"],
-        ),
-    )
-    # bit j of the fold is worth 2^(n_planes-1-j); XOR flips it
-    bit_value = F.array(*[F.lit(1 << (n_planes - 1 - j)) for j in range(n_planes)])
+        )
+        # bit j of the fold is worth 2^(n_planes-1-j); XOR flips it
+        bit_value = F.array(*[F.lit(1 << (n_planes - 1 - j)) for j in range(n_planes)])
 
-    def flip(bucket, plane_idx):
-        return bucket.bitwiseXOR(F.get(bit_value, plane_idx))
+        def flip(bucket, plane_idx):
+            return bucket.bitwiseXOR(F.get(bit_value, plane_idx))
 
-    probes = [F.col("__b0")]
-    for i in range(n_flip):
-        probes.append(flip(F.col("__b0"), F.col("__order")[i]))
-    if n_flip >= 2:  # double-flip of the two most marginal planes
-        probes.append(flip(flip(F.col("__b0"), F.col("__order")[0]), F.col("__order")[1]))
-    q = q.select(
-        "q_id", "q_emb", "q_nrm", "tbl",
-        F.explode(F.array_distinct(F.array(*probes))).alias("bucket"),
-    )
+        probes = [F.col("__b0")]
+        for i in range(n_flip):
+            probes.append(flip(F.col("__b0"), F.col("__order")[i]))
+        if n_flip >= 2:  # double-flip of the two most marginal planes
+            probes.append(flip(flip(F.col("__b0"), F.col("__order")[0]), F.col("__order")[1]))
+        q = q.select(
+            "q_id", "q_emb", "q_nrm", "tbl",
+            F.explode(F.array_distinct(F.array(*probes))).alias("bucket"),
+        )
 
     pairs = (
         base.join(F.broadcast(q), on=["tbl", "bucket"])
@@ -244,26 +277,43 @@ def lsh_bucket_ann(
     )
 
 
-@register("sim_ann_lsh")  # approximate by construction -> rows-only check
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production multi-probe LSH configuration (12 tables, 6 planes,
+    3 margin-guided flips) — recall@5 >= 0.8 gated vs exact in
+    tests/test_scale_ops.py and timed in bench.py. Not in the catalog:
+    approximate output cannot hash-match a SQL oracle; the catalog's
+    ``sim_ann_lsh`` is the exact-mode degeneracy of the same machinery."""
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     q = e.where(F.col("vec_id") < N_QUERIES)
     return lsh_bucket_ann(e, q)
 
 
-@register("sim_ann_ivf")  # trained quantizer -> approximate; rows-only check
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate NN: spherical KMeans coarse quantizer (fixed seed),
-    probe the 8 nearest of 16 buckets per query, exact cosine top-k inside
-    (operators/similarity.py). nprobe is the recall/cost dial: 8/16 halves
-    the scan vs exhaustive and measures recall@5 = 0.76 (sf0.001, ~500
-    vectors -- quantizer-noise bound) / 0.96 (sf0.01); recall gated vs
-    exact in tests/test_scale_ops.py."""
+@register("sim_ann_lsh", oracle=_BRUTE_ORACLE)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable exact mode of the LSH lane: ONE table, ALL
+    2^n_planes buckets probed — the candidate set is the entire corpus,
+    so the result provably equals brute force and hash-matches the
+    shared DuckDB oracle, while executing the identical plan shape as
+    production multi-probe (bucketing UDF -> probe broadcast -> bucket
+    equi-join -> pair dedup -> exact re-rank window). The pruning
+    heuristic itself — the only part exact mode cannot attest — is
+    recall@5-gated over ``sim_ann_lsh_pruned``."""
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    return lsh_bucket_ann(e, q, n_tables=1, exact=True)
+
+
+def sim_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF configuration: spherical KMeans coarse
+    quantizer (fixed seed), probe the 8 nearest of 16 buckets per query,
+    exact cosine top-k inside (operators/similarity.py). nprobe is the
+    recall/cost dial: 8/16 halves the scan vs exhaustive and measures
+    recall@5 = 0.76 (sf0.001, ~500 vectors — quantizer-noise bound) /
+    0.96 (sf0.01); recall gated in tests/test_scale_ops.py."""
     from tcdb_spark.operators.similarity import ivf_build, ivf_search
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     indexed, centroids = ivf_build(e, k_centroids=16, seed=42)
-    indexed = indexed.persist()
     q = (
         e.where(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("q_emb"))
@@ -271,44 +321,139 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(indexed, centroids, q, k=K, nprobe=8)
 
 
-@register("embedding_pca")  # eigendecomposition is not SQL-expressible ->
-# rows-only driver check; numpy-equivalence gates live in
-# tests/test_spans_sketch.py (projection matches the one-shot reference,
-# per-component variance equals the eigenvalue)
+@register("sim_ann_ivf", oracle=_BRUTE_ORACLE)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable exact mode of the IVF lane: nprobe = k_centroids
+    probes EVERY coarse cell, so the bucket equi-join covers the whole
+    corpus and the exact re-rank returns brute-force top-k — hash-matched
+    against the shared DuckDB oracle. Same quantizer-train -> bucket ->
+    probe-join -> re-rank plan as production; only the probe pruning is
+    skipped, and that is recall@5-gated over ``sim_ann_ivf_pruned``."""
+    from tcdb_spark.operators.similarity import ivf_build, ivf_search
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    indexed, centroids = ivf_build(e, k_centroids=16, seed=42)
+    q = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("q_emb"))
+    )
+    return ivf_search(indexed, centroids, q, k=K, nprobe=16)
+
+
+# ---------------------------------------------------------------------------
+# PCA attestation: eigendecomposition is not SQL-expressible, so the
+# catalog checks two SQL-expressible INVARIANTS that pin the distributed
+# machinery per-row / per-component, while exact numpy equivalence
+# (projection values, explained variance = eigenvalues, descending order)
+# is gated in tests/test_spans_sketch.py::test_pca_project_matches_numpy_reference.
+# ---------------------------------------------------------------------------
+
+_PCA_MEANS = ", ".join(f"avg(emb[{i}]) AS m{i}" for i in range(1, DIM + 1))
+_PCA_SQ = " + ".join(f"(emb[{i}] - m{i}) * (emb[{i}] - m{i})" for i in range(1, DIM + 1))
+_PCA_NORM_ORACLE = f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), m AS (
+        SELECT {_PCA_MEANS} FROM base
+    )
+    SELECT vec_id, round({_PCA_SQ}, 6) AS pca_sq_norm
+    FROM base CROSS JOIN m
+    """
+
+
+@register("embedding_pca", oracle=_PCA_NORM_ORACLE)
 def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over the embedding table: partial Gram matrices
     per Arrow batch (32 KiB per partition regardless of rows), driver
     eigendecomposition of the d x d covariance, projection as a literal
     k x d matrix of codegen dot products (operators/similarity.py
     pca_project) — the whitening/dim-reduction pass that precedes ANN
-    and embedding dedup at scale."""
+    and embedding dedup at scale.
+
+    Driver attestation (per-row, any SF): with k = d the projection is
+    an orthonormal ROTATION of the centered data, so each row's
+    ||PCA(x)||^2 must equal ||x - mean||^2 — which DuckDB computes
+    independently from per-dimension averages. Any defect in the Gram
+    accumulation, mean centering, eigenbasis, or the codegen projection
+    folds breaks the match. Eigen-ordering/variance/per-value checks
+    live in pytest (numpy equivalence)."""
     from tcdb_spark.operators.similarity import pca_project
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     out, _evr = pca_project(
         e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb")),
-        k=8,
+        k=DIM,
         col="emb",
     )
-    return out.select(
-        "vec_id",
-        F.transform(F.col("pca"), lambda x: F.round(x, 6)).alias("pca"),
+    sq = F.aggregate(
+        F.transform(F.col("pca"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
     )
+    return out.select("vec_id", F.round(sq, 6).alias("pca_sq_norm"))
 
 
-@register("hard_negative_mining")  # rows-only: ANN is approximate by nature
-def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate k-NN JOIN constrained to label mismatch — hard
-    negative mining for contrastive training (`operators/similarity.py
-    knn_join`): every embedding gets its 5 nearest OTHER-label vectors
-    by cosine.  Both sides are the full corpus; they meet only inside
-    shared IVF cells (left multi-probes its 6 nearest of 16), so the
-    pair space is ~6/16 of the cross product and shrinks further as
-    k_centroids grows at scale.  The quality upgrade over the ring-
-    sampled `negative_pair_sample`: nearest wrong-class examples, not
-    random ones.  Rows-only in the driver gate (approximate); pytest
-    gates recall@5 >= 0.7 vs the brute-force label-constrained join.
+_PCA_K = 8
+_PCA_PAIRS = [(i, j) for i in range(_PCA_K) for j in range(i + 1, _PCA_K)]
+_PCA_DECOR_ORACLE = (
+    "SELECT CAST(ci AS INTEGER) AS ci, CAST(cj AS INTEGER) AS cj, "
+    "CAST(cov AS DOUBLE) AS cov FROM (VALUES "
+    + ", ".join(f"({i}, {j}, 0.0)" for i, j in _PCA_PAIRS)
+    + ") AS t(ci, cj, cov)"
+)
+
+
+@register("embedding_pca_decorrelation", oracle=_PCA_DECOR_ORACLE)
+def embedding_pca_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The defining property of PCA, driver-attested: projected
+    components are pairwise DECORRELATED (the eigenbasis diagonalizes
+    the sample covariance), so covar_pop(c_i, c_j) over the projected
+    corpus is 0 for every i < j — at any scale factor. The oracle is the
+    literal zero matrix's upper triangle; a wrong eigenbasis, a
+    mis-centered projection, or a Gram-accumulation bug all surface as
+    nonzero covariances. abs() canonicalizes -0.0 from rounding."""
+    from tcdb_spark.operators.similarity import pca_project
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    out, _evr = pca_project(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb")),
+        k=_PCA_K,
+        col="emb",
+    )
+    comps = out.select(*[F.col("pca")[i].alias(f"c{i}") for i in range(_PCA_K)])
+    row = comps.agg(
+        *[
+            F.abs(F.round(F.covar_pop(f"c{i}", f"c{j}"), 6)).alias(f"cov_{i}_{j}")
+            for i, j in _PCA_PAIRS
+        ]
+    )
+    stack = ", ".join(f"{i}, {j}, cov_{i}_{j}" for i, j in _PCA_PAIRS)
+    return row.selectExpr(f"stack({len(_PCA_PAIRS)}, {stack}) AS (ci, cj, cov)")
+
+
+_HNM_ORACLE = f"""
+    WITH base AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), pairs AS (
+        SELECT q.vec_id AS q_id, b.vec_id,
+               list_dot_product(q.emb, b.emb)
+                 / (sqrt(list_dot_product(q.emb, q.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+        FROM base q JOIN base b
+          ON b.label <> q.label AND b.vec_id <> q.vec_id
+    )
+    SELECT q_id, vec_id, round(cos, 6) AS cosine,
+           CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank_in_group
+    FROM pairs
+    QUALIFY rank_in_group <= {K}
     """
+
+
+def hard_negative_mining_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production configuration of the hard-negative k-NN join: left
+    multi-probes its 6 nearest of 16 IVF cells, so the pair space is
+    ~6/16 of the cross product and shrinks further as k_centroids grows
+    at scale. recall@5 >= 0.7 vs the brute-force label-constrained join
+    is gated in tests/test_training_ops.py."""
     from tcdb_spark.operators.similarity import knn_join
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
@@ -320,8 +465,43 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(
         left,
         emb,
-        k=5,
+        k=K,
         k_centroids=16,
         nprobe=6,
+        candidate_filter=F.col("label") != F.col("q_label"),
+    ).select("q_id", "vec_id", "cosine", "rank_in_group")
+
+
+@register("hard_negative_mining", oracle=_HNM_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN JOIN constrained to label mismatch — hard
+    negative mining for contrastive training (`operators/similarity.py
+    knn_join`): every embedding gets its 5 nearest OTHER-label vectors
+    by cosine. Both sides are the full corpus; they meet only inside
+    shared IVF cells. The quality upgrade over the ring-sampled
+    `negative_pair_sample`: nearest wrong-class examples, not random
+    ones.
+
+    Driver attestation: this catalog entry runs the exact-mode
+    degeneracy — nprobe = k_centroids, so every (query, candidate) pair
+    meets in some cell and the result equals the brute-force
+    label-constrained top-k that the DuckDB oracle computes over the
+    full cross product. The production pruned configuration
+    (``hard_negative_mining_pruned``, nprobe=6) is recall@5-gated in
+    pytest."""
+    from tcdb_spark.operators.similarity import knn_join
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    left = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    return knn_join(
+        left,
+        emb,
+        k=K,
+        k_centroids=16,
+        nprobe=16,
         candidate_filter=F.col("label") != F.col("q_label"),
     ).select("q_id", "vec_id", "cosine", "rank_in_group")

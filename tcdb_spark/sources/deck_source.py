@@ -64,7 +64,16 @@ class DeckReader(DataSourceReader):
 
     def _list(self) -> list[tuple[str, float]]:
         matched = sorted(glob.glob(os.path.join(self.path, self.pattern)))
-        return [(p, os.path.getmtime(p)) for p in matched if os.path.isfile(p)]
+        files = [p for p in matched if os.path.isfile(p)]
+        # If a _MANIFEST exists the directory is writer-managed: read only
+        # the files it names, so a reader racing a concurrent commit (or
+        # landing after a partial publish) never sees unpublished parts.
+        manifest = os.path.join(self.path, "_MANIFEST")
+        if os.path.isfile(manifest):
+            with open(manifest) as f:
+                named = {ln.strip() for ln in f if ln.strip()}
+            files = [p for p in files if os.path.basename(p) in named]
+        return [(p, os.path.getmtime(p)) for p in files]
 
     def partitions(self):
         return [DeckFilePartition(p, m) for p, m in self._list()]
@@ -110,22 +119,31 @@ class DeckWriter(DataSourceWriter):
     partition, written executor-side (the distributed form of the
     reference's file-per-group sink loops, db/sql_export.py:19-28).
 
-    Commit protocol: each task writes ``part-<partition>-<attempt>`` to
-    a hidden staging name and reports it in its commit message; the
+    Commit protocol: each task writes ``part-<partition>-<attempt>-<job>``
+    to a hidden staging name and reports it in its commit message; the
     driver's ``commit`` publishes a ``_MANIFEST`` naming exactly the
-    committed files, so readers (and ``abort`` cleanup) never see
-    half-written output — the same files-then-pointer discipline as the
-    versioned warehouse.  ``line_col`` selects the string column to
-    emit; ``gz`` compresses members like real deck archives.
+    readable files (merging the previous manifest in append mode), so
+    manifest-aware readers never see half-written output — the same
+    files-then-pointer discipline as the versioned warehouse. The
+    ``<job>`` uuid makes names collision-free across Spark applications
+    (task attempt ids restart at 0 per app); commit/abort sweep this
+    job's leftover ``.staged-*`` files from failed attempts.
+    ``line_col`` selects the string column to emit; ``gz`` compresses
+    members like real deck archives.
     """
 
     def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
         self.dir = options["path"]
         self.line_col = options.get("line_col", "line")
         self.gz = options.get("gz", "false").lower() == "true"
+        self.overwrite = overwrite
+        self.job_id = uuid.uuid4().hex[:12]  # driver-side; shared by all tasks
         if overwrite and os.path.isdir(self.dir):
             for f in glob.glob(os.path.join(self.dir, "*")):
-                os.remove(f)
+                if os.path.isfile(f):  # leave subdirectories alone
+                    os.remove(f)
         os.makedirs(self.dir, exist_ok=True)
 
     def write(self, iterator):
@@ -134,7 +152,7 @@ class DeckWriter(DataSourceWriter):
         ctx = TaskContext.get()
         pid, att = ctx.partitionId(), ctx.taskAttemptId()
         ext = ".dat.gz" if self.gz else ".dat"
-        name = f".staged-part-{pid:05d}-{att}{ext}"
+        name = f".staged-part-{pid:05d}-{att}-{self.job_id}{ext}"
         path = os.path.join(self.dir, name)
         opener = gzip.open if self.gz else open
         n = 0
@@ -147,6 +165,14 @@ class DeckWriter(DataSourceWriter):
             return DeckCommitMessage("", 0)
         return DeckCommitMessage(path, n)
 
+    def _sweep_staged(self, keep: set[str]) -> None:
+        """Remove THIS job's leftover staged files (failed/zombie task
+        attempts). Scoped by job_id so a concurrent writer's staging is
+        untouched."""
+        for f in glob.glob(os.path.join(self.dir, f".staged-*-{self.job_id}.dat*")):
+            if f not in keep and os.path.isfile(f):
+                os.remove(f)
+
     def commit(self, messages):
         final = []
         for m in messages:
@@ -157,10 +183,24 @@ class DeckWriter(DataSourceWriter):
             )
             os.replace(m.path, pub)
             final.append(os.path.basename(pub))
+        self._sweep_staged(keep=set())
+        if not self.overwrite:
+            # append mode: the manifest must keep naming every previously
+            # published file that still exists, or readers would drop them
+            prev = os.path.join(self.dir, "_MANIFEST")
+            if os.path.isfile(prev):
+                with open(prev) as f:
+                    final.extend(
+                        ln.strip()
+                        for ln in f
+                        if ln.strip()
+                        and os.path.isfile(os.path.join(self.dir, ln.strip()))
+                    )
         with open(os.path.join(self.dir, "_MANIFEST"), "w") as f:
-            f.write("\n".join(sorted(final)) + "\n")
+            f.write("\n".join(sorted(set(final))) + "\n")
 
     def abort(self, messages):
         for m in messages:
             if m.path and os.path.exists(m.path):
                 os.remove(m.path)
+        self._sweep_staged(keep=set())

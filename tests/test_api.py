@@ -108,6 +108,19 @@ def test_engine_ann_index_roundtrip(spark, tmp_path):
     assert len(hits) == 3 and all(r.q_id == 0 and r.vec_id != 0 for r in hits)
     assert [r.rank_in_group for r in hits] == [1, 2, 3]
 
+    # the point-lookup contract: a bulk query set is refused instead of
+    # collecting it to the driver (bulk search belongs to knn_join)
+    import pytest
+
+    from tcdb_spark.operators.similarity import ivf_search_persisted
+
+    big_q = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    with pytest.raises(ValueError, match="knn_join"):
+        ivf_search_persisted(eng.warehouse, "emb_ivf", big_q, max_queries=3)
+
 
 def test_engine_search_chunk_semantic_and_range(spark, tmp_path):
     """Round-2 facade methods: BM25 search, chunking, semantic dedup,
@@ -205,10 +218,24 @@ def test_engine_apply_changes(spark, tmp_path):
     eng = Engine(spark, str(tmp_path / "wh2"))
     eng.warehouse.write("kv", spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
     feed = spark.createDataFrame(
-        [(2, 1, "U", "b2"), (1, 1, "D", None), (9, 1, "I", "i")],
+        [(2, 2, "U", "b2"), (1, 2, "D", None), (9, 2, "I", "i")],
         ["k", "seq", "op", "v"],
     )
     v = eng.apply_changes("kv", feed, keys=["k"])
     assert v == 2
-    out = {r["k"]: r["v"] for r in eng.table("kv").collect()}
+    out = {r["k"]: r["v"] for r in eng.read_changes_view("kv").collect()}
+    assert out == {2: "b2", 9: "i"}
+
+    # cross-batch out-of-order safety (the ADVICE r2 finding): a stale
+    # update (seq=1, behind the seq=2 delete) arriving in a LATER batch
+    # must NOT resurrect the deleted key — the tombstone's applied-seq
+    # guard rejects it.
+    stale = spark.createDataFrame([(1, 1, "U", "zombie")], ["k", "seq", "op", "v"])
+    eng.apply_changes("kv", stale, keys=["k"])
+    out = {r["k"]: r["v"] for r in eng.read_changes_view("kv").collect()}
+    assert out == {2: "b2", 9: "i"}, "deleted key resurrected by stale update"
+
+    # replay of the original feed is a no-op (idempotent)
+    eng.apply_changes("kv", feed, keys=["k"])
+    out = {r["k"]: r["v"] for r in eng.read_changes_view("kv").collect()}
     assert out == {2: "b2", 9: "i"}

@@ -127,6 +127,49 @@ def test_deckdir_writer_roundtrip(spark, tmp_path):
     assert again.count() == 3
 
 
+def test_deckdir_writer_append_merges_manifest(spark, tmp_path):
+    """Round-2 ADVICE finding: append-mode commit must keep naming the
+    previously published parts in _MANIFEST (the manifest-aware reader
+    would otherwise silently drop them), job-uuid part names must not
+    collide across jobs (attempt ids restart at 0 per application), and
+    overwrite cleanup must tolerate subdirectories in the target."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from tcdb_spark.sources import deck_source
+
+    deck_source.register(spark)
+    out = tmp_path / "deckappend"
+
+    first = spark.createDataFrame([(f"first-{i}",) for i in range(6)], ["line"]).coalesce(2)
+    first.write.format("deckdir").option("path", str(out)).mode("overwrite").save()
+    second = spark.createDataFrame([(f"second-{i}",) for i in range(4)], ["line"]).coalesce(2)
+    second.write.format("deckdir").option("path", str(out)).mode("append").save()
+
+    manifest = set((out / "_MANIFEST").read_text().split())
+    parts = {n for n in os.listdir(out) if n.startswith("part-")}
+    # every published part is manifested and vice versa — both jobs' files
+    assert manifest == parts and len(parts) == 4, (manifest, parts)
+    # job-scoped uuids: partition ids collide across the two jobs, names must not
+    assert len({p.split("-")[1] for p in parts}) < len(parts)
+
+    back = spark.read.format("deckdir").option("path", str(out)).load()
+    got = sorted(r["line"] for r in back.select("line").collect())
+    assert got == sorted([f"first-{i}" for i in range(6)] + [f"second-{i}" for i in range(4)])
+
+    # a stray unmanifested file is invisible to the manifest-aware reader
+    (out / "orphan.dat").write_text("GHOST LINE\n")
+    assert "GHOST LINE" not in {
+        r["line"] for r in spark.read.format("deckdir").option("path", str(out)).load().collect()
+    }
+
+    # overwrite with a subdirectory present must not raise (isfile guard)
+    (out / "subdir").mkdir()
+    first.limit(2).write.format("deckdir").option("path", str(out)).mode("overwrite").save()
+    assert spark.read.format("deckdir").option("path", str(out)).load().count() == 2
+
+
 def test_deckdir_writer_gz(spark, tmp_path):
     from tcdb_spark.sources import deck_source
 

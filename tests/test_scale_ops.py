@@ -11,13 +11,16 @@ from tcdb_spark.operators.similarity import ivf_build, ivf_search
 from tcdb_spark.operators.skew import salted_sum_count, sessionize
 
 
-def _recall_at_5(spark, sf, ann_query):
+def _recall_at_5(spark, sf, ann_fn):
+    """ann_fn: a (spark, sf_dir) -> DataFrame callable — the PRUNED
+    production configs live as module functions (the catalog entries are
+    their exact-mode degeneracies, hash-checked by the driver oracle)."""
     from tcdb_spark.plans import QUERIES
 
     exact, approx = {}, {}
     for r in QUERIES["sim_topk_cosine"](spark, sf).collect():
         exact.setdefault(r["q_id"], set()).add(r["vec_id"])
-    for r in QUERIES[ann_query](spark, sf).collect():
+    for r in ann_fn(spark, sf).collect():
         approx.setdefault(r["q_id"], set()).add(r["vec_id"])
     assert set(exact) == {0, 1, 2, 3, 4}
     return sum(len(exact[q] & approx.get(q, set())) for q in exact) / (5 * len(exact))
@@ -27,12 +30,16 @@ def test_ivf_recall_vs_bruteforce(spark):
     """Spherical-KMeans IVF with nprobe=8/16 — deterministic given the
     fixed seed and static test data (measured 0.76 @ sf0.001; the
     ~500-vector quantizer is the noise floor there)."""
-    recall = _recall_at_5(spark, "/root/testdata/sf0.001", "sim_ann_ivf")
+    from tcdb_spark.plans.queries_sim import sim_ann_ivf_pruned
+
+    recall = _recall_at_5(spark, "/root/testdata/sf0.001", sim_ann_ivf_pruned)
     assert recall >= 0.7, f"IVF recall@5 regressed: {recall}"
 
 
 def test_ivf_recall_sf001(spark):
-    recall = _recall_at_5(spark, "/root/testdata/sf0.01", "sim_ann_ivf")
+    from tcdb_spark.plans.queries_sim import sim_ann_ivf_pruned
+
+    recall = _recall_at_5(spark, "/root/testdata/sf0.01", sim_ann_ivf_pruned)
     assert recall >= 0.9, f"IVF recall@5 regressed: {recall}"
 
 
@@ -40,9 +47,31 @@ def test_lsh_recall_vs_bruteforce(spark):
     """Multi-table multi-probe sign-LSH accuracy gate (judge round-1 ask):
     recall@5 >= 0.8 vs exact at both scale factors. Deterministic —
     hyperplanes are md5-derived, no RNG (measured 0.88 / 0.92)."""
+    from tcdb_spark.plans.queries_sim import sim_ann_lsh_pruned
+
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
-        recall = _recall_at_5(spark, sf, "sim_ann_lsh")
+        recall = _recall_at_5(spark, sf, sim_ann_lsh_pruned)
         assert recall >= 0.8, f"LSH recall@5 at {sf}: {recall}"
+
+
+def test_exact_mode_ann_equals_bruteforce(spark):
+    """The catalog's exact-mode degeneracies (all-buckets LSH probe,
+    nprobe=k_centroids IVF) must return EXACTLY the brute-force top-5 —
+    the same contract the driver oracle hash-checks, pinned here so a
+    probe-coverage regression fails fast in pytest too."""
+    from tcdb_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    want = {
+        (r["q_id"], r["vec_id"], r["cosine"], r["rank_in_group"])
+        for r in QUERIES["sim_topk_cosine"](spark, sf).collect()
+    }
+    for name in ("sim_ann_lsh", "sim_ann_ivf"):
+        got = {
+            (r["q_id"], r["vec_id"], r["cosine"], r["rank_in_group"])
+            for r in QUERIES[name](spark, sf).collect()
+        }
+        assert got == want, f"{name} exact mode diverged from brute force"
 
 
 def test_hot_shingle_cap_bounds_pair_join(spark):

@@ -215,9 +215,9 @@ def test_hard_negative_mining_recall(spark):
     from pyspark.sql.window import Window as W
 
     from tcdb_spark.plans.catalog import load_tables
-    from tcdb_spark.plans.queries_sim import hard_negative_mining
+    from tcdb_spark.plans.queries_sim import hard_negative_mining_pruned
 
-    got = hard_negative_mining(spark, SF)
+    got = hard_negative_mining_pruned(spark, SF)
     approx = {(r["q_id"], r["vec_id"]) for r in got.collect()}
 
     emb = load_tables(spark, SF, "embeddings")["embeddings"].select(
