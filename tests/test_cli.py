@@ -39,6 +39,95 @@ def test_cli_bdeck_maintenance_export(spark, tmp_path):
     assert glob.glob(f"{out}/storms/part-*")
 
 
+ADECK_AL09 = [
+    "AL, 09, 2022092600, 01, OFCL, 0, 251N, 740W, 35, 1003, TS, 34, NEQ, 60, 40, 30, 50, x",
+    "AL, 09, 2022092600, 01, OFCL, 12, 258N, 748W, 45, 998, TS, 34, NEQ, 70, 50, 40, 60, x",
+    "AL, 09, 2022092600, 01, OFCL, 24, 265N, 757W, 55, 990, TS, 34, NEQ, 80, 60, 50, 70, x",
+    "AL, 09, 2022092600, 02, AVNO, 0, 252N, 741W, 33, 1004, , , , , , , , x",
+    "AL, 09, 2022092600, 02, AVNO, 12, 259N, 749W, 44, 999, , , , , , , , x",
+    "AL, 09, 2022092600, 03, XTRP, 12, 260N, 750W, 40, 1000, , , , , , , , x",  # not allowlisted
+]
+
+
+def test_cli_full_pipeline_bdeck_adeck_dataset_export(spark, tmp_path):
+    """SURVEY §3.1→§3.3 in one sequence, driven entirely through the CLI
+    (the engine form of the reference's test.py:23-43 export loop):
+    best-track ingest, forecast-deck ingest, the StormDataset-equivalent
+    denormalized reads (datasets.py), then a JSON export asserted
+    against hand-computed goldens from the fixture decks."""
+    import datetime as dt
+    import json
+
+    from tcdb_spark.datasets import storm_observations, storm_tracks
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    bdeck = tmp_path / "bal092022.dat"
+    bdeck.write_text("\n".join(BDECK) + "\n")
+    adeck = tmp_path / "aal092022.dat"
+    adeck.write_text("\n".join(ADECK_AL09) + "\n")
+    wh_root = str(tmp_path / "wh")
+
+    assert main(["bdeck", "--warehouse", wh_root, "--input", str(bdeck)]) == 0
+    # decks are historical -> --backfill disables the freshness window
+    assert main(["adeck", "--warehouse", wh_root, "--input", str(adeck), "--backfill"]) == 0
+
+    wh = Warehouse(spark, wh_root)
+
+    # StormDataset-equivalent reads (datasets.py twins of
+    # tcdb/datasets/storm_dataset.py)
+    obs = storm_observations(wh, nhc_id="AL092022")
+    assert obs.count() == 2
+    # names are stored in the reference's display form (status-prefixed)
+    assert {r["name"] for r in obs.select("name").collect()} == {"TS-Ian"}
+
+    trk = storm_tracks(wh, nhc_id="AL092022", models=["OFCL", "AVNO"])
+    got = {
+        (r["model"], r["hour"], r["intensity_kts"], r["valid_utc"])
+        for r in trk.select("model", "hour", "intensity_kts", "valid_utc").collect()
+    }
+    init = dt.datetime(2022, 9, 26, 0, 0)
+    want = {
+        ("OFCL", 0, 35.0, init),
+        ("OFCL", 12, 45.0, init + dt.timedelta(hours=12)),
+        ("OFCL", 24, 55.0, init + dt.timedelta(hours=24)),
+        ("AVNO", 0, 33.0, init),
+        ("AVNO", 12, 44.0, init + dt.timedelta(hours=12)),
+    }
+    assert got == want  # XTRP filtered by the model allowlist
+
+    # JSON export (the reference dumps every table to json), golden-checked
+    out = tmp_path / "export"
+    assert (
+        main(
+            [
+                "export", "--warehouse", wh_root, "--out", str(out),
+                "--tables", "storms", "observations", "--fmt", "json",
+            ]
+        )
+        == 0
+    )
+
+    def load_json(table):
+        recs = []
+        for p in glob.glob(f"{out}/{table}/part-*"):
+            with open(p) as f:
+                recs.extend(json.loads(ln) for ln in f if ln.strip())
+        return recs
+
+    storms = load_json("storms")
+    assert {(s["nhc_id"], s["name"]) for s in storms} == {
+        ("AL092022", "TS-Ian"),
+        ("EP912022", "NHC-91E"),
+    }
+    obs_recs = load_json("observations")
+    assert len(obs_recs) == 3
+    # ISO-8601 timestamps for stable text round-trips
+    assert {o["datetime_utc"] for o in obs_recs} == {
+        "2022-09-26T00:00:00",
+        "2022-09-26T06:00:00",
+    }
+
+
 def test_cli_parser_rejects_missing_args():
     import pytest
 

@@ -276,6 +276,89 @@ def test_streaming_span_dedup_matches_one_shot(spark, tmp_path):
     assert idx.count() == idx.select("h").distinct().count()
 
 
+def test_stream_hist_crash_between_commits_replays_idempotently(spark, tmp_path):
+    """The torn-transaction window of every foreachBatch sink: the
+    warehouse version commits, then the process dies BEFORE the stream
+    checkpoint commits the epoch. On restart Spark re-delivers the same
+    epoch — the state table's epoch guard must skip re-folding it (a
+    histogram fold is NOT idempotent), leaving exactly one application,
+    and the pipeline must keep ingesting normally afterwards."""
+    from pyspark.sql import types as T
+
+    from tcdb_spark.operators.sketch import hist_partials
+    from tcdb_spark.sources.warehouse import Warehouse
+    from tcdb_spark.streaming.pipeline import stream_hist_quantiles
+
+    schema = T.StructType(
+        [T.StructField("src", T.StringType()), T.StructField("x", T.LongType())]
+    )
+    d = tmp_path / "docs"
+    rows1 = [("a", i % 64) for i in range(400)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(d))
+
+    crash_flag = tmp_path / "crashed_once"
+
+    class CrashAfterCommit(Warehouse):
+        """Commits for real, then dies — once."""
+
+        def write(self, table, df, **kw):
+            v = super().write(table, df, **kw)
+            if not crash_flag.exists():
+                crash_flag.write_text("armed")
+                raise RuntimeError(
+                    "injected crash: warehouse committed, checkpoint NOT"
+                )
+            return v
+
+    ckpt = str(tmp_path / "ckpt")
+    args = dict(lo=0.0, hi=64.0, n_bins=16, checkpoint_dir=ckpt)
+    q = stream_hist_quantiles(
+        spark, str(d), CrashAfterCommit(spark, str(tmp_path / "wh")),
+        schema, "x", ["src"], **args,
+    )
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(120)
+    assert crash_flag.exists()
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert wh.current_version("hist_state") == 1  # the commit DID land
+
+    # restart from the same checkpoint: epoch 0 is re-delivered; the
+    # guard must skip it — no double fold, no new version
+    q2 = stream_hist_quantiles(spark, str(d), wh, schema, "x", ["src"], **args)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    assert wh.current_version("hist_state") == 1
+
+    def state_counts():
+        return {
+            (r["src"], r["bin"]): r["cnt"]
+            for r in wh.read("hist_state").select("src", "bin", "cnt").collect()
+        }
+
+    def want_counts(rows):
+        return {
+            (r["src"], r["bin"]): r["cnt"]
+            for r in hist_partials(
+                spark.createDataFrame(rows, schema), "x", ["src"], 0.0, 64.0, 16
+            ).collect()
+        }
+
+    assert state_counts() == want_counts(rows1)
+
+    # and the recovered pipeline keeps ingesting: a second tick folds in
+    rows2 = [("a", 32 + i % 32) for i in range(200)]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(str(d))
+    q3 = stream_hist_quantiles(spark, str(d), wh, schema, "x", ["src"], **args)
+    q3.awaitTermination(120)
+    assert q3.exception() is None
+    assert wh.current_version("hist_state") == 2
+    assert state_counts() == want_counts(rows1 + rows2)
+
+
 def test_stream_hist_quantiles_state_equals_one_shot(spark, tmp_path):
     """Streaming histogram-state maintenance must converge to exactly
     the partials a one-shot batch pass computes, and quantiles read
