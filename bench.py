@@ -63,13 +63,16 @@ def main() -> None:
     # warm up the JVM/codegen/file-listing paths once
     run_once(QUERIES["q1_pricing_summary"](spark, sf_dir))
 
-    # best of two runs per query: one-shot timings on a shared local JVM
-    # are noisy (GC, page cache); min is the stable estimator
+    # best of three runs per query: one-shot timings on a shared local JVM
+    # are noisy (GC, page cache, box contention); min is the stable
+    # estimator and three samples bound the round-over-round drift that a
+    # single unlucky pass introduces (round-2 recorded a 12% phantom
+    # regression from exactly this)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = impls[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             run_once(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

@@ -93,6 +93,155 @@ def bm25_scores(
     return scored.select(id_col, F.col("dl").cast("bigint").alias("dl"), total.alias("score"))
 
 
+# --- hybrid retrieval: reciprocal-rank fusion -----------------------------
+
+_RRF_K = 60         # the standard RRF smoothing constant (Cormack et al. 2009)
+_RRF_CAND = 100     # per-leg candidate depth
+_HYBRID_TOP = 20
+
+_BM25_SCORED_CTE = f"""
+    toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '{_TOKEN_RE}') AS toks
+        FROM documents
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(len(toks) AS DOUBLE) AS dl,
+               CAST(len(list_filter(toks, x -> x = '{QUERY_TERMS[0]}')) AS DOUBLE) AS tf_0,
+               CAST(len(list_filter(toks, x -> x = '{QUERY_TERMS[1]}')) AS DOUBLE) AS tf_1,
+               CAST(len(list_filter(toks, x -> x = '{QUERY_TERMS[2]}')) AS DOUBLE) AS tf_2
+        FROM toks
+    ), stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+               CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+               CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+               CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+        FROM per_doc
+    ), scored AS (
+        SELECT doc_id,
+                 ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+                   * tf_0 * {K1 + 1.0} / (tf_0 + {K1} * (1.0 - {B} + {B} * dl / avgdl))
+               + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+                   * tf_1 * {K1 + 1.0} / (tf_1 + {K1} * (1.0 - {B} + {B} * dl / avgdl))
+               + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+                   * tf_2 * {K1 + 1.0} / (tf_2 + {K1} * (1.0 - {B} + {B} * dl / avgdl))
+               AS score
+        FROM per_doc CROSS JOIN stats
+    )"""
+
+_RRF_ORACLE = f"""
+    WITH {_BM25_SCORED_CTE}, lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT {_RRF_CAND}
+    ), q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0
+    ), sem_scored AS (
+        SELECT e.vec_id AS doc_id,
+               list_dot_product(q.q_emb, CAST(e.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                    * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))) AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+    ), sem AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS sem_rank
+        FROM sem_scored ORDER BY cos DESC, doc_id ASC LIMIT {_RRF_CAND}
+    ), fused AS (
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+               COALESCE(1.0 / ({_RRF_K} + lex_rank), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + sem_rank), 0.0) AS rrf
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank,
+           CAST(sem_rank AS INTEGER) AS sem_rank,
+           round(rrf, 6) AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {_HYBRID_TOP}
+    """
+
+
+@register("hybrid_rrf_rank", oracle=_RRF_ORACLE)
+def hybrid_rrf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): fuse the BM25 keyword ranking with the
+    embedding-cosine ranking for one query — the standard way a training
+    -data or RAG pipeline combines lexical and semantic recall without
+    score calibration (ranks fuse; raw scores never need to be on one
+    scale). ``doc_id`` keys both tables (documents.doc_id ==
+    embeddings.vec_id in the testdata).
+
+    Scale shape: each leg reduces to its top-``_RRF_CAND`` candidates
+    with TakeOrderedAndProject (k rows per partition -> driver merge,
+    never a full sort); rank assignment and the full-outer fusion then
+    run on two 100-row frames, so the single-partition rank windows are
+    bounded by the candidate depth, not the corpus. The fused score is
+    1/(k+r_lex) + 1/(k+r_sem) — fixed-order double arithmetic, identical
+    in both engines."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    docs, emb = t["documents"], t["embeddings"]
+
+    lex = (
+        bm25_scores(docs, QUERY_TERMS)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_RRF_CAND)
+        .withColumn(
+            "lex_rank",
+            F.row_number()
+            .over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+            .cast("int"),
+        )
+        .select("doc_id", "lex_rank")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("q_emb")
+    )
+    sem_scored = (
+        emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").cast("array<double>").alias("e"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("doc_id") != 0)
+        .select(
+            "doc_id",
+            (
+                _dot(F.col("q_emb"), F.col("e"))
+                / (F.sqrt(_dot(F.col("q_emb"), F.col("q_emb"))) * F.sqrt(_dot(F.col("e"), F.col("e"))))
+            ).alias("cos"),
+        )
+    )
+    sem = (
+        sem_scored.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(_RRF_CAND)
+        .withColumn(
+            "sem_rank",
+            F.row_number()
+            .over(W.orderBy(F.col("cos").desc(), F.col("doc_id").asc()))
+            .cast("int"),
+        )
+        .select("doc_id", "sem_rank")
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(_HYBRID_TOP)
+        .select("doc_id", "lex_rank", "sem_rank", F.round("rrf", 6).alias("rrf_score"))
+    )
+
+
 @register(
     "bm25_rank",
     oracle=f"""

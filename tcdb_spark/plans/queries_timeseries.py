@@ -228,3 +228,74 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
+
+
+# --- exponential smoothing -------------------------------------------------
+
+_EWMA_ALPHA = 0.5  # decay weights (1-a)^i are exact binary fractions
+_EWMA_K = 8        # bounded memory: 8 lags ~ 0.4% residual weight at a=0.5
+
+_EWMA_DECAY = [(1.0 - _EWMA_ALPHA) ** i for i in range(_EWMA_K)]
+
+_EWMA_ORACLE = (
+    """
+    WITH w AS (
+        SELECT event_id, user_id,
+    """
+    + ",\n".join(
+        f"           lag(value, {i}) OVER win AS l{i}" for i in range(_EWMA_K)
+    )
+    + """
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT event_id, user_id,
+           round((
+    """
+    + "\n         + ".join(
+        f"CASE WHEN l{i} IS NOT NULL THEN l{i} * {_EWMA_DECAY[i]!r} ELSE 0.0 END"
+        for i in range(_EWMA_K)
+    )
+    + """
+           ) / (
+    """
+    + "\n         + ".join(
+        f"CASE WHEN l{i} IS NOT NULL THEN {_EWMA_DECAY[i]!r} ELSE 0.0 END"
+        for i in range(_EWMA_K)
+    )
+    + """
+           ), 6) AS ewma
+    FROM w
+    """
+)
+
+
+@register("ewma_smooth", oracle=_EWMA_ORACLE)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key exponentially weighted moving average over the event
+    stream — the smoothing/denoising pass a monitoring or
+    feature-engineering pipeline runs before thresholding (the bounded
+    sibling of pandas ``ewm(alpha=0.5).mean()`` with an 8-lag horizon,
+    normalized over the weights actually present, so series heads are
+    unbiased exactly like pandas' ``adjust=True``).
+
+    Exactness across engines: the truncated EWMA is a FIXED-ORDER sum of
+    8 lag terms (w0*x_t + w1*x_{t-1} + ...) — never an unordered
+    aggregate — and with alpha = 0.5 every weight is an exact binary
+    fraction, so Spark and DuckDB produce bit-identical doubles before
+    the final round. One shuffle (the per-user window); the lag chain is
+    a single window spec, so Spark evaluates all 8 lags in one pass over
+    each sorted partition. Infinite-horizon EWMA is inherently
+    sequential (y_t depends on y_{t-1}); the truncation is what makes it
+    a window expression that parallelizes per key at 100 TB."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    lags = [F.lag("value", i).over(w) for i in range(_EWMA_K)]
+    num = None
+    den = None
+    for i in range(_EWMA_K):
+        t = F.when(lags[i].isNotNull(), lags[i] * F.lit(_EWMA_DECAY[i])).otherwise(F.lit(0.0))
+        d = F.when(lags[i].isNotNull(), F.lit(_EWMA_DECAY[i])).otherwise(F.lit(0.0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return e.select("event_id", "user_id", F.round(num / den, 6).alias("ewma"))
