@@ -561,3 +561,100 @@ def grouped_arrow_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInArrow(
         fit, schema="user_id long, n long, slope double, intercept double"
     )
+
+
+# --- distribution-drift monitoring (PSI) -----------------------------------
+
+_PSI_BINS = 16
+_PSI_EPS = 0.5  # Laplace smoothing per bin (zero-proof, exact rational)
+
+_PSI_BIN_SQL = (
+    f"CAST(least(floor((value - mn) / ((mx - mn) / {_PSI_BINS})), "
+    f"{_PSI_BINS - 1}) AS INTEGER)"
+)
+
+_psi_cohort_counts = ", ".join(
+    f"CAST(sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS DOUBLE) AS c{i}"
+    for i in range(_PSI_BINS)
+)
+_psi_terms = "\n         + ".join(
+    f"((q{i} - p{i}) * ln(q{i} / p{i}))" for i in range(_PSI_BINS)
+)
+_psi_q = ", ".join(
+    f"(g.c{i} + {_PSI_EPS}) / (g.n + {_PSI_BINS * _PSI_EPS}) AS q{i}"
+    for i in range(_PSI_BINS)
+)
+_psi_p = ", ".join(
+    f"(t.c{i} + {_PSI_EPS}) / (t.n + {_PSI_BINS * _PSI_EPS}) AS p{i}"
+    for i in range(_PSI_BINS)
+)
+
+_PSI_ORACLE = f"""
+    WITH rng AS (
+        SELECT min(value) AS mn, max(value) AS mx FROM events
+    ), binned AS (
+        SELECT event_type, {_PSI_BIN_SQL} AS bin
+        FROM events CROSS JOIN rng
+    ), grp AS (
+        SELECT event_type, {_psi_cohort_counts},
+               CAST(count(*) AS DOUBLE) AS n
+        FROM binned GROUP BY event_type
+    ), tot AS (
+        SELECT {_psi_cohort_counts}, CAST(count(*) AS DOUBLE) AS n FROM binned
+    ), probs AS (
+        SELECT g.event_type, {_psi_q}, {_psi_p}
+        FROM grp g CROSS JOIN tot t
+    )
+    SELECT event_type,
+           round({_psi_terms}, 6) AS psi
+    FROM probs
+    """
+
+
+@register("psi_drift", oracle=_PSI_ORACLE)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each event type's ``value``
+    distribution against the pooled corpus — the standard drift monitor
+    a training-data pipeline runs between ingestion cohorts (PSI < 0.1
+    stable, 0.1-0.25 moderate shift, > 0.25 action). Generalizes the
+    reference's freshness checks from "is new data arriving" to "does
+    the new data still look like the old data".
+
+    Exact cross-engine math by construction: binning is one global
+    (min, max) broadcast + identical float arithmetic per row; per-bin
+    counts are INTEGER aggregates (unordered sums are exact); the PSI
+    itself is a FIXED-ORDER 16-term expression over Laplace-smoothed
+    (+0.5) frequencies, so no unordered float summation exists anywhere.
+    One scan + one shuffle (the per-type count aggregate); the 16-column
+    count matrix is ~n_types rows regardless of corpus size."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    rng = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = e.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / _PSI_BINS)),
+            F.lit(_PSI_BINS - 1),
+        ).cast("int").alias("bin"),
+    )
+    counts = [
+        F.sum(F.when(F.col("bin") == i, 1).otherwise(0)).cast("double").alias(f"c{i}")
+        for i in range(_PSI_BINS)
+    ]
+    grp = binned.groupBy("event_type").agg(*counts, F.count(F.lit(1)).cast("double").alias("n"))
+    tot = binned.agg(
+        *[c.alias(f"t{i}") for i, c in enumerate(counts)],
+        F.count(F.lit(1)).cast("double").alias("tn"),
+    )
+    probs = grp.crossJoin(F.broadcast(tot))
+
+    def q(i):
+        return (F.col(f"c{i}") + F.lit(_PSI_EPS)) / (F.col("n") + F.lit(_PSI_BINS * _PSI_EPS))
+
+    def p(i):
+        return (F.col(f"t{i}") + F.lit(_PSI_EPS)) / (F.col("tn") + F.lit(_PSI_BINS * _PSI_EPS))
+
+    psi = None
+    for i in range(_PSI_BINS):  # fixed-order sum (float determinism)
+        term = (q(i) - p(i)) * F.log(q(i) / p(i))
+        psi = term if psi is None else psi + term
+    return probs.select("event_type", F.round(psi, 6).alias("psi"))
