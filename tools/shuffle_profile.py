@@ -54,7 +54,10 @@ def main() -> None:
     QUERIES["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     rows = []
-    for name in HEADLINE + ["graph_pagerank", "cdc_apply", "conversation_assembly"]:
+    for name in HEADLINE + [
+        "graph_pagerank", "cdc_apply", "conversation_assembly",
+        "hybrid_rrf_rank", "ewma_smooth", "psi_drift",
+    ]:
         seen = set(_stages(ui, app))
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         after = _stages(ui, app)
