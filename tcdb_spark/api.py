@@ -365,3 +365,72 @@ class Engine:
             left, emb, k=k, k_centroids=k_centroids, nprobe=nprobe,
             candidate_filter=F.col("label") != F.col("q_label"),
         )
+
+    def hybrid_search(
+        self,
+        docs: DataFrame,
+        emb: DataFrame,
+        terms: list[str],
+        q_emb: DataFrame,
+        cand: int = 100,
+        top: int = 20,
+        rrf_k: int = 60,
+    ) -> DataFrame:
+        """Hybrid retrieval: BM25 keyword leg over ``docs`` (doc_id,
+        text) fused with an embedding-cosine leg over ``emb`` (vec_id,
+        embedding) against the 1-row query frame ``q_emb`` (q_emb
+        array<double>) by reciprocal-rank fusion
+        (plans/queries_ranking.rank_leg/rrf_fuse). Each leg reduces to
+        its top-``cand`` before any rank window runs."""
+        from pyspark.sql import functions as F
+
+        from tcdb_spark.plans.queries_ranking import bm25_scores, rank_leg, rrf_fuse
+
+        lex = rank_leg(bm25_scores(docs, terms), "score", "lex_rank", cand=cand)
+
+        def _dot(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+            )
+
+        sem_scored = (
+            emb.select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("embedding").cast("array<double>").alias("e"),
+            )
+            .crossJoin(F.broadcast(q_emb))
+            .select(
+                "doc_id",
+                (
+                    _dot(F.col("q_emb"), F.col("e"))
+                    / (F.sqrt(_dot(F.col("q_emb"), F.col("q_emb"))) * F.sqrt(_dot(F.col("e"), F.col("e"))))
+                ).alias("cos"),
+            )
+        )
+        sem = rank_leg(sem_scored, "cos", "sem_rank", cand=cand)
+        return rrf_fuse([lex, sem], k=rrf_k, top=top)
+
+    def smooth(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        order_cols: list[str],
+        value_col: str,
+        alpha: float = 0.5,
+        lags: int = 8,
+    ) -> DataFrame:
+        """Per-key truncated EWMA (plans/queries_timeseries
+        truncated_ewma): fixed-order window-lag sum, one shuffle."""
+        from tcdb_spark.plans.queries_timeseries import truncated_ewma
+
+        return truncated_ewma(df, key_cols, order_cols, value_col, alpha=alpha, lags=lags)
+
+    def drift(
+        self, df: DataFrame, cohort_col: str, value_col: str, bins: int = 16
+    ) -> DataFrame:
+        """Population Stability Index per cohort vs the pooled corpus
+        (plans/queries_analytics.psi_by_cohort) — the batch-over-batch
+        distribution-drift monitor."""
+        from tcdb_spark.plans.queries_analytics import psi_by_cohort
+
+        return psi_by_cohort(df, cohort_col, value_col, bins=bins)

@@ -611,6 +611,49 @@ _PSI_ORACLE = f"""
     """
 
 
+def psi_by_cohort(
+    df: DataFrame,
+    cohort_col: str,
+    value_col: str,
+    bins: int = _PSI_BINS,
+    eps: float = _PSI_EPS,
+) -> DataFrame:
+    """Reusable PSI operator: one row per cohort with the Population
+    Stability Index of its ``value_col`` distribution vs the pooled
+    corpus. See ``psi_drift`` for the exactness/scale contract (integer
+    bin counts, fixed-order smoothed sum)."""
+    rng = df.agg(F.min(value_col).alias("mn"), F.max(value_col).alias("mx"))
+    binned = df.crossJoin(F.broadcast(rng)).select(
+        cohort_col,
+        F.least(
+            F.floor((F.col(value_col) - F.col("mn")) / ((F.col("mx") - F.col("mn")) / bins)),
+            F.lit(bins - 1),
+        ).cast("int").alias("bin"),
+    )
+    counts = [
+        F.sum(F.when(F.col("bin") == i, 1).otherwise(0)).cast("double").alias(f"c{i}")
+        for i in range(bins)
+    ]
+    grp = binned.groupBy(cohort_col).agg(*counts, F.count(F.lit(1)).cast("double").alias("n"))
+    tot = binned.agg(
+        *[c.alias(f"t{i}") for i, c in enumerate(counts)],
+        F.count(F.lit(1)).cast("double").alias("tn"),
+    )
+    probs = grp.crossJoin(F.broadcast(tot))
+
+    def q(i):
+        return (F.col(f"c{i}") + F.lit(eps)) / (F.col("n") + F.lit(bins * eps))
+
+    def p(i):
+        return (F.col(f"t{i}") + F.lit(eps)) / (F.col("tn") + F.lit(bins * eps))
+
+    psi = None
+    for i in range(bins):  # fixed-order sum (float determinism)
+        term = (q(i) - p(i)) * F.log(q(i) / p(i))
+        psi = term if psi is None else psi + term
+    return probs.select(cohort_col, psi.alias("psi"))
+
+
 @register("psi_drift", oracle=_PSI_ORACLE)
 def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of each event type's ``value``
@@ -628,33 +671,5 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan + one shuffle (the per-type count aggregate); the 16-column
     count matrix is ~n_types rows regardless of corpus size."""
     e = load_tables(spark, sf_dir, "events")["events"]
-    rng = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
-    binned = e.crossJoin(F.broadcast(rng)).select(
-        "event_type",
-        F.least(
-            F.floor((F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / _PSI_BINS)),
-            F.lit(_PSI_BINS - 1),
-        ).cast("int").alias("bin"),
-    )
-    counts = [
-        F.sum(F.when(F.col("bin") == i, 1).otherwise(0)).cast("double").alias(f"c{i}")
-        for i in range(_PSI_BINS)
-    ]
-    grp = binned.groupBy("event_type").agg(*counts, F.count(F.lit(1)).cast("double").alias("n"))
-    tot = binned.agg(
-        *[c.alias(f"t{i}") for i, c in enumerate(counts)],
-        F.count(F.lit(1)).cast("double").alias("tn"),
-    )
-    probs = grp.crossJoin(F.broadcast(tot))
-
-    def q(i):
-        return (F.col(f"c{i}") + F.lit(_PSI_EPS)) / (F.col("n") + F.lit(_PSI_BINS * _PSI_EPS))
-
-    def p(i):
-        return (F.col(f"t{i}") + F.lit(_PSI_EPS)) / (F.col("tn") + F.lit(_PSI_BINS * _PSI_EPS))
-
-    psi = None
-    for i in range(_PSI_BINS):  # fixed-order sum (float determinism)
-        term = (q(i) - p(i)) * F.log(q(i) / p(i))
-        psi = term if psi is None else psi + term
-    return probs.select("event_type", F.round(psi, 6).alias("psi"))
+    out = psi_by_cohort(e, "event_type", "value")
+    return out.select("event_type", F.round("psi", 6).alias("psi"))

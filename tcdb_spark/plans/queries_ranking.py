@@ -161,6 +161,48 @@ _RRF_ORACLE = f"""
     """
 
 
+def rank_leg(
+    scored: DataFrame,
+    score_col: str,
+    rank_name: str,
+    id_col: str = "doc_id",
+    cand: int = _RRF_CAND,
+) -> DataFrame:
+    """One retrieval leg: reduce to the top-``cand`` candidates with
+    TakeOrderedAndProject, then assign dense ranks on the tiny result —
+    the rank window is bounded by the candidate depth, never the corpus."""
+    from pyspark.sql.window import Window as W
+
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    return (
+        scored.orderBy(*order)
+        .limit(cand)
+        .withColumn(rank_name, F.row_number().over(W.orderBy(*order)).cast("int"))
+        .select(id_col, rank_name)
+    )
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = _RRF_K,
+    top: int = _HYBRID_TOP,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked legs (each: id + one *_rank
+    column from :func:`rank_leg`): score = sum over legs of 1/(k+rank),
+    absent legs contribute 0. Fixed-order sum over the legs."""
+    fused = legs[0]
+    for leg in legs[1:]:
+        fused = fused.join(leg, id_col, "full_outer")
+    rank_cols = [c for c in fused.columns if c != id_col]
+    score = None
+    for rc in rank_cols:
+        term = F.coalesce(F.lit(1.0) / (F.lit(k) + F.col(rc)), F.lit(0.0))
+        score = term if score is None else score + term
+    out = fused.withColumn("rrf", score)
+    return out.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(top)
+
+
 @register("hybrid_rrf_rank", oracle=_RRF_ORACLE)
 def hybrid_rrf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
@@ -178,23 +220,10 @@ def hybrid_rrf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the candidate depth, not the corpus. The fused score is
     1/(k+r_lex) + 1/(k+r_sem) — fixed-order double arithmetic, identical
     in both engines."""
-    from pyspark.sql.window import Window as W
-
     t = load_tables(spark, sf_dir, "documents", "embeddings")
     docs, emb = t["documents"], t["embeddings"]
 
-    lex = (
-        bm25_scores(docs, QUERY_TERMS)
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(_RRF_CAND)
-        .withColumn(
-            "lex_rank",
-            F.row_number()
-            .over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
-            .cast("int"),
-        )
-        .select("doc_id", "lex_rank")
-    )
+    lex = rank_leg(bm25_scores(docs, QUERY_TERMS), "score", "lex_rank")
 
     def _dot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
@@ -214,31 +243,11 @@ def hybrid_rrf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
-    sem = (
-        sem_scored.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
-        .limit(_RRF_CAND)
-        .withColumn(
-            "sem_rank",
-            F.row_number()
-            .over(W.orderBy(F.col("cos").desc(), F.col("doc_id").asc()))
-            .cast("int"),
-        )
-        .select("doc_id", "sem_rank")
-    )
+    sem = rank_leg(sem_scored, "cos", "sem_rank")
 
-    fused = lex.join(sem, "doc_id", "full_outer").select(
-        "doc_id",
-        "lex_rank",
-        "sem_rank",
-        (
-            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0))
-        ).alias("rrf"),
-    )
-    return (
-        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
-        .limit(_HYBRID_TOP)
-        .select("doc_id", "lex_rank", "sem_rank", F.round("rrf", 6).alias("rrf_score"))
+    fused = rrf_fuse([lex, sem])
+    return fused.select(
+        "doc_id", "lex_rank", "sem_rank", F.round("rrf", 6).alias("rrf_score")
     )
 
 

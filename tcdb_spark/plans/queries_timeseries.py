@@ -270,6 +270,33 @@ _EWMA_ORACLE = (
 )
 
 
+def truncated_ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = _EWMA_ALPHA,
+    lags: int = _EWMA_K,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Reusable truncated-EWMA operator: appends ``out_col`` = the
+    ``lags``-term exponentially weighted average of ``value_col`` per
+    key, ordered by ``order_cols``. Fixed-order lag sum (see
+    ``ewma_smooth`` for the determinism/scale contract); weights are
+    exact binary fractions when alpha is a power of two."""
+    w = W.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in order_cols])
+    decay = [(1.0 - alpha) ** i for i in range(lags)]
+    lag_cols = [F.lag(value_col, i).over(w) for i in range(lags)]
+    num = None
+    den = None
+    for i in range(lags):
+        t = F.when(lag_cols[i].isNotNull(), lag_cols[i] * F.lit(decay[i])).otherwise(F.lit(0.0))
+        d = F.when(lag_cols[i].isNotNull(), F.lit(decay[i])).otherwise(F.lit(0.0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return df.withColumn(out_col, num / den)
+
+
 @register("ewma_smooth", oracle=_EWMA_ORACLE)
 def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key exponentially weighted moving average over the event
@@ -289,13 +316,5 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential (y_t depends on y_{t-1}); the truncation is what makes it
     a window expression that parallelizes per key at 100 TB."""
     e = load_tables(spark, sf_dir, "events")["events"]
-    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    lags = [F.lag("value", i).over(w) for i in range(_EWMA_K)]
-    num = None
-    den = None
-    for i in range(_EWMA_K):
-        t = F.when(lags[i].isNotNull(), lags[i] * F.lit(_EWMA_DECAY[i])).otherwise(F.lit(0.0))
-        d = F.when(lags[i].isNotNull(), F.lit(_EWMA_DECAY[i])).otherwise(F.lit(0.0))
-        num = t if num is None else num + t
-        den = d if den is None else den + d
-    return e.select("event_id", "user_id", F.round(num / den, 6).alias("ewma"))
+    out = truncated_ewma(e, ["user_id"], ["ts", "event_id"], "value")
+    return out.select("event_id", "user_id", F.round("ewma", 6).alias("ewma"))

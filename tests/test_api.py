@@ -239,3 +239,58 @@ def test_engine_apply_changes(spark, tmp_path):
     eng.apply_changes("kv", feed, keys=["k"])
     out = {r["k"]: r["v"] for r in eng.read_changes_view("kv").collect()}
     assert out == {2: "b2", 9: "i"}
+
+
+def test_engine_hybrid_smooth_drift_facades(spark, tmp_path):
+    """Round-3 facades: hybrid RRF search, truncated-EWMA smoothing,
+    PSI drift — each checked against a small hand-verifiable case."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh3"))
+
+    # hybrid_search: doc 1 wins keyword, doc 2 wins cosine, doc 3 both-mid.
+    docs = spark.createDataFrame(
+        [(1, "data data data"), (2, "nothing relevant"), (3, "data here")],
+        ["doc_id", "text"],
+    )
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([([1.0, 0.0],)], "q_emb array<double>")
+    out = {r["doc_id"]: r["rrf"] for r in eng.hybrid_search(docs, emb, ["data"], q).collect()}
+    # lex ranks: 1,3,2 (tf desc; doc 2 tf=0 ties at 0 -> doc_id order);
+    # sem ranks: 2,3,1 (cos 1.0, 0.707, 0.0)
+    assert abs(out[1] - (1 / 61 + 1 / 63)) < 1e-12
+    assert abs(out[2] - (1 / 63 + 1 / 61)) < 1e-12
+    assert abs(out[3] - (1 / 62 + 1 / 62)) < 1e-12
+
+    # smooth: constant series -> EWMA equals the constant at every row
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, 7, base + dt.timedelta(hours=i), 3.0) for i in range(5)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    sm = eng.smooth(ev, ["user_id"], ["ts", "event_id"], "value")
+    assert [r["ewma"] for r in sm.orderBy("event_id").collect()] == [3.0] * 5
+    # and a step series head matches the closed form: y_1 = (x1 + 0.5*x0)/1.5
+    ev2 = spark.createDataFrame(
+        [(0, 7, base, 0.0), (1, 7, base + dt.timedelta(hours=1), 3.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = eng.smooth(ev2, ["user_id"], ["ts", "event_id"], "value").orderBy("event_id").collect()
+    assert got[1]["ewma"] == (3.0 + 0.5 * 0.0) / 1.5
+
+    # drift: a cohort identical to the pool has PSI ~ 0; a shifted one doesn't
+    rows = [("same", float(i % 100)) for i in range(1000)] + [
+        ("shifted", 200.0 + float(i % 100)) for i in range(1000)
+    ]
+    d = eng.drift(spark.createDataFrame(rows, "cohort string, value double"), "cohort", "value")
+    psi = {r["cohort"]: r["psi"] for r in d.collect()}
+    assert psi["shifted"] > 0.25 < math.inf  # actionable drift
+    assert psi["shifted"] > psi["same"]
