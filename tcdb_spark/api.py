@@ -428,9 +428,10 @@ class Engine:
     def drift(
         self, df: DataFrame, cohort_col: str, value_col: str, bins: int = 16
     ) -> DataFrame:
-        """Population Stability Index per cohort vs the pooled corpus
-        (plans/queries_analytics.psi_by_cohort) — the batch-over-batch
-        distribution-drift monitor."""
+        """Population Stability Index per cohort vs the rest of the
+        corpus (leave-one-out baseline; plans/queries_analytics
+        .psi_by_cohort) — the batch-over-batch distribution-drift
+        monitor."""
         from tcdb_spark.plans.queries_analytics import psi_by_cohort
 
         return psi_by_cohort(df, cohort_col, value_col, bins=bins)

@@ -569,7 +569,7 @@ _PSI_BINS = 16
 _PSI_EPS = 0.5  # Laplace smoothing per bin (zero-proof, exact rational)
 
 _PSI_BIN_SQL = (
-    f"CAST(least(floor((value - mn) / ((mx - mn) / {_PSI_BINS})), "
+    f"CAST(least(floor((value - mn) / (greatest(mx - mn, 1e-300) / {_PSI_BINS})), "
     f"{_PSI_BINS - 1}) AS INTEGER)"
 )
 
@@ -584,8 +584,12 @@ _psi_q = ", ".join(
     f"(g.c{i} + {_PSI_EPS}) / (g.n + {_PSI_BINS * _PSI_EPS}) AS q{i}"
     for i in range(_PSI_BINS)
 )
+# Leave-one-out baseline: the reference distribution for a cohort is the
+# pool MINUS that cohort (t.cI - g.cI), so a drifted cohort cannot dilute
+# its own reference.  With a single cohort the baseline degenerates to the
+# smoothed uniform 1/bins — deterministic, PSI finite.
 _psi_p = ", ".join(
-    f"(t.c{i} + {_PSI_EPS}) / (t.n + {_PSI_BINS * _PSI_EPS}) AS p{i}"
+    f"(t.c{i} - g.c{i} + {_PSI_EPS}) / (t.n - g.n + {_PSI_BINS * _PSI_EPS}) AS p{i}"
     for i in range(_PSI_BINS)
 )
 
@@ -619,14 +623,24 @@ def psi_by_cohort(
     eps: float = _PSI_EPS,
 ) -> DataFrame:
     """Reusable PSI operator: one row per cohort with the Population
-    Stability Index of its ``value_col`` distribution vs the pooled
-    corpus. See ``psi_drift`` for the exactness/scale contract (integer
-    bin counts, fixed-order smoothed sum)."""
+    Stability Index of its ``value_col`` distribution vs the pool MINUS
+    the cohort itself (leave-one-out baseline).  A pooled baseline would
+    let a drifted cohort contaminate its own reference — with two
+    equal-size cohorts both would get the identical PSI by symmetry and
+    "identical to the rest of the pool -> PSI ~ 0" would be
+    unsatisfiable.  Here a cohort that matches everything else scores
+    ~0 and a shifted one scores high, as a drift monitor must.  The bin
+    width is guarded against a constant value column (greatest with a
+    tiny positive width: all rows land in bin 0, PSI 0 — Spark's
+    non-ANSI NULL-on-div-0 and DuckDB's IEEE semantics would otherwise
+    disagree).  See ``psi_drift`` for the exactness/scale contract
+    (integer bin counts, fixed-order smoothed sum)."""
     rng = df.agg(F.min(value_col).alias("mn"), F.max(value_col).alias("mx"))
+    width = F.greatest(F.col("mx") - F.col("mn"), F.lit(1e-300)) / bins
     binned = df.crossJoin(F.broadcast(rng)).select(
         cohort_col,
         F.least(
-            F.floor((F.col(value_col) - F.col("mn")) / ((F.col("mx") - F.col("mn")) / bins)),
+            F.floor((F.col(value_col) - F.col("mn")) / width),
             F.lit(bins - 1),
         ).cast("int").alias("bin"),
     )
@@ -644,8 +658,10 @@ def psi_by_cohort(
     def q(i):
         return (F.col(f"c{i}") + F.lit(eps)) / (F.col("n") + F.lit(bins * eps))
 
-    def p(i):
-        return (F.col(f"t{i}") + F.lit(eps)) / (F.col("tn") + F.lit(bins * eps))
+    def p(i):  # leave-one-out: pool counts minus this cohort's counts
+        return (F.col(f"t{i}") - F.col(f"c{i}") + F.lit(eps)) / (
+            F.col("tn") - F.col("n") + F.lit(bins * eps)
+        )
 
     psi = None
     for i in range(bins):  # fixed-order sum (float determinism)
@@ -657,7 +673,8 @@ def psi_by_cohort(
 @register("psi_drift", oracle=_PSI_ORACLE)
 def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of each event type's ``value``
-    distribution against the pooled corpus — the standard drift monitor
+    distribution against the rest of the corpus (leave-one-out
+    baseline: pool minus the cohort) — the standard drift monitor
     a training-data pipeline runs between ingestion cohorts (PSI < 0.1
     stable, 0.1-0.25 moderate shift, > 0.25 action). Generalizes the
     reference's freshness checks from "is new data arriving" to "does

@@ -286,11 +286,17 @@ def test_engine_hybrid_smooth_drift_facades(spark, tmp_path):
     got = eng.smooth(ev2, ["user_id"], ["ts", "event_id"], "value").orderBy("event_id").collect()
     assert got[1]["ewma"] == (3.0 + 0.5 * 0.0) / 1.5
 
-    # drift: a cohort identical to the pool has PSI ~ 0; a shifted one doesn't
-    rows = [("same", float(i % 100)) for i in range(1000)] + [
-        ("shifted", 200.0 + float(i % 100)) for i in range(1000)
-    ]
+    # drift (leave-one-out baseline): a cohort identical to the REST of
+    # the pool has PSI ~ 0; a small shifted one scores actionable drift.
+    # Never a strict > between near-equal floats — assert the separation
+    # band.  Nine identically-distributed cohorts dominate the pool so a
+    # healthy cohort's leave-one-out baseline is ~99% lookalike rows.
+    rows = [
+        (f"same{k}", float(i % 100)) for k in range(9) for i in range(1000)
+    ] + [("shifted", 200.0 + float(i % 100)) for i in range(100)]
     d = eng.drift(spark.createDataFrame(rows, "cohort string, value double"), "cohort", "value")
     psi = {r["cohort"]: r["psi"] for r in d.collect()}
-    assert psi["shifted"] > 0.25 < math.inf  # actionable drift
-    assert psi["shifted"] > psi["same"]
+    # "shifted" occupies bins its leave-one-out baseline never touches -> large
+    assert psi["same0"] < 0.1 < 0.25 < psi["shifted"]  # actionable drift
+    # identically-distributed cohorts get the identical (fixed-order) PSI
+    assert abs(psi["same0"] - psi["same8"]) < 1e-12
