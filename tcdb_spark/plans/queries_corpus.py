@@ -593,19 +593,52 @@ ORACLES["dedup_canonical_keep"] = ORACLES["dedup_canonical_keep"].format(
 )
 
 
-@register("bpe_learn_merges")  # iterative argmax loop -> rows-only check
+# BPE golden fixture (FIXTURES.md §A convention): the merge sequence is
+# pinned from operators/bpe.bpe_learn_reference — the pure-Python
+# transcription of the published algorithm (Sennrich 2016) — so the
+# oracle is SF-independent and survives testdata regeneration.  The
+# catalog query runs the REAL distributed path (corpus word-count
+# shuffle, vocab-sized pair-count shuffle per merge, driver argmax) on
+# this fixture; tests/test_bpe.py additionally pins spark==reference on
+# the live documents table at two SFs.
+_BPE_CORPUS = [
+    "the hurricane moved west then the hurricane weakened",
+    "the tropical storm strengthened into a hurricane overnight",
+    "forecasters tracked the storm as the storm turned north",
+    "the low pressure system became a tropical depression",
+    "the depression strengthened into a tropical storm",
+    "wind shear weakened the system as it moved north west",
+    "the hurricane center issued warnings for the coast",
+    "heavy rain and storm surge flooded the coast overnight",
+]
+
+# bpe_learn_reference(_BPE_CORPUS, 16) — pinned, do not regenerate blindly
+_BPE_EXPECTED = [
+    (1, "h", "e"), (2, "s", "t"), (3, "t", "he"), (4, "e", "d"),
+    (5, "c", "a"), (6, "o", "r"), (7, "i", "ca"), (8, "u", "r"),
+    (9, "e", "n"), (10, "i", "n"), (11, "or", "m"), (12, "st", "orm"),
+    (13, "e", "r"), (14, "h", "ur"), (15, "hur", "r"), (16, "hurr", "ica"),
+]
+
+_BPE_ORACLE = "SELECT * FROM (VALUES\n      " + ",\n      ".join(
+    f"({i}, '{l}', '{r}')" for i, l, r in _BPE_EXPECTED
+) + "\n    ) AS t(rank, lhs, rhs)"
+
+
+@register("bpe_learn_merges", oracle=_BPE_ORACLE)
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn a 16-merge BPE vocabulary from the corpus (Sennrich 2016)
-    and emit the ordered merge table. Iterative (one vocab-sized
-    pair-count shuffle per merge after a single corpus-sized word
-    count), so not SQL-expressible — tests/test_bpe.py pins exact
-    equality against a pure-Python reference of the published
-    algorithm, which is the stronger check."""
+    """Learn a 16-merge BPE vocabulary (Sennrich 2016) and emit the
+    ordered merge table. Iterative (one vocab-sized pair-count shuffle
+    per merge after a single corpus-sized word count), so the loop is
+    not SQL-expressible — instead the oracle is a GOLDEN: the fixture
+    corpus's merge sequence pinned from the pure-Python reference
+    implementation, exercised through the real distributed engine path
+    (same convention as the ATCF scan goldens)."""
     from tcdb_spark.operators.bpe import bpe_learn
 
-    d = load_tables(spark, sf_dir, "documents")["documents"]
+    d = spark.createDataFrame([(t,) for t in _BPE_CORPUS], "text string")
     merges = bpe_learn(spark, d, n_merges=16)
     return spark.createDataFrame(
         [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
-        "rank int, left string, right string",
+        "rank int, lhs string, rhs string",
     )
