@@ -22,14 +22,42 @@ AUDIT = ["run_id", "last_update"]
 def storm_observations(
     warehouse: Warehouse, nhc_id: str | None = None
 ) -> DataFrame:
-    """Per-storm observation frame (tcdb/datasets/storm_dataset.py:85-92)."""
+    """Per-storm observation frame (tcdb/datasets/storm_dataset.py:85-92).
+
+    Point lookups (``nhc_id`` given) route through the warehouse's
+    file-stats skipping when stats exist for the observations table:
+    the storm dimension resolves the surrogate key driver-side (tiny),
+    and provably-disjoint observation files are pruned from the file
+    list before the scan plans — at 10^5 files per table that's a
+    metadata lookup instead of 10^5 footer reads.  Falls back to the
+    full scan when stats are absent; the row-level filter always still
+    applies, so results are identical either way."""
     storms = warehouse.read("storms")
-    obs = warehouse.read("observations")
     if nhc_id is not None:
         storms = storms.where(F.col("nhc_id") == nhc_id)
+        obs = _obs_point_lookup(warehouse, storms)
+    else:
+        obs = warehouse.read("observations")
     return obs.join(
         F.broadcast(storms.select("storm_id", "nhc_id", "name")), on="storm_id"
     ).drop(*AUDIT)
+
+
+def _obs_point_lookup(warehouse: Warehouse, storms: DataFrame) -> DataFrame:
+    """Observations scan for a resolved storm set, file-stats-pruned
+    when ``_STATS_v<n>.json`` exists (Warehouse.read_skipping); plain
+    versioned read otherwise."""
+    import os
+
+    v = warehouse.current_version("observations")
+    if v is not None and os.path.exists(warehouse._stats_path("observations", v)):
+        ids = [r["storm_id"] for r in storms.select("storm_id").collect()]
+        if ids:
+            obs, _info = warehouse.read_skipping(
+                "observations", {"storm_id": (min(ids), max(ids))}
+            )
+            return obs.where(F.col("storm_id").isin(ids))
+    return warehouse.read("observations")
 
 
 def storm_tracks(

@@ -77,7 +77,11 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with document frequencies, top-20 — the
     dictionary-building pass of a text pipeline (map-side distinct
-    explode + one count shuffle)."""
+    explode + one count shuffle).  The top-k is TakeOrderedAndProject
+    (per-partition heaps, 20 rows to the driver) and the rank window
+    runs only over the 20 survivors — never a single-reducer sort of
+    the full vocabulary, which is 10^7-10^8 tokens at web-corpus scale
+    (same pattern as queries_ranking.rank_leg)."""
     from pyspark.sql.window import Window as W
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
@@ -86,10 +90,11 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("token"),
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
-    w = W.orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+    order = [F.col("doc_freq").desc(), F.col("token").asc()]
     return (
-        freq.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 20)
+        freq.orderBy(*order)
+        .limit(20)
+        .withColumn("rank", F.row_number().over(W.orderBy(*order)).cast("int"))
     )
 
 

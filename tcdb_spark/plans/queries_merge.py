@@ -283,3 +283,53 @@ def cdc_apply_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(~F.col("__deleted")).select(
         "event_id", "value", F.col("seq").alias("applied_seq")
     )
+
+
+@register(
+    "warehouse_skipping_lookup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id BETWEEN 3 AND 5
+    """,
+)
+def warehouse_skipping_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stats point lookup through the REAL warehouse path: events
+    land in a versioned warehouse table range-clustered on user_id with
+    stats collected at commit (write(stats_cols=...)), then a keyed
+    range lookup goes through read_skipping — provably-disjoint files
+    are pruned from the file list BEFORE the scan plans (the
+    Delta/Iceberg stats-in-log analog; at 10^5 files per table that is
+    a driver-side metadata lookup instead of 10^5 footer reads).  The
+    query RAISES unless files were actually skipped, so a layout or
+    stats regression turns this correctness row red instead of silently
+    degrading to a full scan; the residual row-level filter keeps the
+    result exact regardless, which is what the value-hash oracle
+    certifies."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    e = load_tables(spark, sf_dir, "events")["events"].select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    # tmp outlives the returned (lazy) plan — cleaned at process exit, so
+    # the caller sees the REAL pruned scan, not a pre-collected local
+    # relation that would blind the executed-plan audit
+    tmp = tempfile.mkdtemp(prefix="tcdb_skip_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    wh = Warehouse(spark, tmp)
+    wh.write(
+        "events",
+        e.repartitionByRange(8, "user_id"),
+        stats_cols=["user_id"],
+    )
+    pruned, info = wh.read_skipping("events", {"user_id": (3, 5)})
+    if not (0 < info["files_read"] < info["files_total"]):
+        raise AssertionError(
+            f"file skipping regressed: read {info['files_read']} of "
+            f"{info['files_total']} files for a narrow key range"
+        )
+    return pruned.select("event_id", "user_id", "event_type", "value")

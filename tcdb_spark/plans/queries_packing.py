@@ -72,6 +72,69 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PACK_SHARDS = 8  # production sharding degree (grows with cluster size)
+
+
+@register(
+    "pack_sequences_sharded",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    counted AS (
+        SELECT doc_id, CAST(doc_id % {N_PACK_SHARDS} AS INTEGER) AS shard,
+               CAST(len(tokens) AS BIGINT) AS n_tokens
+        FROM toks
+    ), cum AS (
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_end
+        FROM counted
+    )
+    SELECT doc_id, shard, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST((cum_end - n_tokens) // {PACK_BUDGET} AS INTEGER) AS pack_id,
+           CAST((cum_end - n_tokens) % {PACK_BUDGET} AS INTEGER) AS pack_offset,
+           CAST(CASE WHEN (cum_end - 1) // {PACK_BUDGET}
+                          > (cum_end - n_tokens) // {PACK_BUDGET}
+                     THEN 1 ELSE 0 END AS INTEGER) AS straddles
+    FROM cum
+    """,
+)
+def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION twin of :func:`pack_sequences`: the identical
+    concat-then-chunk running-sum expression, but the window is
+    PARTITIONED by a deterministic shard key (doc_id mod
+    ``N_PACK_SHARDS``), so the cumulative sum runs as
+    ``N_PACK_SHARDS`` independent per-partition sorts instead of one
+    single-reducer global sort.  Pack ids are shard-local — exactly how
+    a trainer consumes them (each data-loader rank reads its own shard's
+    packs).  This is the exact/production convention the ANN lane uses:
+    ``pack_sequences`` attests the math with a total order,
+    this entry attests the scale shape with the same math, and both are
+    value-hash oracle-checked."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_SHARDS).cast("int").alias("shard"),
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum_end = F.sum("n_tokens").over(w)
+    start = cum_end - F.col("n_tokens")
+    return toks.select(
+        "doc_id",
+        "shard",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor(start / PACK_BUDGET).cast("int").alias("pack_id"),
+        (start % PACK_BUDGET).cast("int").alias("pack_offset"),
+        (F.floor((cum_end - 1) / PACK_BUDGET) > F.floor(start / PACK_BUDGET))
+        .cast("int")
+        .alias("straddles"),
+    )
+
+
 _EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
 _IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"

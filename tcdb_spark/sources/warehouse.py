@@ -756,14 +756,18 @@ class Warehouse:
         with open(sp) as f:
             stats = json.load(f)
         path = os.path.join(self._dir(table), f"v={v}")
-        all_files = [
-            n
-            for n in sorted(os.listdir(path))
+        # recursive walk so partition_by layouts (one directory per
+        # partition value) prune too; stats keys are part-file basenames,
+        # which Spark makes unique via the task UUID
+        all_files = sorted(
+            os.path.join(root, n)
+            for root, _dirs, files in os.walk(path)
+            for n in files
             if not n.startswith(("_", ".")) and n.endswith(".parquet")
-        ]
+        )
         keep = []
         for fname in all_files:
-            fstats = stats["files"].get(fname)
+            fstats = stats["files"].get(os.path.basename(fname))
             hit = True
             if fstats is not None:
                 for col, (lo, hi) in filters.items():
@@ -782,7 +786,7 @@ class Warehouse:
             if hit:
                 keep.append(fname)
         if keep:
-            df = self.spark.read.parquet(*[os.path.join(path, n) for n in keep])
+            df = self.spark.read.parquet(*keep)
         else:
             df = self.spark.read.parquet(path).limit(0)
         for col, (lo, hi) in filters.items():
@@ -798,12 +802,16 @@ class Warehouse:
         df: DataFrame,
         partition_by: list[str] | None = None,
         expect_version: int | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Write the next version and repoint. The full write lands before
         the pointer moves — crash mid-write leaves the old version live.
         Holds the writer lock for the duration; pass ``expect_version``
         (the version the caller's plan was derived from) to make the
-        commit a compare-and-swap."""
+        commit a compare-and-swap. ``stats_cols`` auto-collects per-file
+        min/max stats on those columns BEFORE the pointer moves, so every
+        published version is immediately servable by ``read_skipping``
+        (the lakehouse stats-at-commit convention)."""
         with self._write_lock(table, expect_version):
             v = (self.current_version(table) or 0) + 1
             path = os.path.join(self._dir(table), f"v={v}")
@@ -811,6 +819,8 @@ class Warehouse:
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(path)
+            if stats_cols:
+                self.collect_stats(table, stats_cols, version=v)
             tmp = self._pointer(table) + ".tmp"
             with open(tmp, "w") as f:
                 f.write(str(v))

@@ -180,3 +180,28 @@ def test_avro_gate_raises_actionable(spark, tmp_path):
     df = spark.range(3)
     with _pytest.raises(NotImplementedError, match="spark-avro"):
         write_columnar(df, str(tmp_path / "avro_t"), fmt="avro")
+
+
+def test_storm_lookup_skips_files(spark, loaded_wh):
+    """Point lookups route through file-stats skipping: re-cluster
+    observations on storm_id with stats at commit, then a storm-id
+    lookup must read strictly fewer files than the table holds while
+    returning the identical rows (VERDICT r3 item 6)."""
+    obs = loaded_wh.read("observations")
+    # re-lay the table: range-clustered on storm_id, stats at commit
+    loaded_wh.write(
+        "observations",
+        obs.repartitionByRange(3, "storm_id"),
+        stats_cols=["storm_id"],
+    )
+    storms = loaded_wh.read("storms")
+    sid = storms.where(F.col("nhc_id") == "AL092022").first()["storm_id"]
+    pruned, info = loaded_wh.read_skipping("observations", {"storm_id": (sid, sid)})
+    assert 0 < info["files_read"] < info["files_total"]
+    assert pruned.count() == obs.where(F.col("storm_id") == sid).count()
+
+    # the dataset facade takes the same pruned path and must agree with
+    # the full-scan answer exactly
+    got = storm_observations(loaded_wh, nhc_id="AL092022")
+    assert got.count() == 2
+    assert {r["nhc_id"] for r in got.collect()} == {"AL092022"}

@@ -56,6 +56,49 @@ SCALAR_CROSS_OK = {
 # Arrow-based Python ops are design choices documented per operator.
 ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 
+# Queries allowed an UNPARTITIONED window over UNBOUNDED input (the
+# single-reducer sort shape that dies at corpus scale). Only the
+# documented global-cumsum attestation twin qualifies; its sharded
+# production twin is pack_sequences_sharded.
+GLOBAL_WINDOW_OK = {"pack_sequences"}
+
+# Logical nodes that bound a subtree to driver-scale row counts, making
+# a global window above them safe (rank_leg's top-k then rank pattern).
+_BOUNDING_NODES = {"GlobalLimit", "LocalRelation", "OneRowRelation"}
+
+
+def _unbounded_global_windows(df) -> int:
+    """Count Window nodes with an empty partitionSpec whose subtree has
+    no row-bounding node (limit / literal relation / grand-total
+    aggregate) — i.e. true single-reducer sorts over unbounded input."""
+
+    def subtree_bounded(node) -> bool:
+        cls = node.getClass().getSimpleName()
+        if cls in _BOUNDING_NODES:
+            return True
+        if cls == "Aggregate" and node.groupingExpressions().isEmpty():
+            return True  # grand total: one row
+        return any(
+            subtree_bounded(node.children().apply(i))
+            for i in range(node.children().size())
+        )
+
+    offenders = 0
+
+    def walk(node):
+        nonlocal offenders
+        if node.getClass().getSimpleName() == "Window" and node.partitionSpec().isEmpty():
+            if not any(
+                subtree_bounded(node.children().apply(i))
+                for i in range(node.children().size())
+            ):
+                offenders += 1
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return offenders
+
 
 def main() -> None:
     from tcdb_spark.plans import QUERIES
@@ -102,6 +145,15 @@ def main() -> None:
             violations.append(f"{name}: BroadcastNestedLoopJoin (not allowlisted)")
         if pyrow:
             violations.append(f"{name}: row-at-a-time Python UDF (BatchEvalPython)")
+        try:
+            gw = _unbounded_global_windows(df)
+        except Exception:  # noqa: BLE001 — never let the walker mask a lint run
+            gw = 0
+        if gw and name not in GLOBAL_WINDOW_OK:
+            violations.append(
+                f"{name}: unpartitioned window over unbounded input "
+                f"({gw} node(s) — single-reducer sort at scale)"
+            )
 
     # CI-style completeness gate (round-2 verdict #2): the audit must
     # cover the ENTIRE catalog — a stale or partial run is itself a
