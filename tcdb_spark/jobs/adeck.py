@@ -120,21 +120,26 @@ def run_adeck_job(
         "step_id", F.xxhash64(F.lit("step"), F.col("track_id"), F.col("hour"))
     )
 
-    warehouse.write(
-        "forecasts",
-        merge(warehouse.read("forecasts", FORECASTS_SCHEMA), forecasts,
-              keys=["forecast_id"], run_id=run_id),
-    )
-    warehouse.write(
-        "tracks",
-        merge(warehouse.read("tracks", TRACKS_SCHEMA), tracks,
-              keys=["track_id"], run_id=run_id),
-    )
-    warehouse.write(
-        "steps",
-        merge(warehouse.read("steps", STEPS_SCHEMA), steps,
-              keys=["track_id", "hour"], run_id=run_id),
-    )
+    # one atomic commit across the 3-level hierarchy — the reference's
+    # per-file session transaction (tcdb/etl/atcf_forecasts.py:51,136):
+    # a crash mid-job leaves either all three tables advanced or none,
+    # never a forecast without its tracks/steps
+    with warehouse.transaction(["forecasts", "tracks", "steps"]) as txn:
+        txn.write(
+            "forecasts",
+            merge(warehouse.read("forecasts", FORECASTS_SCHEMA), forecasts,
+                  keys=["forecast_id"], run_id=run_id),
+        )
+        txn.write(
+            "tracks",
+            merge(warehouse.read("tracks", TRACKS_SCHEMA), tracks,
+                  keys=["track_id"], run_id=run_id),
+        )
+        txn.write(
+            "steps",
+            merge(warehouse.read("steps", STEPS_SCHEMA), steps,
+                  keys=["track_id", "hour"], run_id=run_id),
+        )
     return {
         "forecasts": warehouse.read("forecasts").count(),
         "tracks": warehouse.read("tracks").count(),

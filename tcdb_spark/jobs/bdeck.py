@@ -133,57 +133,71 @@ def run_bdeck_job(
     merged_storms = merge(
         existing, staged, keys=["storm_id"], run_id=run_id, update_guards=guard
     )
-    warehouse.write("storms", merged_storms)
-    storms_now = warehouse.read("storms")
-
     obs_inc = observations_from_bdeck(parsed_bdeck)
     obs_inc = check_range_coerce(obs_inc, [LATITUDE, LONGITUDE, VELOCITY, PRESSURE])
-    # storm_id lookup: same batch's storms by (basin, number) with the
-    # cycle inside the storm's [start, end] window
-    keyed = (
-        obs_inc.join(
-            F.broadcast(
-                storms_now.select(
-                    "storm_id",
-                    F.substring("nhc_id", 1, 2).alias("basin"),
-                    "nhc_number",
-                    "start_date",
-                    "end_date",
-                )
-            ),
-            on=["basin", "nhc_number"],
+
+    def _key_obs(storms_now: DataFrame) -> DataFrame:
+        # storm_id lookup: same batch's storms by (basin, number) with the
+        # cycle inside the storm's [start, end] window
+        return (
+            obs_inc.join(
+                F.broadcast(
+                    storms_now.select(
+                        "storm_id",
+                        F.substring("nhc_id", 1, 2).alias("basin"),
+                        "nhc_number",
+                        "start_date",
+                        "end_date",
+                    )
+                ),
+                on=["basin", "nhc_number"],
+            )
+            .where(
+                (F.col("datetime_utc") >= F.col("start_date"))
+                & (F.col("datetime_utc") <= F.col("end_date"))
+            )
+            .drop("basin", "nhc_number", "start_date", "end_date")
         )
-        .where(
-            (F.col("datetime_utc") >= F.col("start_date"))
-            & (F.col("datetime_utc") <= F.col("end_date"))
-        )
-        .drop("basin", "nhc_number", "start_date", "end_date")
-    )
-    if bucket_obs and warehouse.is_bucketed("observations"):
-        # incremental path: the batch only rewrites buckets its storm_ids
-        # hash into; every other bucket file is carried forward by link —
-        # O(touched buckets) per batch instead of O(table)
-        warehouse.merge_scoped(
-            "observations", keyed, keys=["storm_id", "datetime_utc"], run_id=run_id
-        )
-    elif bucket_obs:
-        existing_obs = warehouse.read("observations", OBSERVATIONS_SCHEMA)
-        merged_obs = merge(
-            existing_obs, keyed, keys=["storm_id", "datetime_utc"], run_id=run_id
-        )
-        warehouse.write_bucketed(
-            "observations",
-            merged_obs,
-            ["storm_id"],
-            n_buckets=n_buckets,
-            sort_cols=["storm_id", "datetime_utc"],
-        )
+
+    if bucket_obs:
+        # bucketed commits go through merge_scoped/write_bucketed, which
+        # publish internally — storms commits FIRST so a crash between the
+        # two table commits can only leave a parent without children
+        # (benign: the idempotent MERGE re-lands them on replay), never
+        # orphaned observations
+        warehouse.write("storms", merged_storms)
+        keyed = _key_obs(warehouse.read("storms"))
+        if warehouse.is_bucketed("observations"):
+            # incremental path: the batch only rewrites buckets its
+            # storm_ids hash into; every other bucket file is carried
+            # forward by link — O(touched buckets) per batch, not O(table)
+            warehouse.merge_scoped(
+                "observations", keyed, keys=["storm_id", "datetime_utc"], run_id=run_id
+            )
+        else:
+            existing_obs = warehouse.read("observations", OBSERVATIONS_SCHEMA)
+            merged_obs = merge(
+                existing_obs, keyed, keys=["storm_id", "datetime_utc"], run_id=run_id
+            )
+            warehouse.write_bucketed(
+                "observations",
+                merged_obs,
+                ["storm_id"],
+                n_buckets=n_buckets,
+                sort_cols=["storm_id", "datetime_utc"],
+            )
     else:
-        existing_obs = warehouse.read("observations", OBSERVATIONS_SCHEMA)
-        merged_obs = merge(
-            existing_obs, keyed, keys=["storm_id", "datetime_utc"], run_id=run_id
-        )
-        warehouse.write("observations", merged_obs)
+        # one atomic commit for storms + observations (the reference's
+        # per-file session transaction): readers see both tables advance
+        # together or not at all
+        with warehouse.transaction(["storms", "observations"]) as txn:
+            txn.write("storms", merged_storms)
+            keyed = _key_obs(txn.read("storms"))
+            existing_obs = warehouse.read("observations", OBSERVATIONS_SCHEMA)
+            merged_obs = merge(
+                existing_obs, keyed, keys=["storm_id", "datetime_utc"], run_id=run_id
+            )
+            txn.write("observations", merged_obs)
 
     return {
         "storms": warehouse.read("storms").count(),

@@ -62,7 +62,11 @@ def remove_old_invests(
         "storm_id",
     )
     removed = storms.count() - new_storms.count()
-    warehouse.write("storms", new_storms)
-    warehouse.write("observations", children["observations"])
-    warehouse.write("tracks", children["tracks"])
+    # cascade delete commits all-or-nothing (the ORM session's FK
+    # cascade): a crash can never leave observations/tracks orphaned
+    # from already-deleted parent storms
+    with warehouse.transaction(["storms", "observations", "tracks"]) as txn:
+        txn.write("storms", new_storms)
+        txn.write("observations", children["observations"])
+        txn.write("tracks", children["tracks"])
     return {"removed_storms": removed}

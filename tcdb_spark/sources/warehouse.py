@@ -119,12 +119,126 @@ class Warehouse:
         except FileNotFoundError:
             return False
 
-    def current_version(self, table: str) -> int | None:
+    # -- cross-table snapshot (multi-table atomic commit) ------------------
+    #
+    # The reference wraps forecast->track->step upserts in ONE MySQL
+    # transaction per file (tcdb/etl/atcf_forecasts.py:51,136) and runs
+    # cascade deletes in one ORM session.  Per-table version pointers
+    # cannot reproduce that: a crash between the parent write and a child
+    # write leaves orphans.  The fix is a single root-level
+    # ``_SNAPSHOT.json`` mapping table -> version, swapped with ONE
+    # os.replace: readers resolve versions through the snapshot first, so
+    # a multi-table commit is visible all-or-nothing.  Per-table pointers
+    # remain as a cache (and the resolution fallback for tables that
+    # predate the first snapshot).  Every single-table commit path also
+    # publishes through the snapshot, so the overlay can never go stale.
+
+    def _snapshot_path(self) -> str:
+        return os.path.join(self.root, "_SNAPSHOT.json")
+
+    def _snaplock_path(self) -> str:
+        return os.path.join(self.root, "_SNAPLOCK")
+
+    @contextlib.contextmanager
+    def _snapshot_lock(self, timeout: float = 10.0):
+        """Short global lock serializing snapshot read-modify-write.
+        Held only for the JSON swap (µs), never during data writes, so a
+        bounded spin is enough."""
+        deadline = time.time() + timeout
+        path = self._snaplock_path()
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise ConcurrentWriteError(
+                        f"snapshot lock {path} held past {timeout}s; if the "
+                        "holder crashed, delete the file"
+                    ) from None
+                time.sleep(0.01)
+        try:
+            os.write(fd, f"pid={os.getpid()}".encode())
+            os.close(fd)
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(path)
+
+    def _read_snapshot(self) -> dict | None:
+        try:
+            with open(self._snapshot_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _pointer_version(self, table: str) -> int | None:
         p = self._pointer(table)
         if not os.path.exists(p):
             return None
         with open(p) as f:
             return int(f.read().strip())
+
+    def _write_pointer(self, table: str, v: int) -> None:
+        os.makedirs(self._dir(table), exist_ok=True)
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer(table))
+
+    def _publish(self, versions: dict[str, int]) -> None:
+        """Atomically publish new current versions for one or more
+        tables: ONE os.replace of the snapshot makes every entry visible
+        together, then the per-table pointer caches follow (crash in
+        between is benign — readers prefer the snapshot)."""
+        snap = self._read_snapshot()
+        if snap is None and len(versions) == 1:
+            # no snapshot yet and a single-table commit: the pointer swap
+            # alone is already atomic; don't force the overlay into being
+            ((table, v),) = versions.items()
+            self._write_pointer(table, v)
+            return
+        with self._snapshot_lock():
+            snap = self._read_snapshot()
+            if snap is None:
+                # bootstrap from every table's pointer so the first
+                # snapshot is a complete, consistent picture
+                snap = {
+                    t: pv
+                    for t in (
+                        d
+                        for d in sorted(os.listdir(self.root))
+                        if os.path.isdir(os.path.join(self.root, d))
+                    )
+                    if (pv := self._pointer_version(t)) is not None
+                }
+            snap.update(versions)
+            tmp = self._snapshot_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(snap, f)
+            os.replace(tmp, self._snapshot_path())  # the commit point
+        for table, v in versions.items():
+            self._write_pointer(table, v)
+
+    def transaction(self, tables: list[str]) -> "WarehouseTransaction":
+        """Multi-table atomic commit: stage writes to any of ``tables``,
+        then one snapshot swap publishes them all-or-nothing::
+
+            with wh.transaction(["storms", "observations"]) as txn:
+                txn.write("storms", s)
+                txn.write("observations", o)
+
+        Per-table writer locks are taken up front in sorted order (no
+        deadlock between concurrent transactions); data files land under
+        unpointed ``v=`` directories while staging, so a crash before the
+        snapshot swap leaves every table at its old version."""
+        return WarehouseTransaction(self, tables)
+
+    def current_version(self, table: str) -> int | None:
+        snap = self._read_snapshot()
+        if snap is not None and table in snap:
+            return snap[table]
+        return self._pointer_version(table)
 
     def exists(self, table: str) -> bool:
         return self.current_version(table) is not None
@@ -244,10 +358,7 @@ class Warehouse:
             }
             with open(self._bucket_marker(table, v), "w") as f:
                 json.dump(spec, f)
-            tmp = self._pointer(table) + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(str(v))
-            os.replace(tmp, self._pointer(table))
+            self._publish({table: v})
         return v
 
     def _bucket_spec(self, table: str, v: int) -> dict:
@@ -394,10 +505,7 @@ class Warehouse:
 
         with open(self._bucket_marker(table, v_new), "w") as f:
             json.dump(spec, f)
-        tmp = self._pointer(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(v_new))
-        os.replace(tmp, self._pointer(table))
+        self._publish({table: v_new})
         return {
             "version": v_new,
             "touched_buckets": sorted(touched),
@@ -571,10 +679,7 @@ class Warehouse:
             stats = self._stats_path(src_table, v_src)
             if os.path.exists(stats):
                 shutil.copyfile(stats, self._stats_path(dst_table, 1))
-            tmp = self._pointer(dst_table) + ".tmp"
-            with open(tmp, "w") as f:
-                f.write("1")
-            os.replace(tmp, self._pointer(dst_table))
+            self._publish({dst_table: 1})
         return 1
 
     def restore(self, table: str, version: int) -> int:
@@ -614,10 +719,7 @@ class Warehouse:
             stats = self._stats_path(table, version)
             if os.path.exists(stats):
                 shutil.copyfile(stats, self._stats_path(table, v_new))
-            tmp = self._pointer(table) + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(str(v_new))
-            os.replace(tmp, self._pointer(table))
+            self._publish({table: v_new})
         return v_new
 
     def diff(
@@ -821,8 +923,96 @@ class Warehouse:
             w.parquet(path)
             if stats_cols:
                 self.collect_stats(table, stats_cols, version=v)
-            tmp = self._pointer(table) + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(str(v))
-            os.replace(tmp, self._pointer(table))
+            self._publish({table: v})
         return v
+
+
+class WarehouseTransaction:
+    """Multi-table atomic commit (Warehouse.transaction): the Spark
+    answer to the reference's one-session-per-file MySQL transaction
+    (tcdb/etl/atcf_forecasts.py:51,136; ORM cascade session
+    tcdb/models/storms.py:30-31).
+
+    Lifecycle: ``__enter__`` takes every named table's writer lock in
+    sorted order (two transactions over overlapping table sets cannot
+    deadlock); ``write`` stages data under the next ``v=`` directory of
+    each table WITHOUT moving anything a reader resolves; ``__exit__``
+    publishes all staged versions with ONE snapshot swap — readers see
+    every table move together or none.  On error (or a crash), staged
+    directories are orphans below unpointed versions: invisible to
+    readers, removed by the explicit rollback path when the process
+    survives, reclaimed by the next write's overwrite otherwise.
+    """
+
+    def __init__(self, wh: Warehouse, tables: list[str]):
+        self._wh = wh
+        self._tables = sorted(set(tables))
+        self._stack: contextlib.ExitStack | None = None
+        self._staged: dict[str, int] = {}
+
+    def __enter__(self) -> "WarehouseTransaction":
+        self._stack = contextlib.ExitStack()
+        try:
+            for t in self._tables:
+                self._stack.enter_context(self._wh._write_lock(t))
+        except BaseException:
+            self._stack.close()
+            raise
+        return self
+
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Stage the next version of ``table`` (must be in the
+        transaction's table set). Data and stats land now; visibility
+        waits for commit."""
+        if table not in self._tables:
+            raise ValueError(
+                f"table {table!r} is not part of this transaction "
+                f"(declared: {self._tables})"
+            )
+        base = self._staged.get(table, self._wh.current_version(table) or 0)
+        v = base + 1
+        path = os.path.join(self._wh._dir(table), f"v={v}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        if stats_cols:
+            self._wh.collect_stats(table, stats_cols, version=v)
+        self._staged[table] = v
+        return v
+
+    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        """Read-your-own-writes: a table staged in this transaction reads
+        at its staged (not yet published) version; anything else reads
+        the committed state."""
+        v = self._staged.get(table)
+        if v is None:
+            return self._wh.read(table, schema)
+        return self._wh.spark.read.parquet(
+            os.path.join(self._wh._dir(table), f"v={v}")
+        )
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        try:
+            if exc_type is None and self._staged:
+                self._wh._publish(dict(self._staged))  # the commit point
+            elif exc_type is not None:
+                # rollback: staged version dirs were never visible; remove
+                # them so versions() and vacuum never meet half a txn
+                for table, v in self._staged.items():
+                    shutil.rmtree(
+                        os.path.join(self._wh._dir(table), f"v={v}"),
+                        ignore_errors=True,
+                    )
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(self._wh._stats_path(table, v))
+        finally:
+            if self._stack is not None:
+                self._stack.close()
+        return False
