@@ -75,8 +75,20 @@ class Engine:
 
     # --- query -----------------------------------------------------------
 
-    def table(self, name: str) -> DataFrame:
-        return self.warehouse.read(name)
+    def table(self, name: str, raw: bool = False) -> DataFrame:
+        """Read a warehouse table. Tables maintained by
+        :meth:`apply_changes` carry soft-delete bookkeeping (``seq`` +
+        ``__deleted``); by default those are read through the live-rows
+        CDC view, so callers that never migrated to
+        :meth:`read_changes_view` cannot silently see tombstoned keys
+        (round-3 ADVICE). ``raw=True`` returns the physical rows,
+        bookkeeping included."""
+        df = self.warehouse.read(name)
+        if not raw and "__deleted" in df.columns and "seq" in df.columns:
+            from tcdb_spark.operators.merge import cdc_view
+
+            return cdc_view(df)
+        return df
 
     def register_views(self) -> None:
         """Expose every warehouse table to spark.sql (db/*.sql parity)."""

@@ -164,6 +164,60 @@ def grouped_counts_cube(df: DataFrame, dims: list[str], measure: Column | None =
     return df.cube(*dims).agg(agg)
 
 
+def _funnel_stages(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    stages: list[tuple[str, Column]],
+    wrap=None,
+) -> list[tuple[str, DataFrame]]:
+    """Shared stage-chain builder: stage i is the per-user min timestamp
+    of qualifying events at-or-after the user's stage i-1 timestamp.
+    ``wrap`` (eager twin) intercepts each stage frame — e.g. persist —
+    before the next stage chains on it."""
+    out: list[tuple[str, DataFrame]] = []
+    cur = None
+    for alias, pred in stages:
+        stage_ev = events.where(pred)
+        if cur is None:
+            cur = stage_ev.groupBy(user_col).agg(F.min(ts_col).alias("__t"))
+        else:
+            cur = (
+                stage_ev.join(cur, user_col)
+                .where(F.col(ts_col) >= F.col("__t"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("__t"))
+            )
+        if wrap is not None:
+            cur = wrap(cur)
+        out.append((alias, cur))
+    return out
+
+
+def funnel_plan(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    stages: list[tuple[str, Column]],
+) -> DataFrame:
+    """LAZY funnel: one declarative plan whose single row holds every
+    stage count (each stage's 1-row count aggregate cross-joined in).
+    This is the AUDITABLE twin of :func:`funnel` — plan lint and
+    ``explain`` see the real stage-chain (joins, shuffles, any UDF
+    regression), and explain-only callers pay nothing.  The cost of
+    laziness: without caching, computing count i re-executes stages
+    1..i, so a full execution scans the events table O(S^2) times for S
+    stages.  Use :func:`funnel` (persist-per-stage, one scan per stage)
+    when you want the numbers; use this when you want the plan — the
+    two produce identical rows (pinned in tests)."""
+    chained = _funnel_stages(events, user_col, ts_col, stages)
+    out = None
+    for alias, cur in chained:
+        cnt = cur.agg(F.count(F.lit(1)).alias(alias))
+        out = cnt if out is None else out.crossJoin(cnt)
+    return out
+
+
 def funnel(
     events: DataFrame,
     user_col: str,
@@ -183,24 +237,18 @@ def funnel(
     per stage (an uncached chain would re-execute stages 1..i for
     count i AND again for the final assembly: O(S^2) scans — the
     round-2 ADVICE finding).  Returns a materialized one-row frame of
-    stage counts (bigint), the same shape the lazy version produced."""
-    cur = None
+    stage counts (bigint), the same row :func:`funnel_plan` computes
+    lazily — use that twin when you need an auditable plan."""
     names: list[str] = []
     values: list[int] = []
     cached = []
-    for alias, pred in stages:
-        stage_ev = events.where(pred)
-        if cur is None:
-            cur = stage_ev.groupBy(user_col).agg(F.min(ts_col).alias("__t"))
-        else:
-            cur = (
-                stage_ev.join(cur, user_col)
-                .where(F.col(ts_col) >= F.col("__t"))
-                .groupBy(user_col)
-                .agg(F.min(ts_col).alias("__t"))
-            )
-        cur = cur.persist()
-        cached.append(cur)
+    def _persist(df: DataFrame) -> DataFrame:
+        cached.append(df.persist())
+        return cached[-1]
+
+    # counting in stage order materializes each cache before the next
+    # stage's count executes the plan built on top of it
+    for alias, cur in _funnel_stages(events, user_col, ts_col, stages, wrap=_persist):
         names.append(alias)
         values.append(cur.count())  # materializes the cache for stage i+1
     for c in cached:

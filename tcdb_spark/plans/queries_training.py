@@ -425,11 +425,17 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized in practice.  `>=` keeps same-instant transitions
     (a signup and click in one batch) inside the funnel, and min() is
     order-independent, so no tiebreak can flap.
+    Uses the LAZY ``funnel_plan`` twin so the catalog row carries the
+    real declarative plan — plan lint and explain audit the actual
+    stage-chain (joins, shuffles, the three 1-row count crosses)
+    instead of a pre-materialized local relation.  Production callers
+    wanting one-scan-per-stage use ``operators.aggregates.funnel``
+    (persist-per-stage eager twin, identical row — pinned in tests).
     """
-    from tcdb_spark.operators.aggregates import funnel
+    from tcdb_spark.operators.aggregates import funnel_plan
 
     ev = load_tables(spark, sf_dir, "events")["events"]
-    return funnel(
+    return funnel_plan(
         ev,
         "user_id",
         "ts",

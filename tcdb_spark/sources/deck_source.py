@@ -42,6 +42,11 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+# Manifest format marker: present -> written by the merge-on-append
+# writer (complete, safe to trust strictly); absent -> legacy pre-merge
+# manifest that may under-name published parts (readers ignore it).
+MANIFEST_VERSION_HEADER = "#v2"
+
 
 class DeckFilePartition(InputPartition):
     def __init__(self, path: str, mtime: float):
@@ -65,14 +70,27 @@ class DeckReader(DataSourceReader):
     def _list(self) -> list[tuple[str, float]]:
         matched = sorted(glob.glob(os.path.join(self.path, self.pattern)))
         files = [p for p in matched if os.path.isfile(p)]
-        # If a _MANIFEST exists the directory is writer-managed: read only
-        # the files it names, so a reader racing a concurrent commit (or
-        # landing after a partial publish) never sees unpublished parts.
+        # If a VERSIONED _MANIFEST exists the directory is writer-managed:
+        # read only the files it names, so a reader racing a concurrent
+        # commit (or landing after a partial publish) never sees
+        # unpublished parts.  The "#v2" header marks manifests written by
+        # the merge-on-append writer, which are always COMPLETE.
+        #
+        # Compat (round-3 ADVICE): a header-less manifest came from the
+        # pre-merge writer, whose append-mode commits overwrote it with
+        # only the last job's files — trusting it would silently drop
+        # previously published parts.  Those directories fall back to the
+        # full listing (treated as unmanaged legacy output).  A
+        # coverage-based fallback would be wrong instead: commit renames
+        # part files BEFORE swapping the manifest, so a racing reader
+        # always sees momentarily-uncovered parts.
         manifest = os.path.join(self.path, "_MANIFEST")
         if os.path.isfile(manifest):
             with open(manifest) as f:
-                named = {ln.strip() for ln in f if ln.strip()}
-            files = [p for p in files if os.path.basename(p) in named]
+                lines = [ln.strip() for ln in f if ln.strip()]
+            if lines and lines[0] == MANIFEST_VERSION_HEADER:
+                named = set(lines[1:])
+                files = [p for p in files if os.path.basename(p) in named]
         return [(p, os.path.getmtime(p)) for p in files]
 
     def partitions(self):
@@ -194,10 +212,14 @@ class DeckWriter(DataSourceWriter):
                         ln.strip()
                         for ln in f
                         if ln.strip()
+                        and ln.strip() != MANIFEST_VERSION_HEADER
                         and os.path.isfile(os.path.join(self.dir, ln.strip()))
                     )
-        with open(os.path.join(self.dir, "_MANIFEST"), "w") as f:
+        tmp = os.path.join(self.dir, "_MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(MANIFEST_VERSION_HEADER + "\n")
             f.write("\n".join(sorted(set(final))) + "\n")
+        os.replace(tmp, os.path.join(self.dir, "_MANIFEST"))
 
     def abort(self, messages):
         for m in messages:

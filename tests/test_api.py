@@ -240,6 +240,15 @@ def test_engine_apply_changes(spark, tmp_path):
     out = {r["k"]: r["v"] for r in eng.read_changes_view("kv").collect()}
     assert out == {2: "b2", 9: "i"}
 
+    # round-3 ADVICE: a non-migrated reader using Engine.table() must not
+    # silently see tombstoned keys or bookkeeping columns on a table the
+    # CDC path bootstrapped; raw=True is the escape hatch
+    via_table = eng.table("kv")
+    assert {r["k"] for r in via_table.collect()} == {2, 9}
+    assert "__deleted" not in via_table.columns and "seq" not in via_table.columns
+    raw = eng.table("kv", raw=True)
+    assert {r["k"] for r in raw.collect()} == {1, 2, 9}  # tombstone visible
+
 
 def test_engine_hybrid_smooth_drift_facades(spark, tmp_path):
     """Round-3 facades: hybrid RRF search, truncated-EWMA smoothing,

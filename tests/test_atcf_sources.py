@@ -113,7 +113,8 @@ def test_deckdir_writer_roundtrip(spark, tmp_path):
     assert "_MANIFEST" in names
     assert not [n for n in names if n.startswith(".staged-")]
     manifest = (out / "_MANIFEST").read_text().split()
-    assert all((out / m).exists() for m in manifest)
+    assert manifest[0] == deck_source.MANIFEST_VERSION_HEADER
+    assert all((out / m).exists() for m in manifest[1:])
 
     back = spark.read.format("deckdir").option("path", str(out)).load()
     got = sorted(r["line"] for r in back.select("line").collect())
@@ -148,6 +149,8 @@ def test_deckdir_writer_append_merges_manifest(spark, tmp_path):
     second.write.format("deckdir").option("path", str(out)).mode("append").save()
 
     manifest = set((out / "_MANIFEST").read_text().split())
+    assert deck_source.MANIFEST_VERSION_HEADER in manifest  # versioned format
+    manifest.discard(deck_source.MANIFEST_VERSION_HEADER)
     parts = {n for n in os.listdir(out) if n.startswith("part-")}
     # every published part is manifested and vice versa — both jobs' files
     assert manifest == parts and len(parts) == 4, (manifest, parts)
@@ -181,3 +184,38 @@ def test_deckdir_writer_gz(spark, tmp_path):
     ).save()
     back = spark.read.format("deckdir").option("path", str(out)).load()
     assert sorted(r["line"] for r in back.collect()) == ["a b c", "d e f"]
+
+
+def test_deckdir_legacy_manifest_falls_back_to_full_listing(spark, tmp_path):
+    """Round-3 ADVICE: a header-less (pre-merge-writer) manifest may name
+    only the last job's files — the reader must NOT trust it, or it would
+    silently drop previously published parts. It falls back to the full
+    listing; a versioned manifest is trusted strictly."""
+    from tcdb_spark.sources import deck_source
+
+    deck_source.register(spark)
+    out = tmp_path / "legacy"
+    out.mkdir()
+    (out / "part-00000-1-aaaa.dat").write_text("old line\n")
+    (out / "part-00000-2-bbbb.dat").write_text("new line\n")
+    # legacy manifest: the old writer's append overwrote it with only the
+    # last job's file
+    (out / "_MANIFEST").write_text("part-00000-2-bbbb.dat\n")
+
+    got = {
+        r["line"]
+        for r in spark.read.format("deckdir").option("path", str(out))
+        .option("pattern", "*.dat").load().collect()
+    }
+    assert got == {"old line", "new line"}  # nothing silently dropped
+
+    # versioned manifest: strict — unmanifested parts stay invisible
+    (out / "_MANIFEST").write_text(
+        deck_source.MANIFEST_VERSION_HEADER + "\npart-00000-2-bbbb.dat\n"
+    )
+    got = {
+        r["line"]
+        for r in spark.read.format("deckdir").option("path", str(out))
+        .option("pattern", "*.dat").load().collect()
+    }
+    assert got == {"new line"}

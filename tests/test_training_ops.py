@@ -159,6 +159,27 @@ def test_funnel_monotone(spark):
     assert r["n_signup"] >= r["n_click_after"] >= r["n_purchase_after"] >= 0
 
 
+def test_funnel_twins_agree(spark):
+    """The eager (persist-per-stage) and lazy (auditable-plan) funnels
+    must produce the identical row, and the lazy twin must stay lazy —
+    explain-only callers pay nothing (round-3 ADVICE)."""
+    from tcdb_spark.operators.aggregates import funnel, funnel_plan
+    from tcdb_spark.plans.catalog import load_tables
+
+    ev = load_tables(spark, SF, "events")["events"]
+    stages = [
+        ("n_signup", F.col("event_type") == "signup"),
+        ("n_click_after", F.col("event_type") == "click"),
+        ("n_purchase_after", F.col("event_type") == "purchase"),
+    ]
+    eager = funnel(ev, "user_id", "ts", stages).first().asDict()
+    lazy_df = funnel_plan(ev, "user_id", "ts", stages)
+    # the lazy plan is a real declarative plan: the stage joins are
+    # visible to explain/plan-lint, not a LocalTableScan
+    assert "LocalTableScan" not in lazy_df._jdf.queryExecution().optimizedPlan().toString()
+    assert lazy_df.first().asDict() == eager
+
+
 def test_join_hint_contracts(spark):
     """Join-strategy hints must actually steer the planner — the knobs a
     100 TB deployment uses when AQE statistics mislead it."""
