@@ -219,3 +219,52 @@ def test_deckdir_legacy_manifest_falls_back_to_full_listing(spark, tmp_path):
         .option("pattern", "*.dat").load().collect()
     }
     assert got == {"new line"}
+
+
+def test_deckdir_http_backend_loopback(spark, tmp_path):
+    """The HTTP backend of the deckdir source against a loopback
+    http.server (VERDICT r3 item 8): ONE driver-side index fetch lists
+    the names, each file downloads executor-side, .gz members
+    decompress, pattern filtering applies at listing time, and the rows
+    feed the b-deck parser unchanged — the reference's
+    scrape-then-download pipeline (tcdb/pipeline/adeck.py:20-38) with
+    the download loop distributed."""
+    import gzip as _gzip
+    import http.server
+    import threading
+
+    from tcdb_spark.sources import deck_source
+    from tcdb_spark.sources.atcf import parse_bdeck_lines
+
+    d = tmp_path / "httpdecks"
+    d.mkdir()
+    (d / "bal012024.dat").write_text("\n".join(BDECK_LINES[:2]) + "\n")
+    (d / "bal022024.dat").write_text(BDECK_LINES[2] + "\n")
+    with _gzip.open(d / "bal032024.dat.gz", "wt") as f:
+        f.write(BDECK_LINES[3] + "\n")
+    (d / "README.txt").write_text("not a deck\n")
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(d), **kw
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/"
+        deck_source.register(spark)
+        df = spark.read.format("deckdir").option("path", url).load()
+        rows = df.collect()
+        assert len(rows) == 4  # README filtered at listing time
+        assert df.select("path").distinct().count() == 3
+        # partition-per-file: downloads are distributed, not a driver loop
+        assert df.select(F.spark_partition_id().alias("p")).distinct().count() == 3
+        gz_rows = [r for r in rows if r.path.endswith(".gz")]
+        assert len(gz_rows) == 1 and gz_rows[0].line == BDECK_LINES[3]
+        # Last-Modified flows into mtime (the server sets it from the fs)
+        assert all(r.mtime.year >= 2024 for r in rows)
+        parsed = parse_bdeck_lines(df.select(F.col("line").alias("value")))
+        assert parsed.count() == 4
+    finally:
+        srv.shutdown()
+        srv.server_close()
