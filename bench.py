@@ -37,6 +37,15 @@ HEADLINE = [
     "fn_cycle_floor",
     "sim_topk_cosine",
     "sim_ann_lsh",
+    # round-4 widening (VERDICT r3 item 7): the round-3 lanes join the
+    # frozen set so their regressions are visible round-over-round.
+    # Earlier entries keep their order — the original 20 stay directly
+    # comparable to BENCH_r01..r03.
+    "hybrid_rrf_rank",
+    "psi_drift",
+    "ewma_smooth",
+    "pack_sequences_sharded",
+    "knn_join",
 ]
 
 
@@ -55,10 +64,16 @@ def main() -> None:
     # The sim_ann_lsh CATALOG entry became its exact-mode oracle twin in
     # round 3; the benchmark keeps timing the r1/r2 production multi-probe
     # configuration so round-over-round numbers stay comparable.
-    from tcdb_spark.plans.queries_sim import sim_ann_lsh_pruned
+    from tcdb_spark.plans.queries_sim import (
+        hard_negative_mining_pruned,
+        sim_ann_lsh_pruned,
+    )
 
     impls = dict(QUERIES)
     impls["sim_ann_lsh"] = sim_ann_lsh_pruned
+    # the k-NN join lane times the PRUNED production config (shared-IVF
+    # cell meeting), not the exact-mode oracle degeneracy
+    impls["knn_join"] = hard_negative_mining_pruned
 
     # warm up the JVM/codegen/file-listing paths once
     run_once(QUERIES["q1_pricing_summary"](spark, sf_dir))

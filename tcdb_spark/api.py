@@ -363,7 +363,8 @@ class Engine:
     ) -> DataFrame:
         """Hard-negative mining: k nearest OTHER-label vectors per
         anchor via the IVF-bounded k-NN join (operators/similarity.py
-        knn_join) — contrastive negatives by difficulty, not chance."""
+        knn_join, block-matmul scoring path) — contrastive negatives by
+        difficulty, not chance."""
         from pyspark.sql import functions as F
 
         from tcdb_spark.operators.similarity import knn_join
@@ -375,7 +376,7 @@ class Engine:
         )
         return knn_join(
             left, emb, k=k, k_centroids=k_centroids, nprobe=nprobe,
-            candidate_filter=F.col("label") != F.col("q_label"),
+            mismatch_cols=("q_label", "label"),
         )
 
     def hybrid_search(

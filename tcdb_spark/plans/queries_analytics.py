@@ -654,9 +654,13 @@ def psi_by_cohort(
         for i in range(bins)
     ]
     grp = binned.groupBy(cohort_col).agg(*counts, F.count(F.lit(1)).cast("double").alias("n"))
-    tot = binned.agg(
-        *[c.alias(f"t{i}") for i, c in enumerate(counts)],
-        F.count(F.lit(1)).cast("double").alias("tn"),
+    grp = grp.persist()
+    # pool totals are the column sums of the per-cohort count matrix
+    # (n_cohorts rows) — exact integer math, and it saves a second scan
+    # of the corpus-sized binned frame
+    tot = grp.agg(
+        *[F.sum(f"c{i}").alias(f"t{i}") for i in range(bins)],
+        F.sum("n").alias("tn"),
     )
     probs = grp.crossJoin(F.broadcast(tot))
 

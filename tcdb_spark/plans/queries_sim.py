@@ -452,8 +452,10 @@ def hard_negative_mining_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production configuration of the hard-negative k-NN join: left
     multi-probes its 6 nearest of 16 IVF cells, so the pair space is
     ~6/16 of the cross product and shrinks further as k_centroids grows
-    at scale. recall@5 >= 0.7 vs the brute-force label-constrained join
-    is gated in tests/test_training_ops.py."""
+    at scale; scoring runs the block-matmul path (one BLAS matmul per
+    bucket block, embeddings never ride the pair join). recall@5 >= 0.7
+    vs the brute-force label-constrained join is gated in
+    tests/test_training_ops.py."""
     from tcdb_spark.operators.similarity import knn_join
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
@@ -468,7 +470,7 @@ def hard_negative_mining_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=K,
         k_centroids=16,
         nprobe=6,
-        candidate_filter=F.col("label") != F.col("q_label"),
+        mismatch_cols=("q_label", "label"),
     ).select("q_id", "vec_id", "cosine", "rank_in_group")
 
 
