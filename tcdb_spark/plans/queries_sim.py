@@ -304,13 +304,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production IVF configuration: spherical KMeans coarse
-    quantizer (fixed seed), probe the 8 nearest of 16 buckets per query,
-    exact cosine top-k inside (operators/similarity.py). nprobe is the
-    recall/cost dial: 8/16 halves the scan vs exhaustive and measures
-    recall@5 = 0.76 (sf0.001, ~500 vectors — quantizer-noise bound) /
-    0.96 (sf0.01); recall gated in tests/test_scale_ops.py."""
-    from tcdb_spark.operators.similarity import ivf_build, ivf_search
+    """The production IVF configuration: spherical k-means coarse
+    quantizer (fixed seed, driver-trained on a bounded sample), probe
+    the 8 nearest of 16 buckets per query, block-matmul exact cosine
+    top-k inside (operators/similarity.ivf_search_blocked — embeddings
+    never ride the pair join). nprobe is the recall/cost dial: 8/16
+    halves the scan vs exhaustive; recall@5 gated in
+    tests/test_scale_ops.py."""
+    from tcdb_spark.operators.similarity import ivf_build, ivf_search_blocked
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     indexed, centroids = ivf_build(e, k_centroids=16, seed=42)
@@ -318,7 +319,7 @@ def sim_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("q_emb"))
     )
-    return ivf_search(indexed, centroids, q, k=K, nprobe=8)
+    return ivf_search_blocked(indexed, centroids, q, k=K, nprobe=8)
 
 
 @register("sim_ann_ivf", oracle=_BRUTE_ORACLE)
