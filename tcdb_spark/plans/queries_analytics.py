@@ -654,10 +654,23 @@ def psi_by_cohort(
         for i in range(bins)
     ]
     grp = binned.groupBy(cohort_col).agg(*counts, F.count(F.lit(1)).cast("double").alias("n"))
-    grp = grp.persist()
-    # pool totals are the column sums of the per-cohort count matrix
-    # (n_cohorts rows) — exact integer math, and it saves a second scan
-    # of the corpus-sized binned frame
+    # persist the tiny (n_cohorts x bins) matrix: psi_from_counts reads
+    # it twice (pool totals = its column sums — exact integer math, and
+    # one corpus scan instead of two)
+    return psi_from_counts(grp.persist(), cohort_col, bins=bins, eps=eps)
+
+
+def psi_from_counts(
+    grp: DataFrame,
+    cohort_col: str,
+    bins: int = _PSI_BINS,
+    eps: float = _PSI_EPS,
+) -> DataFrame:
+    """Leave-one-out PSI from a per-cohort count matrix (columns
+    ``c0..c{bins-1}`` + row count ``n``) — the mergeable-state half of
+    the monitor: counts SUM across shards/batches/days, so the same
+    expression serves the one-shot batch query and the streaming state
+    fold (streaming/pipeline.stream_psi_drift)."""
     tot = grp.agg(
         *[F.sum(f"c{i}").alias(f"t{i}") for i in range(bins)],
         F.sum("n").alias("tn"),

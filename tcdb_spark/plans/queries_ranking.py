@@ -228,9 +228,13 @@ def hybrid_rrf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _dot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
+    # the query norm is a per-query constant: hoist it into the 1-row
+    # broadcast side so the corpus scan pays 2 array folds per row (dot +
+    # candidate norm), not 3 — same values, same within-fold sum order
     q = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("q_emb")
     )
+    q = q.withColumn("q_nrm", F.sqrt(_dot(F.col("q_emb"), F.col("q_emb"))))
     sem_scored = (
         emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").cast("array<double>").alias("e"))
         .crossJoin(F.broadcast(q))
@@ -239,7 +243,7 @@ def hybrid_rrf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             (
                 _dot(F.col("q_emb"), F.col("e"))
-                / (F.sqrt(_dot(F.col("q_emb"), F.col("q_emb"))) * F.sqrt(_dot(F.col("e"), F.col("e"))))
+                / (F.col("q_nrm") * F.sqrt(_dot(F.col("e"), F.col("e"))))
             ).alias("cos"),
         )
     )

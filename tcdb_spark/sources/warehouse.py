@@ -623,6 +623,10 @@ class Warehouse:
         newer versions' links — removing an old directory only drops its
         names, never bytes a retained version still references.
         Time-travel reads of a vacuumed version raise FileNotFoundError.
+        A transaction's staged (not yet published) directory is the
+        highest-numbered version, so it is always retained, and the
+        current version is kept regardless — a concurrent vacuum can at
+        worst shift the retention window by one, never break a commit.
         Returns the removed version numbers."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")

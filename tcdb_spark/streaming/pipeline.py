@@ -566,3 +566,94 @@ def stream_hist_quantiles(
         )
     )
     return writer.start()
+
+
+def psi_bin_counts(
+    df: DataFrame,
+    cohort_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 16,
+) -> DataFrame:
+    """Fixed-edge per-cohort bin-count matrix (c0..c{bins-1}, n) — the
+    SUM-mergeable state of the PSI monitor.  Streaming cannot bin on a
+    global (min, max) the way the batch query does (the stream is
+    unbounded), and production monitors should not anyway: fixed
+    reference edges make every batch's counts comparable, and the state
+    merges by plain addition."""
+    width = max((hi - lo) / bins, 1e-300)
+    b = F.least(
+        F.greatest(F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    binned = df.select(cohort_col, b.alias("bin"))
+    counts = [
+        F.sum(F.when(F.col("bin") == i, 1).otherwise(0)).cast("double").alias(f"c{i}")
+        for i in range(bins)
+    ]
+    return binned.groupBy(cohort_col).agg(
+        *counts, F.count(F.lit(1)).cast("double").alias("n")
+    )
+
+
+def stream_psi_drift(
+    spark: SparkSession,
+    docs_dir: str,
+    warehouse: Warehouse,
+    schema: T.StructType,
+    cohort_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 16,
+    table: str = "psi_state",
+    checkpoint_dir: str | None = None,
+):
+    """Continuous distribution-drift monitoring: each micro-batch's
+    fixed-edge bin counts fold into a persistent (cohorts x bins) state
+    table by SUM — the same mergeable-summary discipline as
+    ``stream_hist_quantiles``, with the identical epoch guard against
+    re-delivered batches double-counting a non-idempotent fold.
+    ``plans.queries_analytics.psi_from_counts`` over the state at any
+    moment gives each cohort's leave-one-out PSI over everything that
+    has flowed through — the batch query and this monitor share that
+    expression, so the streaming result is oracle-anchored by proxy
+    (pinned equal to the one-shot batch computation in
+    tests/test_syntracks_streaming.py).
+
+    Returns the started StreamingQuery (AvailableNow).
+    """
+    feed = spark.readStream.schema(schema).parquet(docs_dir)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        parts = psi_bin_counts(batch_df, cohort_col, value_col, lo, hi, bins)
+        parts = parts.withColumn("__epoch", F.lit(int(epoch_id)))
+        if warehouse.exists(table):
+            state = warehouse.read(table)
+            if state.where(F.col("__epoch") == int(epoch_id)).limit(1).count() > 0:
+                return  # this batch already folded in (restart re-delivery)
+            merged = (
+                state.unionByName(parts)
+                .groupBy(cohort_col)
+                .agg(
+                    *[F.sum(f"c{i}").alias(f"c{i}") for i in range(bins)],
+                    F.sum("n").alias("n"),
+                    F.max("__epoch").alias("__epoch"),
+                )
+            )
+        else:
+            merged = parts
+        warehouse.write(table, merged)
+
+    writer = (
+        feed.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{warehouse.root}/_checkpoints/psi_{table}",
+        )
+    )
+    return writer.start()

@@ -411,3 +411,51 @@ def test_stream_hist_quantiles_state_equals_one_shot(spark, tmp_path):
         ).collect()
     }
     assert qs_state == qs_batch
+
+
+def test_stream_psi_drift_matches_batch(spark, tmp_path):
+    """Streaming PSI monitor: per-batch fixed-edge bin counts fold into
+    the state table by SUM across two file drops, the folded state
+    equals the one-shot batch count matrix exactly (integer merges),
+    and psi_from_counts over it separates a drifted cohort from a
+    healthy one (leave-one-out contract)."""
+    from pyspark.sql import types as T
+
+    from tcdb_spark.plans.queries_analytics import psi_from_counts
+    from tcdb_spark.sources.warehouse import Warehouse
+    from tcdb_spark.streaming.pipeline import psi_bin_counts, stream_psi_drift
+
+    schema = T.StructType(
+        [T.StructField("cohort", T.StringType()), T.StructField("x", T.DoubleType())]
+    )
+    d = tmp_path / "feed"
+    # nine healthy cohorts dominate the pool; one small shifted cohort
+    rows1 = [(f"s{k}", float(i % 100)) for k in range(9) for i in range(300)]
+    rows2 = [(f"s{k}", float(i % 100)) for k in range(9) for i in range(200)] + [
+        ("shifted", 200.0 + float(i % 50)) for i in range(60)
+    ]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(d))
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    args = dict(lo=0.0, hi=256.0, bins=16, checkpoint_dir=str(tmp_path / "ckpt"))
+    q = stream_psi_drift(spark, str(d), wh, schema, "cohort", "x", **args)
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(d), mode="append"
+    )
+    q2 = stream_psi_drift(spark, str(d), wh, schema, "cohort", "x", **args)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    state = wh.read("psi_state").drop("__epoch")
+    all_rows = spark.createDataFrame(rows1 + rows2, schema)
+    want = psi_bin_counts(all_rows, "cohort", "x", 0.0, 256.0, 16)
+    got = {r["cohort"]: r.asDict() for r in state.collect()}
+    for r in want.collect():
+        assert got[r["cohort"]] == r.asDict()  # exact integer merge
+
+    psi = {r["cohort"]: r["psi"] for r in psi_from_counts(state, "cohort").collect()}
+    assert psi["s0"] < 0.1 < 0.25 < psi["shifted"]
+    assert abs(psi["s0"] - psi["s8"]) < 1e-12
