@@ -2,10 +2,14 @@
 nearest-neighbor — the trained-quantizer counterpart of the LSH-bucketed
 path (plans/queries_sim.lsh_bucket_ann), per SURVEY.md §2.12 sim-topk.
 
-Index = KMeans coarse quantizer (pyspark.ml, fixed seed) assigning every
-vector to a centroid bucket; search probes the ``nprobe`` nearest buckets
-per query and runs exact cosine top-k inside. At 100 TB the index table
-is partitioned by bucket so a probe touches only nprobe/k_centroids of
+Index = spherical k-means coarse quantizer (driver-trained on a bounded
+deterministic sample, fixed seed) assigning every vector to a centroid
+bucket via one Arrow matmul per batch; search probes the ``nprobe``
+nearest buckets per query and runs exact cosine top-k inside — as
+block matmuls (``ivf_search_blocked``, the production path) or as
+column-expression folds (``ivf_search``, the pinned-float-order path
+the exact-attestation oracles hash). At 100 TB the index table is
+partitioned by bucket so a probe touches only nprobe/k_centroids of
 the data; recall tunes with nprobe.
 """
 
@@ -36,40 +40,57 @@ def _l2_normalize(arr):
     return F.transform(arr, lambda x: x / n)
 
 
-def _lloyd_kmeans(X, k: int, seed: int, iters: int = 25, n_init: int = 4):
+def _lloyd_kmeans(X, k: int, seed: int, iters: int = 25, n_init: int | None = None):
     """Driver-side spherical k-means on a bounded sample: ``n_init``
     k-means++ seeded Lloyd runs (seeds derived deterministically from
     ``seed``), keep the lowest-inertia quantizer.  Deterministic for a
-    fixed (X order, seed); distances use the matmul identity
-    ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x·c so the working set is n×k
-    floats, never n×k×d."""
+    fixed (X order, seed, BLAS build); distances use the matmul
+    identity ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x·c so the working set
+    is n×k floats, never n×k×d; assignment runs in float32 (2× the
+    memory bandwidth, and quantizer cell boundaries don't need double
+    precision), iterations stop at label convergence, and the restart
+    count adapts to the problem size — multiple restarts matter for
+    tiny samples where a bad k-means++ draw can cost recall, while a
+    50k-point sample almost surely seeds well once."""
     n = X.shape[0]
     k = min(k, n)
-    x2 = (X * X).sum(1)
+    if n_init is None:
+        n_init = 4 if n * k <= 2_000_000 else 1
+    Xf = np.ascontiguousarray(X, dtype="float32")
+    x2 = (Xf * Xf).sum(1)
 
     def one_run(s):
         rng = np.random.RandomState(s)
-        centers = np.empty((k, X.shape[1]))
-        centers[0] = X[rng.randint(n)]
-        d2 = ((X - centers[0]) ** 2).sum(1)
+        centers = np.empty((k, Xf.shape[1]), dtype="float32")
+        centers[0] = Xf[rng.randint(n)]
+        d2 = ((Xf - centers[0]) ** 2).sum(1, dtype="float64")
         for j in range(1, k):  # k-means++ seeding
             tot = d2.sum()
             probs = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
-            centers[j] = X[rng.choice(n, p=probs)]
-            d2 = np.minimum(d2, ((X - centers[j]) ** 2).sum(1))
+            centers[j] = Xf[rng.choice(n, p=probs)]
+            d2 = np.minimum(d2, ((Xf - centers[j]) ** 2).sum(1, dtype="float64"))
+        prev = None
         for _ in range(iters):
             c2 = (centers * centers).sum(1)
-            lab = (x2[:, None] + c2[None, :] - 2.0 * (X @ centers.T)).argmin(1)
-            for j in range(k):
-                m = lab == j
-                if m.any():  # empty cluster keeps its old center
-                    centers[j] = X[m].mean(0)
+            lab = (c2[None, :] - 2.0 * (Xf @ centers.T)).argmin(1)
+            if prev is not None and (lab == prev).all():
+                break  # converged: the next update is a no-op
+            prev = lab
+            # vectorized per-cluster means: d bincount passes (C-speed)
+            # instead of k boolean masks (the Python loop dominated the
+            # build at 50k x 256)
+            cnt = np.bincount(lab, minlength=k).astype("float32")
+            sums = np.empty_like(centers)
+            for j in range(Xf.shape[1]):
+                sums[:, j] = np.bincount(lab, weights=Xf[:, j], minlength=k)
+            nz = cnt > 0  # empty cluster keeps its old center
+            centers[nz] = sums[nz] / cnt[nz, None]
         c2 = (centers * centers).sum(1)
-        inertia = (x2[:, None] + c2[None, :] - 2.0 * (X @ centers.T)).min(1).sum()
+        inertia = (x2[:, None] + c2[None, :] - 2.0 * (Xf @ centers.T)).min(1).sum()
         return inertia, centers
 
     best = min((one_run(seed + 1000 * r) for r in range(n_init)), key=lambda t: t[0])
-    return best[1]
+    return best[1].astype("float64")
 
 
 def ivf_build(

@@ -40,7 +40,7 @@ SCALAR_CROSS_OK = {
     "contamination_check",
     "bm25_rank",  # 1-row corpus-stats (N, avgdl) broadcast cross
     "hybrid_rrf_rank",  # bm25 stats cross + 1-row query-vector cross
-    "psi_drift",  # 1-row (min,max) range + 1-row pooled-counts broadcasts
+    "psi_drift",  # 1-row (min,max) range + 1-row pool-totals broadcasts
     "negative_pair_sample",  # 1-row corpus-count broadcast cross (ring modulus)
     "funnel_conversion",  # three 1-row stage counts crossed into one row
     "mix_temperature_sample",  # 1-row sum-of-isqrt quota denominator cross
