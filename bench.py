@@ -53,6 +53,22 @@ def run_once(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def headline_impls() -> dict:
+    """Catalog queries with the bench's production-config overrides:
+    the ANN lanes time their pruned multi-probe configurations, not the
+    exact-mode oracle degeneracies (shared with tools/shuffle_profile)."""
+    from tcdb_spark.plans import QUERIES
+    from tcdb_spark.plans.queries_sim import (
+        hard_negative_mining_pruned,
+        sim_ann_lsh_pruned,
+    )
+
+    impls = dict(QUERIES)
+    impls["sim_ann_lsh"] = sim_ann_lsh_pruned
+    impls["knn_join"] = hard_negative_mining_pruned
+    return impls
+
+
 def main() -> None:
     from tcdb_spark.plans import QUERIES
     from tcdb_spark.session import get_spark
@@ -61,19 +77,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("tcdb-bench")
 
-    # The sim_ann_lsh CATALOG entry became its exact-mode oracle twin in
-    # round 3; the benchmark keeps timing the r1/r2 production multi-probe
-    # configuration so round-over-round numbers stay comparable.
-    from tcdb_spark.plans.queries_sim import (
-        hard_negative_mining_pruned,
-        sim_ann_lsh_pruned,
-    )
-
-    impls = dict(QUERIES)
-    impls["sim_ann_lsh"] = sim_ann_lsh_pruned
-    # the k-NN join lane times the PRUNED production config (shared-IVF
-    # cell meeting), not the exact-mode oracle degeneracy
-    impls["knn_join"] = hard_negative_mining_pruned
+    impls = headline_impls()
 
     # warm up the JVM/codegen/file-listing paths once
     run_once(QUERIES["q1_pricing_summary"](spark, sf_dir))

@@ -271,18 +271,24 @@ def ivf_search_blocked(
             cl = cdf[mismatch_cols[1]].to_numpy()
             M[ql[:, None] == cl[None, :]] = -np.inf
         kk = min(k, M.shape[1])
+        # fully vectorized per-row top-k with the (-cos, vec_id) tiebreak:
+        # argpartition selects, then a stable sort by vec_id followed by a
+        # stable sort by -cos orders each row (a per-row Python loop here
+        # measured 10x the matmul cost at 100k+ probe rows)
         part = np.argpartition(-M, kk - 1, axis=1)[:, :kk]
-        out_q, out_c, out_s = [], [], []
-        for i in range(M.shape[0]):
-            cols = part[i]
-            vals = M[i, cols]
-            keep = ~np.isneginf(vals)
-            cols, vals = cols[keep], vals[keep]
-            order = np.lexsort((cid[cols], -vals))  # (-cos, vec_id)
-            out_q.extend([qid[i]] * len(order))
-            out_c.extend(cid[cols[order]])
-            out_s.extend(vals[order])
-        return pd.DataFrame({"q_id": out_q, "vec_id": out_c, "cos": out_s})
+        pv = np.take_along_axis(M, part, axis=1)
+        pc = cid[part]
+        o1 = np.argsort(pc, axis=1, kind="stable")
+        pv = np.take_along_axis(pv, o1, axis=1)
+        pc = np.take_along_axis(pc, o1, axis=1)
+        o2 = np.argsort(-pv, axis=1, kind="stable")  # ties keep vec_id asc
+        pv = np.take_along_axis(pv, o2, axis=1)
+        pc = np.take_along_axis(pc, o2, axis=1)
+        keep = ~np.isneginf(pv)
+        q_rep = np.broadcast_to(qid[:, None], pv.shape)
+        return pd.DataFrame(
+            {"q_id": q_rep[keep], "vec_id": pc[keep], "cos": pv[keep]}
+        )
 
     scored = (
         probe.groupBy("bucket")

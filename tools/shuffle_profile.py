@@ -36,9 +36,8 @@ def fmt_bytes(n: float) -> str:
 
 
 def main() -> None:
-    from bench import HEADLINE
+    from bench import HEADLINE, headline_impls
 
-    from tcdb_spark.plans import QUERIES
     from tcdb_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
@@ -50,14 +49,13 @@ def main() -> None:
     ui = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
 
+    QUERIES = headline_impls()  # bench's production-config overrides
     # warm-up so file listing / codegen compilation stages don't pollute q1
     QUERIES["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     rows = []
-    for name in HEADLINE + [
-        "graph_pagerank", "cdc_apply", "conversation_assembly",
-        "hybrid_rrf_rank", "ewma_smooth", "psi_drift",
-    ]:
+    extras = ["graph_pagerank", "cdc_apply", "conversation_assembly"]
+    for name in HEADLINE + [e for e in extras if e not in HEADLINE]:
         seen = set(_stages(ui, app))
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         after = _stages(ui, app)
