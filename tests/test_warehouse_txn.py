@@ -141,3 +141,25 @@ def test_adeck_job_crash_cannot_orphan_children(spark, tmp_path, monkeypatch):
     run_adeck_job(spark, adeck, wh, "A__2")
     got = _counts(wh, tables)
     assert got["forecasts"] == 1 and got["tracks"] == 1 and got["steps"] == 2
+
+
+def test_concurrent_transactions_cannot_interleave(spark, wh2):
+    """Two transactions over overlapping table sets: the second fails
+    fast with ConcurrentWriteError at lock acquisition (sorted-order
+    locking — no deadlock, no partial interleave), and the first
+    commits untouched."""
+    from tcdb_spark.sources.warehouse import ConcurrentWriteError
+
+    with wh2.transaction(["parent", "child"]) as txn:
+        txn.write("parent", spark.range(5).withColumnRenamed("id", "pk"))
+        with pytest.raises(ConcurrentWriteError, match="locked by another writer"):
+            with wh2.transaction(["child", "parent"]):
+                pass
+        # a single-table writer racing a txn-held table also fails fast
+        with pytest.raises(ConcurrentWriteError, match="locked by another writer"):
+            wh2.write("child", spark.range(1).withColumnRenamed("id", "pk"))
+        txn.write("child", spark.range(15).withColumn("pk", F.col("id") % 5))
+    assert _counts(wh2, ["parent", "child"]) == {"parent": 5, "child": 15}
+    # locks fully released after commit
+    wh2.write("child", spark.range(3).withColumn("pk", F.col("id")))
+    assert wh2.read("child").count() == 3
