@@ -654,10 +654,11 @@ def psi_by_cohort(
         for i in range(bins)
     ]
     grp = binned.groupBy(cohort_col).agg(*counts, F.count(F.lit(1)).cast("double").alias("n"))
-    # persist the tiny (n_cohorts x bins) matrix: psi_from_counts reads
-    # it twice (pool totals = its column sums — exact integer math, and
-    # one corpus scan instead of two)
-    return psi_from_counts(grp.persist(), cohort_col, bins=bins, eps=eps)
+    # psi_from_counts reads grp twice (pool totals = its column sums);
+    # no persist needed — the count matrix's shuffle is a ReusedExchange
+    # in the final plan (verified), so the corpus-sized work still runs
+    # once and nothing leaks into the cache across calls
+    return psi_from_counts(grp, cohort_col, bins=bins, eps=eps)
 
 
 def psi_from_counts(
