@@ -163,3 +163,71 @@ def test_concurrent_transactions_cannot_interleave(spark, wh2):
     # locks fully released after commit
     wh2.write("child", spark.range(3).withColumn("pk", F.col("id")))
     assert wh2.read("child").count() == 3
+
+
+def test_randomized_commit_walk_stays_consistent(spark, tmp_path):
+    """Seeded random walk over the commit surface (plain writes,
+    multi-table transactions, failed transactions, restores, vacuums)
+    with a driver-side model of expected table contents.  The invariant
+    after every step: each table reads back exactly the row count the
+    model says was last committed, and a fresh Warehouse instance (new
+    process analog) agrees — i.e. the snapshot overlay and the pointer
+    caches can never disagree about current state, no matter how
+    commits interleave."""
+    import random
+
+    rng = random.Random(42)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    tables = ["alpha", "beta", "gamma"]
+    model: dict[str, int] = {}  # table -> expected row count
+    history: dict[str, list[tuple[int, int]]] = {t: [] for t in tables}  # (version, count)
+
+    def df_of(n):
+        return spark.range(n).withColumnRenamed("id", "k")
+
+    for step in range(24):
+        op = rng.choice(["write", "txn", "failed_txn", "restore", "vacuum"])
+        if op == "write":
+            t = rng.choice(tables)
+            n = rng.randint(1, 50)
+            v = wh.write(t, df_of(n))
+            model[t] = n
+            history[t].append((v, n))
+        elif op == "txn":
+            ts = rng.sample(tables, rng.randint(2, 3))
+            ns = {t: rng.randint(1, 50) for t in ts}
+            with wh.transaction(ts) as txn:
+                for t in ts:
+                    v = txn.write(t, df_of(ns[t]))
+                    history[t].append((v, ns[t]))
+            model.update(ns)
+        elif op == "failed_txn":
+            ts = rng.sample(tables, 2)
+            try:
+                with wh.transaction(ts) as txn:
+                    txn.write(ts[0], df_of(rng.randint(1, 50)))
+                    raise RuntimeError("walk-injected failure")
+            except RuntimeError:
+                pass  # model unchanged: nothing became visible
+            history[ts[0]] = [
+                (v, n) for v, n in history[ts[0]] if v in set(wh.versions(ts[0]))
+            ]
+        elif op == "restore" and model:
+            t = rng.choice([t for t in tables if t in model])
+            live = [
+                (v, n) for v, n in history[t] if v in set(wh.versions(t))
+            ]
+            if live:
+                v_src, n_src = rng.choice(live)
+                v_new = wh.restore(t, v_src)
+                model[t] = n_src
+                history[t].append((v_new, n_src))
+        elif op == "vacuum" and model:
+            t = rng.choice([t for t in tables if t in model])
+            wh.vacuum(t, keep_last=rng.randint(1, 3))
+
+        for t, n in model.items():
+            assert wh.read(t).count() == n, (step, op, t)
+        fresh = Warehouse(spark, wh.root)
+        for t, n in model.items():
+            assert fresh.read(t).count() == n, (step, op, t, "fresh")
