@@ -231,3 +231,42 @@ def test_randomized_commit_walk_stays_consistent(spark, tmp_path):
         fresh = Warehouse(spark, wh.root)
         for t, n in model.items():
             assert fresh.read(t).count() == n, (step, op, t, "fresh")
+
+
+def test_snapshot_publish_has_no_lost_updates(spark, wh2):
+    """Hammer _publish from 8 threads over disjoint tables: the
+    snapshot's read-modify-write under _SNAPLOCK must lose no update —
+    after the storm, the snapshot holds every thread's final version
+    and agrees with the pointer caches.  (Threads share nothing but the
+    filesystem, same as separate processes — the lock is O_EXCL.)"""
+    import threading
+
+    # bootstrap the snapshot
+    with wh2.transaction(["parent", "child"]) as txn:
+        txn.write("parent", spark.range(1).withColumnRenamed("id", "pk"))
+        txn.write("child", spark.range(1).withColumnRenamed("id", "pk"))
+
+    n_threads, n_rounds = 8, 25
+    errors = []
+
+    def worker(i):
+        try:
+            for v in range(1, n_rounds + 1):
+                wh2._publish({f"tbl{i}": v})
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    snap = wh2._read_snapshot()
+    for i in range(n_threads):
+        assert snap[f"tbl{i}"] == n_rounds, (i, snap.get(f"tbl{i}"))
+        assert wh2._pointer_version(f"tbl{i}") == n_rounds
+    # the transactional tables' entries survived the storm untouched
+    assert snap["parent"] == wh2.current_version("parent")
+    assert snap["child"] == wh2.current_version("child")
