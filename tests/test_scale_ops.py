@@ -677,3 +677,20 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_build_is_partitioning_independent(spark):
+    """ivf_build's docstring claims partitioning cannot change the
+    quantizer: the training sample is an id-hash set sorted by vec_id
+    driver-side, so a repartitioned/shuffled input must yield
+    bit-identical centroids and identical bucket assignments."""
+    from tcdb_spark.plans.catalog import load_tables
+    from tcdb_spark.operators.similarity import ivf_build
+
+    e = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    idx1, c1 = ivf_build(e.coalesce(1), k_centroids=8, seed=42)
+    idx2, c2 = ivf_build(e.repartition(7, "label"), k_centroids=8, seed=42)
+    assert c1 == c2  # bit-identical centroids
+    a1 = {r["vec_id"]: r["bucket"] for r in idx1.collect()}
+    a2 = {r["vec_id"]: r["bucket"] for r in idx2.collect()}
+    assert a1 == a2
