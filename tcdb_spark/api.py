@@ -239,13 +239,17 @@ class Engine:
     def semantic_dedup(
         self, emb: DataFrame, tau: float = 0.99, k_centroids: int = 16, probe: int = 2
     ) -> DataFrame:
-        """SemDeDup semantic near-dup pairs over (vec_id, emb)
-        (operators/similarity.semantic_dedup_pairs); feed the pairs to
-        operators/graph.connected_components + canonical-keep for the
-        drop decision."""
-        from tcdb_spark.operators.similarity import semantic_dedup_pairs
+        """SemDeDup semantic near-dup pairs over (vec_id, emb) via the
+        block-matmul production path (operators/similarity
+        .semantic_dedup_pairs_blocked — embeddings never ride a pair
+        join; pinned pair-set-equal to the fold twin in pytest); feed
+        the pairs to operators/graph.connected_components +
+        canonical-keep for the drop decision."""
+        from tcdb_spark.operators.similarity import semantic_dedup_pairs_blocked
 
-        return semantic_dedup_pairs(emb, tau=tau, k_centroids=k_centroids, probe=probe)
+        return semantic_dedup_pairs_blocked(
+            emb, tau=tau, k_centroids=k_centroids, probe=probe
+        )
 
     def collect_stats(self, table: str, cols: list[str]) -> dict:
         """Per-file min/max stats for data skipping (Warehouse.collect_stats)."""

@@ -624,6 +624,79 @@ def semantic_dedup_pairs(
     return pairs
 
 
+def semantic_dedup_pairs_blocked(
+    emb: DataFrame,
+    tau: float = 0.99,
+    k_centroids: int = 8,
+    seed: int = 42,
+    probe: int = 2,
+) -> DataFrame:
+    """Block-matmul PRODUCTION twin of :func:`semantic_dedup_pairs`
+    (same contract: (vec_a, vec_b, cos), vec_a < vec_b, distinct): each
+    cluster cell scores ALL its pairs with one ``Xn @ Xn.T`` BLAS call
+    inside applyInPandas and emits only the >= tau survivors — the
+    embeddings never ride a pair join, so the shuffled volume is
+    O(n * probe * dim) for the cell assignment plus the (tiny) survivor
+    pairs, instead of (n/k)^2 * k pairs x dim through the self-join.
+    Per-cell working memory is (cell x dim) + (cell x cell) floats —
+    bounded by k_centroids, which grows with the corpus (SemDeDup uses
+    ~n/10k cells).  Multi-probe assignment duplicates boundary pairs
+    into up to probe^2 shared cells; the min-cos groupBy dedupes them.
+    The float-sum order inside the dot differs from the fold path
+    (BLAS), so the hash-oracled catalog entry keeps
+    ``semantic_dedup_pairs``; this twin is pinned pair-set-equal in
+    pytest."""
+    from pyspark.sql.functions import pandas_udf
+
+    indexed, centroids = ivf_build(
+        emb.select("vec_id", F.col("emb").alias("embedding")),
+        k_centroids=k_centroids,
+        seed=seed,
+    )
+    C = np.asarray(centroids, dtype="float64")
+    c2 = (C * C).sum(1)
+    npr = min(probe, len(centroids))
+
+    @pandas_udf("array<int>")
+    def probes(e: pd.Series) -> pd.Series:
+        X = np.stack(e.to_numpy())
+        nrm = np.linalg.norm(X, axis=1)
+        Xn = X / np.where(nrm == 0, 1.0, nrm)[:, None]
+        D = c2[None, :] - 2.0 * (Xn @ C.T)
+        idx = np.argsort(D, axis=1, kind="stable")[:, :npr]
+        return pd.Series(list(idx.astype("int32")))
+
+    assigned = indexed.select(
+        "vec_id", "emb", F.explode(probes(F.col("emb"))).alias("bucket")
+    )
+
+    it = dict(emb.select("vec_id", "emb").dtypes)["vec_id"]
+    out_schema = f"vec_a {it}, vec_b {it}, cos double"
+    empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        X = np.stack(pdf["emb"].to_numpy())
+        nrm = np.linalg.norm(X, axis=1)
+        Xn = X / np.where(nrm == 0, 1.0, nrm)[:, None]
+        M = Xn @ Xn.T
+        ia, ib = np.triu_indices(len(ids), k=1)  # sorted ids -> vec_a < vec_b
+        keep = M[ia, ib] >= tau
+        return pd.DataFrame(
+            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cos": M[ia, ib][keep]}
+        )
+
+    return (
+        assigned.groupBy("bucket")
+        .applyInPandas(lambda pdf: cell(pdf), schema=out_schema)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.min("cos").alias("cos"))  # dedupe multi-probe duplicates
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

@@ -274,3 +274,42 @@ def test_hist_quantile_error_bound_and_merge(spark):
         for r in hist_quantile(merged, ["source"], [0.5, 0.9], lo, hi, bins).collect()
     }
     assert est == est2
+
+
+def test_semantic_dedup_blocked_twin_matches_fold(spark):
+    """The block-matmul SemDeDup production twin must find the identical
+    pair set as the hash-oracled fold path at both test SFs, with cos
+    values agreeing to float tolerance (the two differ only in the
+    dot's summation order: BLAS vs fold)."""
+    from tcdb_spark.operators.similarity import (
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_blocked,
+    )
+    from tcdb_spark.plans.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = load_tables(spark, sf, "embeddings")["embeddings"]
+        base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        # plant exact near-dups: scaled clones (cosine 1.0 with their source)
+        clones = base.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("emb", lambda x: x * 2.0).alias("emb"),
+        )
+        universe = base.unionByName(clones)
+        fold = {
+            (r["vec_a"], r["vec_b"]): r["cos"]
+            for r in semantic_dedup_pairs(
+                universe, tau=0.99, k_centroids=8, seed=42, probe=2
+            ).collect()
+        }
+        blocked = {
+            (r["vec_a"], r["vec_b"]): r["cos"]
+            for r in semantic_dedup_pairs_blocked(
+                universe, tau=0.99, k_centroids=8, seed=42, probe=2
+            ).collect()
+        }
+        assert set(fold) == set(blocked), sf
+        assert len(fold) >= 10  # every planted clone pair found
+        for k in fold:
+            assert abs(fold[k] - blocked[k]) < 1e-9, (sf, k)
