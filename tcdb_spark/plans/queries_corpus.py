@@ -642,3 +642,49 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
         "rank int, lhs string, rhs string",
     )
+
+
+# bpe_encode_reference(_BPE_CORPUS, merges) — pinned golden for the
+# encode (apply) step, same convention as _BPE_EXPECTED above.
+_BPE_ENCODED = [
+    (1, 23, "the hurrica n e m o v ed w e st the n the hurrica n e w e a k en ed"),
+    (2, 30, "the t r o p ica l storm st r en g the n ed in t o a hurrica n e o v er n i g h t"),
+    (3, 27, "f or e ca st er s t r a c k ed the storm a s the storm t ur n ed n or t h"),
+    (4, 38, "the l o w p r e s s ur e s y st e m b e ca m e a t r o p ica l d e p r e s s i o n"),
+    (5, 29, "the d e p r e s s i o n st r en g the n ed in t o a t r o p ica l storm"),
+    (6, 34, "w in d s he a r w e a k en ed the s y st e m a s i t m o v ed n or t h w e st"),
+    (7, 27, "the hurrica n e c en t er i s s u ed w a r n in g s f or the c o a st"),
+    (8, 34, "he a v y r a in a n d storm s ur g e f l o o d ed the c o a st o v er n i g h t"),
+]
+
+_BPE_ENCODE_ORACLE = "SELECT * FROM (VALUES\n      " + ",\n      ".join(
+    f"({i}, {n}, '{s}')" for i, n, s in _BPE_ENCODED
+) + "\n    ) AS t(doc_id, n_tokens, token_stream)"
+
+
+@register("bpe_encode_tokens", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a learned BPE merge list to tokenize a corpus — the
+    encode half of the tokenizer story (`bpe_learn_merges` is the
+    learn half). The per-merge greedy fold runs over the DISTINCT-word
+    table only (vocab-sized, ~10^5-10^6 rows at any corpus scale); the
+    corpus itself pays one word explode, a broadcast hash join of the
+    word->tokens map, and a single per-doc reassembly shuffle — so 100
+    TB of text costs the same fold work as 1 GB (operators/bpe.py
+    bpe_encode; the corpus-sized fold variant bpe_segment exists for
+    streaming/one-shot use). Oracle is the pinned pure-Python-reference
+    encoding of the fixture corpus under the pinned 16-merge list,
+    exercised through the real distributed path. Reference parity:
+    tcdb has no tokenizer — this is an LLM-pipeline extension op."""
+    from tcdb_spark.operators.bpe import bpe_encode
+
+    d = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(_BPE_CORPUS)], "doc_id int, text string"
+    )
+    merges = [(l, r) for _, l, r in _BPE_EXPECTED]
+    enc = bpe_encode(d, merges)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("int").alias("n_tokens"),
+        F.concat_ws(" ", "tokens").alias("token_stream"),
+    )

@@ -42,3 +42,45 @@ def test_bpe_segment_roundtrip(spark):
         assert "".join(r.tokens) == r.text.lower().replace(" ", "")
         # at least one multi-char token exists once merges applied
     assert any(len(t) > 1 for r in seg for t in r.tokens)
+
+
+def test_bpe_encode_matches_reference_and_segment(spark):
+    """The vocab-path encode (distinct-word fold + broadcast join) must
+    equal BOTH the pure-Python published algorithm and the direct
+    corpus-sized fold (bpe_segment) — token-for-token, in doc order."""
+    from tcdb_spark.operators.bpe import bpe_encode, bpe_encode_reference
+
+    texts = _texts(spark)[:50]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    merges = bpe_learn(spark, docs, n_merges=8)
+
+    got = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_encode(docs, merges).collect()
+    }
+    want = bpe_encode_reference(texts, merges)
+    for i, t in enumerate(texts):
+        if t.strip():
+            assert got[i] == want[i], f"doc {i} diverges from reference"
+
+    seg = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_segment(docs, merges).select("doc_id", "tokens").collect()
+        if r.doc_id in got
+    }
+    assert got == seg
+
+
+def test_bpe_encode_partitioning_independent(spark):
+    from tcdb_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low"), (2, "newer newest new"), (3, "low new")],
+        "doc_id int, text string",
+    )
+    merges = bpe_learn(spark, docs, n_merges=4)
+    a = {r.doc_id: list(r.tokens) for r in bpe_encode(docs.repartition(1), merges).collect()}
+    b = {r.doc_id: list(r.tokens) for r in bpe_encode(docs.repartition(7), merges).collect()}
+    assert a == b
