@@ -740,3 +740,89 @@ def knn_join(
     return ivf_search_blocked(
         indexed, centroids, left, k=k, nprobe=nprobe, mismatch_cols=mismatch_cols
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    q_col: str = "q_id",
+    id_col: str = "vec_id",
+    rel_col: str = "cos",
+    emb_col: str = "emb",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    greedily pick k candidates per query maximizing
+    ``lam * relevance - (1 - lam) * max-cosine-to-already-picked`` —
+    the standard diversification pass after a retrieval top-n, so the
+    final k results are not n near-duplicates of each other.
+
+    Input is one row per (query, candidate) with the retrieval score in
+    ``rel_col`` and the candidate embedding in ``emb_col`` (i.e. the
+    output of ``sim_topk``/``ivf_search`` joined back to embeddings).
+    Scale shape: per-query pools are bounded by the upstream top-n
+    (~10^2), so each group is one local n x n matmul plus an O(n*k)
+    greedy loop inside ``applyInPandas`` over ``q_col`` —
+    embarrassingly parallel across queries, no pairwise shuffle, and
+    only k rows per query leave Python.  Ties break to the lowest
+    candidate id (candidates are processed id-sorted and argmax takes
+    the first maximum), so the result is deterministic under any
+    partitioning.  Returns ``(q_col, id_col, mmr_rank)``.
+    """
+    qt = dict(candidates.dtypes)[q_col]
+    it = dict(candidates.dtypes)[id_col]
+    out_schema = f"{q_col} {qt}, {id_col} {it}, mmr_rank int"
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        rel = pdf[rel_col].to_numpy().astype("float64")[order]
+        B = np.stack(pdf[emb_col].to_numpy())[order].astype("float64")
+        nrm = np.linalg.norm(B, axis=1)
+        Bn = B / np.where(nrm == 0, 1.0, nrm)[:, None]
+        S = Bn @ Bn.T
+        n = len(ids)
+        sel: list[int] = []
+        avail = np.ones(n, dtype=bool)
+        kk = min(k, n)
+        for _ in range(kk):
+            pen = S[:, sel].max(axis=1) if sel else np.zeros(n)
+            sc = lam * rel - (1.0 - lam) * pen
+            sc[~avail] = -np.inf
+            i = int(np.argmax(sc))  # first max -> lowest id on ties
+            sel.append(i)
+            avail[i] = False
+        return pd.DataFrame(
+            {
+                q_col: np.repeat(pdf[q_col].iloc[0], kk),
+                id_col: ids[sel],
+                "mmr_rank": np.arange(1, kk + 1, dtype="int32"),
+            }
+        )
+
+    return candidates.groupBy(q_col).applyInPandas(pick, schema=out_schema)
+
+
+def mmr_reference(
+    q: list[float], cands: dict, k: int, lam: float = 0.5
+) -> list:
+    """Pure-Python MMR (test oracle): same greedy argmax with the
+    lowest-id tiebreak, relevance = cosine(q, cand)."""
+    ids = sorted(cands)
+    B = np.array([cands[i] for i in ids], dtype="float64")
+    Bn = B / np.linalg.norm(B, axis=1)[:, None]
+    qv = np.asarray(q, dtype="float64")
+    qn = qv / np.linalg.norm(qv)
+    rel = Bn @ qn
+    S = Bn @ Bn.T
+    sel: list[int] = []
+    avail = list(range(len(ids)))
+    for _ in range(min(k, len(ids))):
+        scored = []
+        for i in avail:
+            pen = max(S[i][j] for j in sel) if sel else 0.0
+            scored.append((lam * rel[i] - (1 - lam) * pen, ids[i], i))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        sel.append(scored[0][2])
+        avail.remove(scored[0][2])
+    return [ids[i] for i in sel]

@@ -302,3 +302,57 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("doc_id", "dl", F.round("score", 6).alias("bm25"))
     )
+
+
+# --- MMR diversification -------------------------------------------------
+# Fixture golden (FIXTURES.md §A convention): integer 4-d vectors, pinned
+# from operators/similarity.mmr_reference.  Chosen so every greedy pick
+# has score margin > 0.02 (no float-tie hazard) and the MMR selection
+# visibly diverges from the plain cosine top-4 for BOTH queries.
+_MMR_POOL = {
+    1: [2, 0, 3, 1], 2: [0, 0, 3, 2], 3: [4, 3, 3, 0], 4: [0, 2, 1, 4],
+    5: [0, 0, 0, 2], 6: [4, 1, 4, 0], 7: [0, 4, 4, 1], 8: [4, 4, 0, 4],
+}
+_MMR_QUERIES = {10: [3, 1, 2, 4], 20: [3, 4, 1, 0]}
+
+# mmr_reference(q, _MMR_POOL, k=4, lam=0.5) — pinned, do not regenerate
+# blindly.  Plain top-4 would be q10 -> (8,4,1,5), q20 -> (3,8,6,7).
+_MMR_EXPECTED = {10: [8, 2, 5, 6], 20: [3, 8, 7, 6]}
+
+_MMR_ORACLE = "SELECT * FROM (VALUES\n      " + ",\n      ".join(
+    f"({q}, {r + 1}, {v})"
+    for q, picks in sorted(_MMR_EXPECTED.items())
+    for r, v in enumerate(picks)
+) + "\n    ) AS t(q_id, mmr_rank, vec_id)"
+
+
+@register("mmr_diversify", oracle=_MMR_ORACLE)
+def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversification of a retrieval top-n
+    (Carbonell & Goldstein 1998): greedy ``lam*rel - (1-lam)*max-sim-
+    to-picked`` selection per query, the post-retrieval pass that stops
+    the final k results from being n near-duplicates of each other.
+    The greedy loop is inherently sequential so it is not
+    SQL-expressible — the oracle is a GOLDEN pinned from the
+    pure-Python reference on an integer fixture with >0.02 score
+    margins at every pick, exercised through the real distributed path
+    (broadcast pool x queries, JVM cosine, applyInPandas greedy per
+    query group — operators/similarity.mmr_rerank).  Scale: per-query
+    pools are bounded by the upstream top-n, one local matmul + O(n*k)
+    loop per query, no pairwise shuffle.  Reference parity: tcdb has no
+    retrieval surface — LLM-pipeline extension op."""
+    from tcdb_spark.operators.similarity import _cosine, mmr_rerank
+
+    pool = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(_MMR_POOL.items())],
+        "vec_id int, emb array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(_MMR_QUERIES.items())],
+        "q_id int, q_emb array<double>",
+    )
+    cands = qs.crossJoin(F.broadcast(pool)).select(
+        "q_id", "vec_id", "emb", _cosine(F.col("q_emb"), F.col("emb")).alias("cos")
+    )
+    out = mmr_rerank(cands, k=4, lam=0.5)
+    return out.select("q_id", "mmr_rank", "vec_id").orderBy("q_id", "mmr_rank")

@@ -184,3 +184,55 @@ def test_file_skipping_requires_stats(spark, tmp_path):
     wh.write("t", spark.range(10).select(F.col("id").alias("k")))
     with pytest.raises(FileNotFoundError):
         wh.read_skipping("t", {"k": (0, 5)})
+
+
+def test_mmr_rerank_matches_reference_on_live_embeddings(spark):
+    """Spark mmr_rerank == pure-Python reference on REAL float
+    embeddings (not just the integer fixture): 5 queries, top-30 exact
+    cosine candidate pools from the live table."""
+    import numpy as np
+
+    from tcdb_spark.operators.similarity import mmr_rerank, mmr_reference
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.orderBy("vec_id").limit(120).collect()
+    pool = {r.vec_id: list(r.embedding) for r in rows[:100]}
+    queries = {r.vec_id: list(r.embedding) for r in rows[100:105]}
+
+    # candidate pools: top-30 by exact cosine per query (numpy)
+    B = np.array([pool[i] for i in sorted(pool)], dtype="float64")
+    ids = np.array(sorted(pool))
+    Bn = B / np.linalg.norm(B, axis=1)[:, None]
+    cand_rows = []
+    want = {}
+    for qid, qv in queries.items():
+        qn = np.asarray(qv) / np.linalg.norm(qv)
+        cos = Bn @ qn
+        top = np.lexsort((ids, -cos))[:30]  # cos desc, id asc tiebreak
+        sub = {int(ids[i]): [float(x) for x in B[i]] for i in top}
+        for i in top:
+            cand_rows.append((int(qid), int(ids[i]), float(cos[i]), [float(x) for x in B[i]]))
+        want[qid] = mmr_reference(qv, sub, k=8, lam=0.5)
+
+    cands = spark.createDataFrame(
+        cand_rows, "q_id bigint, vec_id bigint, cos double, emb array<double>"
+    )
+    got_rows = mmr_rerank(cands, k=8, lam=0.5).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r.q_id, r.mmr_rank)):
+        got.setdefault(r.q_id, []).append(r.vec_id)
+    assert got == want
+
+
+def test_mmr_rerank_partitioning_independent(spark):
+    from tcdb_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (1, v, float(4 - v) / 4.0, [float(v), 1.0, float(v % 3)]) for v in range(1, 7)
+    ]
+    cands = spark.createDataFrame(
+        rows, "q_id int, vec_id int, cos double, emb array<double>"
+    )
+    a = sorted(mmr_rerank(cands.repartition(1), k=3).collect())
+    b = sorted(mmr_rerank(cands.repartition(5), k=3).collect())
+    assert a == b and len(a) == 3
