@@ -89,6 +89,40 @@ def main():
         flush=True,
     )
 
+    # encode path: the vocab-table segmentation + broadcast-join encode
+    # (bpe_encode) vs the direct per-occurrence fold (bpe_segment) on the
+    # same replicated corpus — the measured gap that justifies routing
+    # corpus tokenization through the distinct-word table
+    from tcdb_spark.operators.bpe import bpe_encode, bpe_learn, bpe_segment
+
+    docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    merges = bpe_learn(spark, docs01, n_merges=16)
+    big_docs = (
+        docs01.crossJoin(spark.range(rep // 10 or 1).select(F.col("id").alias("__rep")))
+        .select(
+            (F.col("doc_id") * (rep // 10 or 1) + F.col("__rep")).alias("doc_id"),
+            "text",
+        )
+    )
+    n_docs = big_docs.count()
+
+    t0 = time.perf_counter()
+    n_tok = bpe_encode(big_docs, merges).select(F.sum(F.size("tokens"))).collect()[0][0]
+    t_vocab_path = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_tok2 = (
+        bpe_segment(big_docs, merges).select(F.sum(F.size("tokens"))).collect()[0][0]
+    )
+    t_fold_path = time.perf_counter() - t0
+    assert n_tok == n_tok2, (n_tok, n_tok2)
+    print(
+        f"encode docs={n_docs:,} tokens={n_tok:,} "
+        f"vocab_path={t_vocab_path:.1f}s fold_path={t_fold_path:.1f}s "
+        f"speedup={t_fold_path / t_vocab_path:.1f}x",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()
