@@ -23,8 +23,6 @@ from tcdb_spark.operators.textdedup import (  # noqa: E402
     N_BANDS,
     N_HASHES,
     SHINGLE,
-    minhash as _minhash,
-    shingle_hashes as _shingle_hashes,
     shingles as _shingles,
     tokens as _tokens,
 )
@@ -104,29 +102,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail-append dups share most shingles, so >=1 band collides; unrelated
     random docs share none."""
     corpus = _corpus(spark, sf_dir)
-    toks = corpus.select("doc_id", _tokens(F.col("text")).alias("tokens")).where(
-        F.size("tokens") >= SHINGLE
+    # The shingle->md5->minhash->band pipeline is assembled as SQL
+    # strings parsed server-side (selectExpr): the Column-object version
+    # cost ~0.3 s of py4j round-trips per call, and this lane is built
+    # three times per catalog pass (dedup_clusters and
+    # split_leakage_check compose it).  All values are hex STRINGS /
+    # integers — no float-order hazard (same rewrite as psi_from_counts;
+    # semantics identical to operators/textdedup.shingles/minhash).
+    shingle_cat = ", ".join(f"element_at(tokens, i + {k})" for k in range(SHINGLE))
+    toks = corpus.selectExpr(
+        "doc_id", "split(trim(text), '\\\\s+') AS tokens"
+    ).where(F.size("tokens") >= SHINGLE)
+    hs = toks.selectExpr(
+        "doc_id",
+        f"transform(transform(sequence(1, size(tokens) - {SHINGLE - 1}), "
+        f"i -> concat_ws(' ', {shingle_cat})), "
+        "s -> concat(md5(cast(s AS binary)), "
+        "md5(cast(concat('x', s) AS binary)))) AS hashes",
     )
-    sh = toks.select("doc_id", _shingles(F.col("tokens")).alias("shingles"))
-    hs = sh.select("doc_id", _shingle_hashes(F.col("shingles")).alias("hashes"))
-    sigs = hs.select(
-        "doc_id", *[_minhash(F.col("hashes"), j).alias(f"mh{j}") for j in range(N_HASHES)]
+    sigs = hs.selectExpr(
+        "doc_id",
+        *[
+            f"array_min(transform(hashes, h -> substring(h, {1 + 8 * j}, 8))) AS mh{j}"
+            for j in range(N_HASHES)
+        ],
     ).persist()  # barrier: the band explode + self-join must not re-inline the md5 pipeline
     # ONE pass: explode the 4 band keys per doc (a union of selects would
     # recompute the md5 pipeline once per band), then persist so the
     # self-join's two branches don't each recompute the signatures.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("band_key"),
-            )
-            for b in range(N_BANDS)
-        ]
+    band_arr = ", ".join(
+        f"named_struct('band', {b}, 'band_key', concat(mh{2 * b}, mh{2 * b + 1}))"
+        for b in range(N_BANDS)
     )
     bands = (
-        sigs.select("doc_id", F.explode(band_structs).alias("bk"))
-        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+        sigs.selectExpr("doc_id", f"explode(array({band_arr})) AS bk")
+        .selectExpr("doc_id", "bk.band AS band", "bk.band_key AS band_key")
         .persist()
     )
     a = bands.alias("a")
@@ -291,25 +301,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dictionary trick: hash each DISTINCT token once, precompute its 16
     # ±1 votes, broadcast-join back — md5 runs |vocab| times instead of
     # |doc,token| times, and the per-row work is a codegen'd hash lookup.
-    h = F.md5(F.col("token").cast("binary"))
-    nib = [F.instr(F.lit(_HEXES), F.substring(h, p + 1, 1)) - 1 for p in range(4)]
-    token_votes = exploded.select("token").distinct().select(
+    # the vote/sum/fingerprint loops are assembled as SQL strings parsed
+    # server-side (selectExpr/F.expr): composing the ~250 Column objects
+    # in Python measured ~0.4 s of py4j round-trips per call; all values
+    # here are INTEGER so the expression shape carries no float-order
+    # hazard (same rewrite as psi_from_counts)
+    nib = [
+        f"(instr('{_HEXES}', substring(md5(cast(token AS binary)), {p + 1}, 1)) - 1)"
+        for p in range(4)
+    ]
+    token_votes = exploded.select("token").distinct().selectExpr(
         "token",
         *[
-            (2 * F.shiftright(nib[b // 4], 3 - b % 4).bitwiseAND(F.lit(1)) - 1).alias(f"v{b}")
+            f"(2 * (shiftright({nib[b // 4]}, {3 - b % 4}) & 1) - 1) AS v{b}"
             for b in range(N_SIMHASH_BITS)
         ],
     )
     sums = (
         exploded.join(F.broadcast(token_votes), on="token")
         .groupBy("doc_id")
-        .agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(N_SIMHASH_BITS)])
+        .agg(*[F.expr(f"sum(v{b})").alias(f"s{b}") for b in range(N_SIMHASH_BITS)])
     )
-    fingerprint = None
-    for b in range(N_SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") >= 0, 1).otherwise(0) * (1 << b)
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return sums.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+    fingerprint = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN 1 ELSE 0 END) * {1 << b}"
+        for b in range(N_SIMHASH_BITS)
+    )
+    return sums.selectExpr("doc_id", f"CAST({fingerprint} AS BIGINT) AS simhash")
 
 
 @register(
