@@ -269,3 +269,76 @@ def quality_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_pm"),
         )
     )
+
+
+# --- robust winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003) --------
+_WK = 4  # tokens per k-gram
+_WW = 4  # k-gram hashes per winnow window
+
+_W_GRAM_DUCK = " || ' ' || ".join(f"tokens[i+{k}]" for k in range(_WK))
+_W_GRAM_SPARK = ", ".join(f"element_at(tokens, i + {k})" for k in range(_WK))
+
+_WINNOW_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents WHERE length(trim(text)) > 0
+    ), grams AS (
+        SELECT doc_id,
+               list_transform(range(1, len(tokens) - {_WK - 2}), i ->
+                   substring(md5({_W_GRAM_DUCK}), 1, 8)) AS hashes
+        FROM toks WHERE len(tokens) >= {_WK + _WW - 1}
+    ), wins AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(hashes) - {_WW - 2}), i -> struct_pack(
+                   pos := i - 1 + list_position(hashes[i:i+{_WW - 1}],
+                                                list_min(hashes[i:i+{_WW - 1}])),
+                   fp := list_min(hashes[i:i+{_WW - 1}])))) AS s
+        FROM grams
+    )
+    SELECT DISTINCT doc_id, CAST(s.pos AS INTEGER) AS pos, s.fp AS fp FROM wins
+    """
+
+
+@register("winnow_fingerprint", oracle=_WINNOW_ORACLE)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm): hash every {k}-token gram, slide a window of
+    {w} consecutive hashes, record the window minimum WITH its position
+    (leftmost on ties), and dedup — the guarantee is at least one
+    fingerprint per window, so any shared substring of length
+    >= k + w - 1 tokens between two documents shares a fingerprint.
+    The selective twin of ``doc_fingerprint`` (whole-doc hash): local
+    plagiarism/clone detection instead of exact-dup detection, and the
+    index a substring-contamination join runs on.
+
+    Scale shape: everything up to the final dedup is a per-doc
+    projection inside one scan (zero shuffle — the transform/slice/min
+    pipeline is list work over each doc's own grams); the only shuffle
+    is the fingerprint ``distinct``, whose row count winnowing bounds
+    at ~2/(w+1) of the gram count.  Fixed-width lowercase-hex md5
+    prefixes compare lexicographically == numerically in both engines
+    (same convention as the minhash lanes); window ties break to the
+    LEFTMOST occurrence via array_position, deterministic under any
+    partitioning.  Built as server-parsed SQL strings (DEVNOTES #43)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    hashes = (
+        d.where(F.length(F.trim(F.col("text"))) > 0)
+        .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS tokens")
+        .where(F.size("tokens") >= _WK + _WW - 1)
+        .selectExpr(
+            "doc_id",
+            f"transform(sequence(1, size(tokens) - {_WK - 1}), i -> "
+            f"substring(md5(cast(concat_ws(' ', {_W_GRAM_SPARK}) AS binary)), 1, 8)"
+            ") AS hashes",
+        )
+    )
+    wins = hashes.selectExpr(
+        "doc_id",
+        f"explode(transform(sequence(1, size(hashes) - {_WW - 1}), i -> named_struct("
+        f"'pos', i - 1 + array_position(slice(hashes, i, {_WW}), "
+        f"array_min(slice(hashes, i, {_WW}))), "
+        f"'fp', array_min(slice(hashes, i, {_WW}))))) AS s",
+    )
+    return wins.selectExpr(
+        "doc_id", "CAST(s.pos AS INT) AS pos", "s.fp AS fp"
+    ).distinct()

@@ -246,3 +246,39 @@ def test_mix_temperature_flattens_shares(spark):
     raw_share = raw[top] / sum(raw.values())
     mixed_share = sampled[top] / sum(sampled.values())
     assert mixed_share < raw_share
+
+
+def test_winnow_shared_substring_guarantee(spark, tmp_path):
+    """The winnowing guarantee (Schleimer 2003): two documents sharing a
+    substring of >= k + w - 1 tokens share at least one fingerprint
+    VALUE, while unrelated docs share none. Run through the real lane
+    against a tiny parquet dir shaped like the testdata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tcdb_spark.plans.queries_text import winnow_fingerprint, _WK, _WW
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= k+w-1=7
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": [
+            "one two three four five six " + shared + " tail piece here now",
+            "totally different opening words go here " + shared,
+            "nothing in common with the others at all kappa lambda mu nu xi",
+        ],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": [0, 0, 0],
+    }
+    pq.write_table(pa.table(rows), f"{tmp_path}/documents.parquet")
+    out = winnow_fingerprint(spark, str(tmp_path)).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "docs sharing an 8-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # density guarantee: at least one fingerprint per window
+    for d, text in zip(rows["doc_id"], rows["text"]):
+        n_grams = len(text.split()) - _WK + 1
+        n_windows = n_grams - _WW + 1
+        assert len(fps[d]) >= n_windows / _WW  # min selections possible
