@@ -342,3 +342,46 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wins.selectExpr(
         "doc_id", "CAST(s.pos AS INT) AS pos", "s.fp AS fp"
     ).distinct()
+
+
+_WINNOW_CONTAM_ORACLE = f"""
+    WITH fps AS ({_WINNOW_ORACLE.strip()})
+    SELECT a.doc_id AS train_doc, b.doc_id AS eval_doc,
+           CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp
+    WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    GROUP BY 1, 2
+    HAVING count(DISTINCT a.fp) >= 2
+    """
+
+
+@register("winnow_contamination", oracle=_WINNOW_CONTAM_ORACLE)
+def winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train->eval substring-contamination candidates over the winnowing
+    index: train docs (even ids, standing in for the train split) and
+    eval docs (odd ids) join on shared fingerprint VALUES; pairs with
+    >= 2 shared fingerprints are flagged.  The winnowing guarantee makes
+    this a sound detector for any copied run of >= k + w - 1 tokens,
+    at ~1/w the index size of the full-shingle equi-join
+    (``contamination_check``) — the scale trade a 100 TB corpus makes:
+    same recall target, 4x smaller inverted index and pair space.
+
+    Scale shape: one fingerprint scan feeds both join sides (same
+    bounded-distinct index as ``winnow_fingerprint``); the equi-join on
+    ``fp`` is the inverted-index shape with the eval side orders of
+    magnitude smaller than train in practice (broadcastable); hot
+    boilerplate fingerprints would get the same df-cap as the shingle
+    index (operators/textdedup.df_capped_index)."""
+    fps = winnow_fingerprint(spark, sf_dir).persist()
+    train = fps.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("train_doc"), "fp"
+    )
+    ev = fps.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("eval_doc"), "fp"
+    )
+    return (
+        train.join(ev, "fp")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count_distinct("fp").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
