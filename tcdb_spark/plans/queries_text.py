@@ -321,6 +321,12 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFTMOST occurrence via array_position, deterministic under any
     partitioning.  Built as server-parsed SQL strings (DEVNOTES #43)."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
+    return winnow_frame(d)
+
+
+def winnow_frame(d: DataFrame) -> DataFrame:
+    """The winnowing pipeline over any (doc_id, text) frame — shared by
+    the catalog lane, ``winnow_contamination`` and ``Engine.winnow``."""
     hashes = (
         d.where(F.length(F.trim(F.col("text"))) > 0)
         .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS tokens")

@@ -309,3 +309,43 @@ def test_engine_hybrid_smooth_drift_facades(spark, tmp_path):
     assert psi["same0"] < 0.1 < 0.25 < psi["shifted"]  # actionable drift
     # identically-distributed cohorts get the identical (fixed-order) PSI
     assert abs(psi["same0"] - psi["same8"]) < 1e-12
+
+
+def test_engine_tokenize_diversify_winnow_facades(spark, tmp_path):
+    """Round-4 session-2 facades: tokenize routes through the
+    vocab-table encode when an id column exists (== the fold path),
+    diversify == mmr_rerank, winnow accepts a DataFrame."""
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.api import Engine
+    from tcdb_spark.operators.bpe import bpe_segment
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "newer newest new lower")],
+        "doc_id int, text string",
+    )
+    merges = eng.learn_bpe(docs, n_merges=4)
+    out = eng.tokenize(docs, merges)
+    assert "tokens" in out.columns and out.count() == 2
+    fold = {r.doc_id: list(r.tokens) for r in bpe_segment(docs, merges).collect()}
+    got = {r.doc_id: list(r.tokens) for r in out.collect()}
+    assert got == fold
+
+    cands = spark.createDataFrame(
+        [(1, v, 1.0 - v / 10.0, [float(v % 2), 1.0, float(v)]) for v in range(1, 6)],
+        "q_id int, vec_id int, cos double, emb array<double>",
+    )
+    div = eng.diversify(cands, k=3).collect()
+    assert len(div) == 3 and {r.mmr_rank for r in div} == {1, 2, 3}
+
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    wdocs = spark.createDataFrame(
+        [(1, "x y z " + shared), (2, shared + " p q r")], "doc_id int, text string"
+    )
+    fps = eng.winnow(wdocs)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]
