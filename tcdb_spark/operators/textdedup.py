@@ -150,3 +150,33 @@ def drop_hot_keys(inv: DataFrame, key: str, df_cap: int) -> DataFrame:
     itself adds no shuffle to the main path.
     """
     return inv.join(F.broadcast(hot_keys(inv, key, df_cap)), key, "left_anti")
+
+
+def incremental_winnow_candidates(index: DataFrame, new_fps: DataFrame) -> DataFrame:
+    """Substring-copy candidate pairs introduced by a NEW batch against
+    a stored winnowing-fingerprint index (plans/queries_text
+    .winnow_frame rows: doc_id, pos, fp) — the winnow twin of
+    ``incremental_lsh_candidates``: day N's crawl never re-fingerprints
+    days 1..N-1, and the equi-join on ``fp`` costs O(batch x
+    collisions).  Pairs are scored by the number of DISTINCT shared
+    fingerprints (>= 2 is the ``winnow_contamination`` flag threshold;
+    callers filter).  Append ``new_fps`` to the index afterwards (plain
+    parquet append; rows are immutable).
+
+    Returns (doc_a, doc_b, n_shared) with doc_a < doc_b."""
+    both = index.select("doc_id", "fp").unionByName(new_fps.select("doc_id", "fp"))
+    fresh = new_fps.select(F.col("doc_id").alias("new_doc"), "fp").distinct()
+    pairs = (
+        both.distinct()
+        .alias("a")
+        .join(fresh.alias("b"), "fp")
+        .where(F.col("a.doc_id") != F.col("b.new_doc"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.new_doc")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.new_doc")).alias("doc_b"),
+            "fp",
+        )
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count_distinct("fp").alias("n_shared")
+    )

@@ -282,3 +282,44 @@ def test_winnow_shared_substring_guarantee(spark, tmp_path):
         n_grams = len(text.split()) - _WK + 1
         n_windows = n_grams - _WW + 1
         assert len(fps[d]) >= n_windows / _WW  # min selections possible
+
+
+def test_incremental_winnow_matches_batch(spark):
+    """Index day-1, fingerprint day-2 only, and the incremental
+    candidate set must equal the one-shot winnow_contamination-style
+    join over the union — day 2 never re-fingerprints day 1."""
+    from tcdb_spark.operators.textdedup import incremental_winnow_candidates
+    from tcdb_spark.plans.queries_text import winnow_frame
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    day1 = spark.createDataFrame(
+        [(1, "one two three four " + shared), (2, "unrelated words entirely " +
+          "kappa lambda mu nu xi omicron pi rho sigma")],
+        "doc_id int, text string",
+    )
+    day2 = spark.createDataFrame(
+        [(10, shared + " closing words here"), (11, "fresh stuff " + shared)],
+        "doc_id int, text string",
+    )
+    idx = winnow_frame(day1)
+    new = winnow_frame(day2)
+    inc = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in incremental_winnow_candidates(idx, new).where("n_shared >= 2").collect()
+    }
+    # one-shot over the union, restricted to pairs touching day 2
+    union_fps = winnow_frame(day1.unionByName(day2))
+    a, b = union_fps.alias("a"), union_fps.alias("b")
+    from pyspark.sql import functions as F
+
+    batch = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in a.join(b, "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where((F.col("b.doc_id") >= 10) | (F.col("a.doc_id") >= 10))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count_distinct("fp").alias("n_shared"))
+        .where("n_shared >= 2")
+        .collect()
+    }
+    assert inc == batch and (1, 10) in inc and (1, 11) in inc and (10, 11) in inc

@@ -51,6 +51,9 @@ SCALAR_CROSS_OK = {
     # documented exact brute-force baseline the ANN queries are
     # recall-gated against; the base side never shuffles.
     "sim_topk_cosine",
+    # 2-query x 8-candidate integer FIXTURE cross (the MMR golden);
+    # production pools come from an upstream top-n, never a cross
+    "mmr_diversify",
 }
 
 # Arrow-based Python ops are design choices documented per operator.
