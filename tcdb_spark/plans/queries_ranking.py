@@ -58,39 +58,46 @@ def bm25_scores(
     codegen; the only exchanges are the 1-row stats aggregate and its
     broadcast back. The big side never shuffles.
     """
-    toks = docs.select(
-        id_col,
-        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0).alias("toks"),
+    # Server-parsed SQL strings (DEVNOTES #43): the textual operator
+    # order matches the DuckDB oracle CTE exactly, and SQL's
+    # left-associative parse of a*b/c == the Column-object chain it
+    # replaces, so the float summation order is unchanged.  Every float
+    # literal carries the D suffix — a bare 1.0 is DECIMAL in Spark SQL
+    # (different promotion rules), D pins the DOUBLE the F.lit(1.0)
+    # version produced.  The oracle hash verifies all of this.
+    toks = docs.selectExpr(
+        id_col, f"regexp_extract_all(lower({text_col}), '{_TOKEN_RE}', 0) AS toks"
     )
-    per_doc = toks.select(
+    per_doc = toks.selectExpr(
         id_col,
-        F.size("toks").cast("double").alias("dl"),
-        *[_tf_expr(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+        "CAST(size(toks) AS DOUBLE) AS dl",
+        *[
+            f"CAST(size(filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
+            for i, t in enumerate(terms)
+        ],
     )
     stats = per_doc.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        F.expr("CAST(count(1) AS DOUBLE)").alias("n_docs"),
+        F.expr("avg(dl)").alias("avgdl"),
         *[
-            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).cast("double").alias(f"df_{i}")
+            F.expr(
+                f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+            ).alias(f"df_{i}")
             for i in range(len(terms))
         ],
     )
     scored = per_doc.join(F.broadcast(stats))
 
-    def term_score(i: int):
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5)) / (F.col(f"df_{i}") + F.lit(0.5))
-        )
-        tf = F.col(f"tf_{i}")
-        denom = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-        return idf * tf * F.lit(k1 + 1.0) / denom
-
     # fixed-order sum: s0 + s1 + ... (float determinism, module docstring)
-    total = term_score(0)
-    for i in range(1, len(terms)):
-        total = total + term_score(i)
-    return scored.select(id_col, F.col("dl").cast("bigint").alias("dl"), total.alias("score"))
+    total = " + ".join(
+        f"ln(1.0D + (n_docs - df_{i} + 0.5D) / (df_{i} + 0.5D))"
+        f" * tf_{i} * {k1 + 1.0}D"
+        f" / (tf_{i} + {k1}D * (1.0D - {b}D + {b}D * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    return scored.selectExpr(
+        id_col, "CAST(dl AS BIGINT) AS dl", f"{total} AS score"
+    )
 
 
 # --- hybrid retrieval: reciprocal-rank fusion -----------------------------
@@ -225,26 +232,26 @@ def hybrid_rrf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lex = rank_leg(bm25_scores(docs, QUERY_TERMS), "score", "lex_rank")
 
+    # server-parsed fold (DEVNOTES #43): identical HOF AST and in-fold
+    # sum order as the zip_with/aggregate Column chain it replaces
     def _dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+        return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (s, x) -> s + x)"
 
     # the query norm is a per-query constant: hoist it into the 1-row
     # broadcast side so the corpus scan pays 2 array folds per row (dot +
     # candidate norm), not 3 — same values, same within-fold sum order
-    q = emb.where(F.col("vec_id") == 0).select(
-        F.col("embedding").cast("array<double>").alias("q_emb")
+    q = (
+        emb.where(F.col("vec_id") == 0)
+        .selectExpr("CAST(embedding AS array<double>) AS q_emb")
+        .selectExpr("q_emb", f"sqrt({_dot('q_emb', 'q_emb')}) AS q_nrm")
     )
-    q = q.withColumn("q_nrm", F.sqrt(_dot(F.col("q_emb"), F.col("q_emb"))))
     sem_scored = (
-        emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").cast("array<double>").alias("e"))
+        emb.selectExpr("vec_id AS doc_id", "CAST(embedding AS array<double>) AS e")
         .crossJoin(F.broadcast(q))
         .where(F.col("doc_id") != 0)
-        .select(
+        .selectExpr(
             "doc_id",
-            (
-                _dot(F.col("q_emb"), F.col("e"))
-                / (F.col("q_nrm") * F.sqrt(_dot(F.col("e"), F.col("e"))))
-            ).alias("cos"),
+            f"({_dot('q_emb', 'e')} / (q_nrm * sqrt({_dot('e', 'e')}))) AS cos",
         )
     )
     sem = rank_leg(sem_scored, "cos", "sem_rank")
