@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from tcdb_spark.plans.catalog import load_tables, register
 
@@ -390,4 +391,75 @@ def winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc", "eval_doc")
         .agg(F.count_distinct("fp").alias("n_shared"))
         .where(F.col("n_shared") >= 2)
+    )
+
+
+_WINNOW_SPANS_ORACLE = f"""
+    WITH fps AS ({_WINNOW_ORACLE.strip()}
+    ), shared AS (
+        SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS eval_doc, a.pos
+        FROM fps a JOIN fps b ON a.fp = b.fp
+        WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    ), flagged AS (
+        SELECT train_doc, eval_doc, pos,
+               CASE WHEN pos - lag(pos) OVER w > {_WW} THEN 1 ELSE 0 END AS brk
+        FROM shared
+        WINDOW w AS (PARTITION BY train_doc, eval_doc ORDER BY pos)
+    ), grouped AS (
+        SELECT train_doc, eval_doc, pos,
+               sum(brk) OVER (PARTITION BY train_doc, eval_doc ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM flagged
+    )
+    SELECT train_doc, eval_doc,
+           CAST(min(pos) AS INTEGER) AS span_start,
+           CAST(max(pos) AS INTEGER) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_fps
+    FROM grouped GROUP BY train_doc, eval_doc, grp
+    HAVING count(*) >= 2
+    """
+
+
+@register("winnow_copy_spans", oracle=_WINNOW_SPANS_ORACLE)
+def winnow_copy_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recover the CONTIGUOUS copied regions behind each contamination
+    hit: shared fingerprints between a train doc (even ids) and an eval
+    doc (odd ids) are merged into spans wherever consecutive shared
+    positions sit within one winnow window (gap <= w) — the
+    gaps-and-islands pass (lag -> break flag -> running-sum group id)
+    that turns "these two docs share fingerprints" into "tokens
+    [start..end] of the train doc were copied", which is what a
+    decontamination pipeline actually removes (cf. ``span_scrub``).
+
+    Scale shape: the pair space is bounded by the contamination join
+    (shared fingerprints only); both windows partition by the
+    (train_doc, eval_doc) pair — never global; all values are integers
+    (positions, counts), so the oracle compares bit-exactly."""
+    fps = winnow_fingerprint(spark, sf_dir).persist()
+    train = fps.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("train_doc"), "pos", "fp"
+    )
+    ev = fps.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("eval_doc"), "fp"
+    )
+    shared = (
+        train.join(ev, "fp").select("train_doc", "eval_doc", "pos").distinct()
+    )
+    w = W.partitionBy("train_doc", "eval_doc").orderBy("pos")
+    flagged = shared.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > _WW, 1).otherwise(0),
+    )
+    grouped = flagged.withColumn(
+        "grp", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        grouped.groupBy("train_doc", "eval_doc", "grp")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            F.max("pos").cast("int").alias("span_end"),
+            F.count(F.lit(1)).alias("n_fps"),
+        )
+        .where(F.col("n_fps") >= 2)
+        .drop("grp")
     )

@@ -323,3 +323,36 @@ def test_incremental_winnow_matches_batch(spark):
         .collect()
     }
     assert inc == batch and (1, 10) in inc and (1, 11) in inc and (10, 11) in inc
+
+
+def test_winnow_copy_spans_recover_planted_run(spark, tmp_path):
+    """A run copied from train doc (even id) into eval doc (odd id) is
+    recovered as one contiguous span covering the copied region."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tcdb_spark.plans.queries_text import winnow_copy_spans
+
+    copied = " ".join(f"tok{i}" for i in range(20))  # 20-token copied run
+    rows = {
+        "doc_id": [2, 3, 4],
+        "text": [
+            "lead in words here " + copied + " trailing text follows now",
+            "eval doc opening " + copied + " eval doc closing",
+            "another train doc with nothing shared at all " +
+            " ".join(f"zz{i}" for i in range(15)),
+        ],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": [0, 0, 0],
+    }
+    pq.write_table(pa.table(rows), f"{tmp_path}/documents.parquet")
+    spans = winnow_copy_spans(spark, str(tmp_path)).collect()
+    hits = [r for r in spans if r.train_doc == 2 and r.eval_doc == 3]
+    assert hits, "the planted copy must surface as a span"
+    # the copied run occupies train positions 5..24 (4 lead tokens);
+    # fingerprints are k-gram starts, so the span must sit inside it
+    # and cover most of it
+    s = max(hits, key=lambda r: r.n_fps)
+    assert s.span_start >= 1 and s.span_end - s.span_start >= 10
+    assert not [r for r in spans if r.train_doc == 4]
