@@ -427,3 +427,108 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     universe = base.unionByName(clones)
     pairs = semantic_dedup_pairs(universe, tau=0.99, k_centroids=8, seed=42, probe=2)
     return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+
+
+_PPJ_T = 0.7  # Jaccard threshold shared by the lane and its oracle
+
+# The ORACLE is the BRUTE-FORCE inverted self-join (every shingle
+# indexed, no prefix filter, no df cap) — so the hash match proves the
+# prefix filter on the Spark side loses NO qualifying pair, which is
+# exactly the PPJoin completeness theorem being attested cross-engine.
+_PPJ_ORACLE = f"""
+    WITH corpus AS ({{corpus}}),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM corpus
+    ), sh AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles
+        FROM toks WHERE len(tokens) >= {SHINGLE}
+    ), inv AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_inter,
+               any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (na + nb - n_inter), 4) AS jaccard
+    FROM pairs
+    WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= {_PPJ_T}
+    """.format(corpus=_CORPUS_SQL)
+
+
+@register("jaccard_prefix_join", oracle=_PPJ_ORACLE)
+def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact threshold-Jaccard self-join with PREFIX FILTERING
+    (Chaudhuri et al. ICDE'06 / PPJoin, Xiao et al. WWW'08): order each
+    doc's shingles by ascending document frequency (rarest first,
+    shingle text as the deterministic tiebreak — the canonical global
+    order), index only each doc's first ``n - ceil(t*n) + 1`` shingles,
+    and self-join on that prefix index.  The theorem: two sets with
+    Jaccard >= t MUST share a prefix element under any common global
+    order, so the candidate set is complete — and the DuckDB oracle
+    attests exactly that by brute-forcing the FULL inverted join (no
+    prefix) and hash-matching the result.
+
+    Why this beats the df-cap at 100 TB: with t=0.7 only ~30% of each
+    doc's shingles enter the index, and because the prefix keeps the
+    RAREST shingles the indexed keys are precisely the ones with tiny
+    document frequency — the quadratic hot-key pair blowup the cap
+    fights never materializes, without changing the measured set.
+    Candidates verify with one bounded join back to the full shingle
+    arrays (exact intersection, no approximation anywhere).
+
+    Plan: df via a shingle-partitioned window on the exploded index,
+    per-doc rank via a doc-partitioned window (both partitioned — no
+    global sort); the prefix explode-join is the only pair-shaped
+    shuffle."""
+    from pyspark.sql.window import Window as W
+
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.select("doc_id", _tokens(F.col("text")).alias("tokens")).where(
+        F.size("tokens") >= SHINGLE
+    )
+    sh = toks.select(
+        "doc_id", F.array_distinct(_shingles(F.col("tokens"))).alias("shingles")
+    ).persist()  # feeds the index AND the verification join
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    dfw = W.partitionBy("shingle")
+    rnw = W.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        ex.withColumn("df", F.count(F.lit(1)).over(dfw))
+        .withColumn("rn", F.row_number().over(rnw))
+        .where(F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(_PPJ_T) * F.col("n_sh")) + 1)
+        .select("doc_id", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return verified.where(jac >= _PPJ_T).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )

@@ -356,3 +356,48 @@ def test_winnow_copy_spans_recover_planted_run(spark, tmp_path):
     s = max(hits, key=lambda r: r.n_fps)
     assert s.span_start >= 1 and s.span_end - s.span_start >= 10
     assert not [r for r in spans if r.train_doc == 4]
+
+
+def test_jaccard_prefix_index_fraction(spark):
+    """The PPJoin prefix index must contain ~ (1-t) of the full inverted
+    index (plus 1 row per doc) — the measured size cut that replaces the
+    df-cap at scale — while the lane's output is the complete t=0.7 pair
+    set (completeness itself is attested by the brute-force DuckDB
+    oracle)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from tcdb_spark.plans.queries_dedup_near import (
+        _PPJ_T,
+        _corpus,
+        _shingles,
+        _tokens,
+        SHINGLE,
+        jaccard_prefix_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = _corpus(spark, sf)
+    toks = corpus.select("doc_id", _tokens(F.col("text")).alias("tokens")).where(
+        F.size("tokens") >= SHINGLE
+    )
+    sh = toks.select(
+        "doc_id", F.array_distinct(_shingles(F.col("tokens"))).alias("shingles")
+    )
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    full = ex.count()
+    n_docs = sh.count()
+    dfw = W.partitionBy("shingle")
+    rnw = W.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        ex.withColumn("df", F.count(F.lit(1)).over(dfw))
+        .withColumn("rn", F.row_number().over(rnw))
+        .where(F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(_PPJ_T) * F.col("n_sh")) + 1)
+        .count()
+    )
+    assert prefix <= (1 - _PPJ_T) * full + n_docs
+    # and the lane still finds the planted near-dups
+    out = jaccard_prefix_join(spark, sf)
+    assert out.where("doc_b >= 1000000").count() > 0
