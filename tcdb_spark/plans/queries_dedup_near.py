@@ -532,3 +532,96 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.where(jac >= _PPJ_T).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
+
+
+_CONT_T = 0.5  # containment threshold: half the eval doc appears in train
+
+_CONT_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles
+        FROM toks WHERE len(tokens) >= {SHINGLE}
+    ), inv AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ), pairs AS (
+        SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc,
+               CAST(count(*) AS BIGINT) AS n_inter,
+               any_value(e.n_sh) AS n_eval
+        FROM inv e JOIN inv t ON e.shingle = t.shingle
+        WHERE e.doc_id % 2 = 1 AND t.doc_id % 2 = 0
+        GROUP BY 1, 2
+    )
+    SELECT eval_doc, train_doc,
+           round(CAST(n_inter AS DOUBLE) / n_eval, 4) AS containment
+    FROM pairs
+    WHERE CAST(n_inter AS DOUBLE) / n_eval >= {_CONT_T}
+    """
+
+
+@register("containment_join", oracle=_CONT_ORACLE)
+def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT join — |eval ∩ train| / |eval| >= t, the
+    benchmark-decontamination metric ("how much of this eval doc appears
+    in some training doc"), where symmetric Jaccard under-fires because
+    a 100-token eval question swallowed by a 10k-token web page has
+    tiny Jaccard but total containment.
+
+    Prefix filtering adapts asymmetrically (Chaudhuri ICDE'06): only
+    the PROBE (eval) side can be pruned — an eval doc with containment
+    >= t must expose one of its ``n - ceil(t*n) + 1`` rarest shingles
+    to the index — while the train side stays fully inverted (the index
+    a retrieval system maintains anyway).  At 100 TB the eval side is
+    thousands of benchmark docs against billions of train docs: the
+    equi-join cost is O(|eval-prefix| x collisions), and the train-side
+    index is reused across every benchmark sweep.  The DuckDB oracle
+    brute-forces the full join (no prefix) — the hash match attests the
+    asymmetric completeness theorem.  Verification joins candidates
+    back to the exact shingle arrays; evens are train, odds are eval
+    (the split convention of the winnow lanes)."""
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("tokens")).where(
+        F.size("tokens") >= SHINGLE
+    )
+    sh = toks.select(
+        "doc_id", F.array_distinct(_shingles(F.col("tokens"))).alias("shingles")
+    ).persist()
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    # global df over BOTH sides (any common order works for the theorem;
+    # df makes the prefix keys the rare ones)
+    dfw = W.partitionBy("shingle")
+    rnw = W.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = ex.withColumn("df", F.count(F.lit(1)).over(dfw)).withColumn(
+        "rn", F.row_number().over(rnw)
+    )
+    eval_prefix = ranked.where(
+        (F.col("doc_id") % 2 == 1)
+        & (F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(_CONT_T) * F.col("n_sh")) + 1)
+    ).select(F.col("doc_id").alias("eval_doc"), "shingle")
+    train_index = ranked.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    cand = eval_prefix.join(train_index, "shingle").select(
+        "eval_doc", "train_doc"
+    ).distinct()
+    se = sh.select(F.col("doc_id").alias("eval_doc"), F.col("shingles").alias("sh_e"))
+    st = sh.select(F.col("doc_id").alias("train_doc"), F.col("shingles").alias("sh_t"))
+    verified = (
+        cand.join(se, "eval_doc")
+        .join(st, "train_doc")
+        .select(
+            "eval_doc",
+            "train_doc",
+            F.size(F.array_intersect("sh_e", "sh_t")).cast("long").alias("n_inter"),
+            F.size("sh_e").alias("n_eval"),
+        )
+    )
+    cont = F.col("n_inter").cast("double") / F.col("n_eval")
+    return verified.where(cont >= _CONT_T).select(
+        "eval_doc", "train_doc", F.round(cont, 4).alias("containment")
+    )

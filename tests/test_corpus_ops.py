@@ -401,3 +401,33 @@ def test_jaccard_prefix_index_fraction(spark):
     # and the lane still finds the planted near-dups
     out = jaccard_prefix_join(spark, sf)
     assert out.where("doc_b >= 1000000").count() > 0
+
+
+def test_containment_join_finds_swallowed_eval_doc(spark, tmp_path):
+    """A short eval doc fully embedded in a long train doc has tiny
+    Jaccard but containment 1.0 — the asymmetric case the lane exists
+    for."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tcdb_spark.plans.queries_dedup_near import containment_join
+
+    eval_q = " ".join(f"q{i}" for i in range(12))  # 12-token eval doc
+    filler = " ".join(f"w{i}" for i in range(300))
+    rows = {
+        "doc_id": [2, 3, 4, 5],
+        "text": [
+            filler + " " + eval_q + " " + filler,        # train: swallows eval 3
+            eval_q,                                       # eval doc
+            " ".join(f"z{i}" for i in range(100)),        # unrelated train
+            " ".join(f"y{i}" for i in range(40)),         # unrelated eval
+        ],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": [0, 0, 0, 0],
+    }
+    pq.write_table(pa.table(rows), f"{tmp_path}/documents.parquet")
+    out = {(r.eval_doc, r.train_doc): r.containment
+           for r in containment_join(spark, str(tmp_path)).collect()}
+    assert out.get((3, 2)) == 1.0, out
+    assert (5, 2) not in out and (5, 4) not in out
