@@ -180,3 +180,111 @@ def incremental_winnow_candidates(index: DataFrame, new_fps: DataFrame) -> DataF
     return pairs.groupBy("doc_a", "doc_b").agg(
         F.count_distinct("fp").alias("n_shared")
     )
+
+
+def prefix_jaccard_pairs(sh: DataFrame, t: float) -> DataFrame:
+    """Exact threshold-Jaccard self-join with PPJoin prefix filtering
+    (Chaudhuri et al. ICDE'06; Xiao et al. WWW'08 — public algorithms;
+    no reference analog, the reference corpus fits one box).
+
+    ``sh`` is (doc_id, shingles array<string>, already distinct).  Each
+    doc's shingles are ordered by ascending global document frequency
+    (shingle text tiebreak) and only the first ``n - ceil(t*n) + 1``
+    enter the index: two sets with Jaccard >= t must share a prefix
+    element under any common global order, so the candidate set is
+    complete.  Candidates verify exactly against the full arrays.
+
+    Plan shape (the 100 TB argument): df via a shingle-partitioned
+    window, per-doc rank via a doc-partitioned window — no global
+    sorts; the prefix equi-join is the only pair-shaped shuffle, and
+    because the prefix keeps the RAREST shingles, hot-key pair blowup
+    never materializes.  Returns (doc_a, doc_b, jaccard) rounded 4."""
+    from pyspark.sql.window import Window as W
+
+    sh = sh.persist()  # feeds the index AND the verification join
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    dfw = W.partitionBy("shingle")
+    rnw = W.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        ex.withColumn("df", F.count(F.lit(1)).over(dfw))
+        .withColumn("rn", F.row_number().over(rnw))
+        .where(F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
+        .select("doc_id", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return verified.where(jac >= t).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+def containment_pairs(sh: DataFrame, t: float, eval_pred, train_pred) -> DataFrame:
+    """Asymmetric containment join: |eval ∩ train| / |eval| >= t, the
+    benchmark-decontamination metric symmetric Jaccard under-fires on.
+    Only the PROBE (eval) side prefix-prunes — an eval doc with
+    containment >= t must expose one of its ``n - ceil(t*n) + 1``
+    rarest shingles — while the train side stays fully inverted (the
+    index is reusable across benchmark sweeps).  ``eval_pred`` /
+    ``train_pred`` are Column predicates over doc_id selecting the two
+    sides.  Returns (eval_doc, train_doc, containment) rounded 4."""
+    from pyspark.sql.window import Window as W
+
+    sh = sh.persist()
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    dfw = W.partitionBy("shingle")
+    rnw = W.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = ex.withColumn("df", F.count(F.lit(1)).over(dfw)).withColumn(
+        "rn", F.row_number().over(rnw)
+    )
+    eval_prefix = ranked.where(
+        eval_pred(F.col("doc_id"))
+        & (F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
+    ).select(F.col("doc_id").alias("eval_doc"), "shingle")
+    train_index = ranked.where(train_pred(F.col("doc_id"))).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    cand = eval_prefix.join(train_index, "shingle").select(
+        "eval_doc", "train_doc"
+    ).distinct()
+    se = sh.select(F.col("doc_id").alias("eval_doc"), F.col("shingles").alias("sh_e"))
+    st = sh.select(F.col("doc_id").alias("train_doc"), F.col("shingles").alias("sh_t"))
+    verified = (
+        cand.join(se, "eval_doc")
+        .join(st, "train_doc")
+        .select(
+            "eval_doc",
+            "train_doc",
+            F.size(F.array_intersect("sh_e", "sh_t")).cast("long").alias("n_inter"),
+            F.size("sh_e").alias("n_eval"),
+        )
+    )
+    cont = F.col("n_inter").cast("double") / F.col("n_eval")
+    return verified.where(cont >= t).select(
+        "eval_doc", "train_doc", F.round(cont, 4).alias("containment")
+    )

@@ -484,8 +484,9 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: df via a shingle-partitioned window on the exploded index,
     per-doc rank via a doc-partitioned window (both partitioned — no
     global sort); the prefix explode-join is the only pair-shaped
-    shuffle."""
-    from pyspark.sql.window import Window as W
+    shuffle.  Core plan: operators/textdedup.prefix_jaccard_pairs
+    (shared with the scale smoke)."""
+    from tcdb_spark.operators.textdedup import prefix_jaccard_pairs
 
     corpus = _corpus(spark, sf_dir)
     toks = corpus.select("doc_id", _tokens(F.col("text")).alias("tokens")).where(
@@ -493,45 +494,8 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = toks.select(
         "doc_id", F.array_distinct(_shingles(F.col("tokens"))).alias("shingles")
-    ).persist()  # feeds the index AND the verification join
-    ex = sh.select(
-        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
     )
-    dfw = W.partitionBy("shingle")
-    rnw = W.partitionBy("doc_id").orderBy("df", "shingle")
-    prefix = (
-        ex.withColumn("df", F.count(F.lit(1)).over(dfw))
-        .withColumn("rn", F.row_number().over(rnw))
-        .where(F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(_PPJ_T) * F.col("n_sh")) + 1)
-        .select("doc_id", "shingle")
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
-            F.size("sh_a").alias("na"),
-            F.size("sh_b").alias("nb"),
-        )
-    )
-    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
-    return verified.where(jac >= _PPJ_T).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
-    )
+    return prefix_jaccard_pairs(sh, _PPJ_T)
 
 
 _CONT_T = 0.5  # containment threshold: half the eval doc appears in train
@@ -579,8 +543,11 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-forces the full join (no prefix) — the hash match attests the
     asymmetric completeness theorem.  Verification joins candidates
     back to the exact shingle arrays; evens are train, odds are eval
-    (the split convention of the winnow lanes)."""
-    from pyspark.sql.window import Window as W
+    (the split convention of the winnow lanes).  Core plan:
+    operators/textdedup.containment_pairs (shared with the scale
+    smoke); global df spans BOTH sides — any common order satisfies
+    the theorem, df makes the prefix keys the rare ones."""
+    from tcdb_spark.operators.textdedup import containment_pairs
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
     toks = d.select("doc_id", _tokens(F.col("text")).alias("tokens")).where(
@@ -588,40 +555,7 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = toks.select(
         "doc_id", F.array_distinct(_shingles(F.col("tokens"))).alias("shingles")
-    ).persist()
-    ex = sh.select(
-        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
     )
-    # global df over BOTH sides (any common order works for the theorem;
-    # df makes the prefix keys the rare ones)
-    dfw = W.partitionBy("shingle")
-    rnw = W.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = ex.withColumn("df", F.count(F.lit(1)).over(dfw)).withColumn(
-        "rn", F.row_number().over(rnw)
-    )
-    eval_prefix = ranked.where(
-        (F.col("doc_id") % 2 == 1)
-        & (F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(_CONT_T) * F.col("n_sh")) + 1)
-    ).select(F.col("doc_id").alias("eval_doc"), "shingle")
-    train_index = ranked.where(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("train_doc"), "shingle"
-    )
-    cand = eval_prefix.join(train_index, "shingle").select(
-        "eval_doc", "train_doc"
-    ).distinct()
-    se = sh.select(F.col("doc_id").alias("eval_doc"), F.col("shingles").alias("sh_e"))
-    st = sh.select(F.col("doc_id").alias("train_doc"), F.col("shingles").alias("sh_t"))
-    verified = (
-        cand.join(se, "eval_doc")
-        .join(st, "train_doc")
-        .select(
-            "eval_doc",
-            "train_doc",
-            F.size(F.array_intersect("sh_e", "sh_t")).cast("long").alias("n_inter"),
-            F.size("sh_e").alias("n_eval"),
-        )
-    )
-    cont = F.col("n_inter").cast("double") / F.col("n_eval")
-    return verified.where(cont >= _CONT_T).select(
-        "eval_doc", "train_doc", F.round(cont, 4).alias("containment")
+    return containment_pairs(
+        sh, _CONT_T, lambda d: d % 2 == 1, lambda d: d % 2 == 0
     )
