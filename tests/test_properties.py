@@ -307,3 +307,81 @@ def test_apply_cdc_soft_converges_under_any_batching(spark, ops, cuts, order_see
 
     got = {r["k"]: r["v"] for r in cdc_view(table).collect()}
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        # shingle SETS over a vocab of 8 so cross-doc overlap is dense
+        st.sets(st.integers(min_value=0, max_value=7), min_size=1, max_size=8),
+        min_size=2,
+        max_size=6,
+    ),
+    t=st.sampled_from([0.5, 0.7, 0.9]),
+)
+@_slow
+def test_prefix_jaccard_matches_bruteforce(spark, docs, t):
+    """prefix_jaccard_pairs == all-pairs brute force on random tiny-
+    vocab shingle sets — the PPJoin completeness theorem under every
+    overlap density hypothesis can generate, not just the planted
+    fixture the oracle attests."""
+    from tcdb_spark.operators.textdedup import prefix_jaccard_pairs
+
+    corpus = {i: {f"s{v}" for v in sh} for i, sh in enumerate(docs)}
+    expected = set()
+    for a in corpus:
+        for b in corpus:
+            if a >= b:
+                continue
+            inter = len(corpus[a] & corpus[b])
+            union = len(corpus[a] | corpus[b])
+            if union and inter / union >= t:
+                expected.add((a, b, round(inter / union, 4)))
+
+    df = spark.createDataFrame(
+        [(i, sorted(sh)) for i, sh in corpus.items()],
+        "doc_id long, shingles array<string>",
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_jaccard_pairs(df, t).collect()
+    }
+    assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.sets(st.integers(min_value=0, max_value=7), min_size=1, max_size=8),
+        min_size=2,
+        max_size=6,
+    ),
+    t=st.sampled_from([0.3, 0.5, 1.0]),
+)
+@_slow
+def test_containment_matches_bruteforce(spark, docs, t):
+    """containment_pairs (odd=eval, even=train) == brute force on the
+    same random corpora — asymmetric prefix completeness."""
+    from tcdb_spark.operators.textdedup import containment_pairs
+
+    corpus = {i: {f"s{v}" for v in sh} for i, sh in enumerate(docs)}
+    expected = set()
+    for e in corpus:
+        if e % 2 != 1:
+            continue
+        for tr in corpus:
+            if tr % 2 != 0:
+                continue
+            cont = len(corpus[e] & corpus[tr]) / len(corpus[e])
+            if cont >= t:
+                expected.add((e, tr, round(cont, 4)))
+
+    df = spark.createDataFrame(
+        [(i, sorted(sh)) for i, sh in corpus.items()],
+        "doc_id long, shingles array<string>",
+    )
+    got = {
+        (r.eval_doc, r.train_doc, r.containment)
+        for r in containment_pairs(
+            df, t, lambda d: d % 2 == 1, lambda d: d % 2 == 0
+        ).collect()
+    }
+    assert got == expected
