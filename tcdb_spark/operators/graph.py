@@ -144,3 +144,71 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return pr
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts via degree-oriented wedge enumeration.
+
+    Returns (node, tri_cnt) for every node that participates in at
+    least one triangle.  The classic distributed-triangle trick (Schank;
+    Suri & Vassilvitskii's MapReduce variant): orient every undirected
+    edge from its lower-(degree, id) endpoint to its higher one, then
+    enumerate wedges ONLY at each edge's lower endpoint and close them
+    with a semi-join.  Orientation bounds the per-node wedge fan-out by
+    the out-degree, which is O(sqrt(|E|)) for any graph — so the wedge
+    join never degenerates into the hub's degree^2 blow-up that a naive
+    neighbor self-join suffers on power-law graphs (the 100 TB shape:
+    one celebrity domain with 10^7 co-citations stays bounded).
+
+    Three shuffles total: degree aggregation, the wedge self-join on
+    the oriented source, and the closing semi-join on (v, w).  Each
+    triangle is produced exactly once (at its orientation-minimal
+    vertex) and re-exploded to its three members for the per-node
+    counts, so the output is orientation-independent — a plain
+    id-canonical SQL enumeration produces the identical result, which
+    is what the DuckDB oracle does.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ew = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    # orientation key: (degree, id) — a total order, ties broken by id
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    oriented = (
+        ew.select(
+            F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("x"),
+            F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("y"),
+            F.when(ku < kv, kv).otherwise(ku).alias("yk"),
+        )
+        .persist()
+    )
+    a = oriented.select("x", F.col("y").alias("w1"), F.col("yk").alias("k1"))
+    b = oriented.select("x", F.col("y").alias("w2"), F.col("yk").alias("k2"))
+    wedges = (
+        a.join(b, "x")
+        .where(F.col("k1") < F.col("k2"))
+        .select("x", "w1", "w2")
+    )
+    closing = oriented.select(F.col("x").alias("w1"), F.col("y").alias("w2"))
+    tris = wedges.join(closing, ["w1", "w2"], "left_semi")
+    counts = (
+        tris.select(F.explode(F.array("x", "w1", "w2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_cnt"))
+    )
+    return counts

@@ -318,3 +318,72 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "events")["events"]
     out = truncated_ewma(e, ["user_id"], ["ts", "event_id"], "value")
     return out.select("event_id", "user_id", F.round("ewma", 6).alias("ewma"))
+
+
+@register(
+    "acf_lags",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, value,
+               lag(value, 1) OVER w AS l1,
+               lag(value, 2) OVER w AS l2,
+               lag(value, 3) OVER w AS l3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    a AS (SELECT user_id,
+                 corr(value, l1) AS a1,
+                 corr(value, l2) AS a2,
+                 corr(value, l3) AS a3
+          FROM s GROUP BY user_id)
+    SELECT user_id, 1 AS lag, round(a1, 6) AS acf FROM a
+    UNION ALL SELECT user_id, 2 AS lag, round(a2, 6) AS acf FROM a
+    UNION ALL SELECT user_id, 3 AS lag, round(a3, 6) AS acf FROM a
+    """,
+)
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at lags 1-3 — the seasonality /
+    persistence fingerprint a forecasting or anomaly pipeline computes
+    before choosing a model (and the statistical cousin of the
+    text_repetition_signals lane: self-similarity of a sequence with a
+    shifted copy of itself).
+
+    Shape: ONE per-user window pass evaluates all three lag columns
+    (one shuffle on the series key, lags share the sort), then a single
+    groupBy computes the three Pearson correlations map-side-partially;
+    the lag unpivot is a zero-shuffle stack over the 3 aggregate
+    columns.  corr() pairs are the non-null (x_t, x_{t-k}) overlaps —
+    both engines skip null pairs, so series heads shorter than the lag
+    contribute nothing.  Pearson is spelled try_divide(covar_samp,
+    stddev*stddev) over the PAIRED rows rather than the corr() builtin:
+    under ANSI mode (Spark 4 default) corr() RAISES DIVIDE_BY_ZERO on a
+    zero-variance series while DuckDB's corr returns NULL — the
+    try_divide form pins both engines to NULL on degenerate input
+    (DEVNOTES hazard family).  Rounded to 6 decimals: the corr moments
+    are unordered float sums."""
+    from pyspark.sql.window import Window as W
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("l1"),
+        F.lag("value", 2).over(w).alias("l2"),
+        F.lag("value", 3).over(w).alias("l3"),
+    )
+
+    def _corr(col: str):
+        return F.try_divide(
+            F.covar_samp(F.col("value"), F.col(col)),
+            F.stddev_samp(F.when(F.col(col).isNotNull(), F.col("value")))
+            * F.stddev_samp(F.col(col)),
+        )
+
+    a = s.groupBy("user_id").agg(
+        _corr("l1").alias("a1"), _corr("l2").alias("a2"), _corr("l3").alias("a3")
+    )
+    return a.select(
+        "user_id",
+        F.expr("stack(3, 1, round(a1, 6), 2, round(a2, 6), 3, round(a3, 6)) AS (lag, acf)"),
+    )

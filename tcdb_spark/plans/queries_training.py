@@ -533,3 +533,69 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split_a", "split_b")
         .agg(F.count("*").alias("n_leaking_pairs"))
     )
+
+
+_TRI_EDGES_SQL = """
+    co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s,
+                  CAST(floor(epoch(o.o_orderdate) / 604800) AS BIGINT) AS wk
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    e AS (SELECT a.c AS u, b.c AS v FROM co a JOIN co b
+          ON a.s = b.s AND a.wk = b.wk AND a.c < b.c GROUP BY 1, 2)
+"""
+
+
+@register(
+    "graph_triangles",
+    oracle=(
+        "WITH " + _TRI_EDGES_SQL + """,
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    members AS (SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+    SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt
+    FROM members GROUP BY node
+    """
+    ),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the customer co-purchase graph
+    (edge = two customers bought from the same supplier in the same
+    epoch-week) — the local-clustering signal behind community/spam
+    detection on crawl graphs.  ``operators/graph.py triangle_counts``
+    is the degree-oriented wedge enumeration: each triangle is found
+    once at its (degree, id)-minimal vertex, bounding the wedge join by
+    out-degree (O(sqrt|E|) on any graph) instead of the hub-degree^2 a
+    naive neighbor self-join pays on power-law graphs.  The DuckDB
+    oracle enumerates triangles id-canonically (a<b<c three-way join) —
+    a different orientation, the identical triangle set — and explodes
+    the three members, so a hash match proves orientation independence.
+    Week buckets are integer epoch arithmetic (engines disagree on
+    date_trunc week starts, DEVNOTES)."""
+    from tcdb_spark.operators.graph import triangle_counts
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    co = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+            F.floor(F.unix_timestamp("o_orderdate") / 604800).cast("bigint").alias("wk"),
+        )
+        .distinct()
+        .persist()
+    )
+    a, b = co.alias("a"), co.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.supp") == F.col("b.supp"))
+            & (F.col("a.wk") == F.col("b.wk"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .select(F.col("a.cust").alias("src"), F.col("b.cust").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges)

@@ -1,0 +1,118 @@
+"""Triangle counting, autocorrelation, and HLL-audit unit tests.
+
+Catalog counterparts: graph_triangles, acf_lags, approx_distinct_audit
+(each also hash-checked against DuckDB oracles at two SFs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_triangle_counts_hand_graph(spark):
+    # two triangles sharing node 3: {1,2,3} and {3,4,5}; node 6 dangles
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 3), (5, 6)],
+        ["src", "dst"],
+    )
+    from tcdb_spark.operators.graph import triangle_counts
+
+    got = {r["node"]: r["tri_cnt"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_triangle_counts_orientation_and_duplicates(spark):
+    # duplicate + reversed edges and self-loops must not inflate counts
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)],
+        ["src", "dst"],
+    )
+    from tcdb_spark.operators.graph import triangle_counts
+
+    got = {r["node"]: r["tri_cnt"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_triangle_free_graph(spark):
+    # a star has wedges but no closing edges
+    edges = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+    from tcdb_spark.operators.graph import triangle_counts
+
+    assert triangle_counts(edges).count() == 0
+
+
+def _event_rows(user, values):
+    t0 = dt.datetime(2024, 1, 1)
+    return [
+        (user * 1000 + i, t0 + dt.timedelta(hours=i), user, "t", float(v), "{}")
+        for i, v in enumerate(values)
+    ]
+
+
+def _acf(spark, rows):
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    from tcdb_spark.plans.queries_timeseries import acf_lags as _  # noqa: F401
+    from pyspark.sql.window import Window as W
+
+    # exercise the same expression the catalog query builds
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = df.select(
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("l1"),
+        F.lag("value", 2).over(w).alias("l2"),
+    )
+
+    def corr_guarded(col):
+        # same ANSI-safe Pearson spelling as the catalog query
+        return F.try_divide(
+            F.covar_samp(F.col("value"), F.col(col)),
+            F.stddev_samp(F.when(F.col(col).isNotNull(), F.col("value")))
+            * F.stddev_samp(F.col(col)),
+        )
+
+    out = s.groupBy("user_id").agg(
+        corr_guarded("l1").alias("a1"), corr_guarded("l2").alias("a2")
+    )
+    return {r["user_id"]: (r["a1"], r["a2"]) for r in out.collect()}
+
+
+def test_acf_linear_series_is_one(spark):
+    got = _acf(spark, _event_rows(1, range(1, 11)))
+    a1, a2 = got[1]
+    assert abs(a1 - 1.0) < 1e-9 and abs(a2 - 1.0) < 1e-9
+
+
+def test_acf_alternating_series(spark):
+    got = _acf(spark, _event_rows(2, [1, -1] * 6))
+    a1, a2 = got[2]
+    assert abs(a1 + 1.0) < 1e-9 and abs(a2 - 1.0) < 1e-9
+
+
+def test_acf_constant_series_is_null_not_nan(spark):
+    got = _acf(spark, _event_rows(3, [5.0] * 8))
+    assert got[3] == (None, None)
+
+
+def test_hll_union_of_partials_equals_direct_sketch(spark):
+    # 1000 distinct ids split across 10 groups: the merged estimate is
+    # NOT bit-identical to the single-pass sketch (sparse->dense
+    # promotion happens at different fill levels on the two paths), but
+    # both must land within the 5% audit bound of truth and within 1%
+    # of each other — the contract approx_distinct_audit attests
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("g"), F.col("id").alias("uid")
+    )
+    direct = df.agg(F.hll_sketch_estimate(F.hll_sketch_agg("uid")).alias("e")).first()["e"]
+    merged = (
+        df.groupBy("g")
+        .agg(F.hll_sketch_agg("uid").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first()["e"]
+    )
+    assert abs(merged - direct) <= 0.01 * direct
+    assert abs(direct - 1000) <= 0.05 * 1000
+    assert abs(merged - 1000) <= 0.05 * 1000
