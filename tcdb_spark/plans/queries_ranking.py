@@ -363,3 +363,78 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = mmr_rerank(cands, k=4, lam=0.5)
     return out.select("q_id", "mmr_rank", "vec_id").orderBy("q_id", "mmr_rank")
+
+
+_PHRASES = ["table hash", "customer join", "slow hash batch", "quantum flux capacitor"]
+_PHRASE_VALUES = ", ".join(f"('{p}')" for p in _PHRASES)
+
+
+@register(
+    "phrase_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ts
+        FROM documents
+    ),
+    norm AS (SELECT doc_id, ' ' || array_to_string(ts, ' ') || ' ' AS s FROM toks),
+    p(phrase) AS (VALUES {_PHRASE_VALUES})
+    SELECT p.phrase, n.doc_id
+    FROM norm n JOIN p ON contains(n.s, ' ' || p.phrase || ' ')
+    """,
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search through a positional inverted index — the
+    retrieval primitive BM25's bag-of-words scoring cannot express
+    (quoted queries, code identifiers, contamination probes for exact
+    benchmark strings).
+
+    Shape: the corpus is tokenized ONCE into (doc_id, pos, tok)
+    postings; the phrase set explodes into (phrase, i, tok_i) rows and
+    broadcast-joins onto the postings, so only postings for tokens that
+    appear in some phrase survive the scan — the full positional index
+    never shuffles.  Each hit projects its candidate start position
+    (pos - i); a phrase of length L matches where exactly L distinct
+    offsets agree on one (doc, start), i.e. one groupBy with
+    HAVING n = L.  That set-intersection formulation replaces L-1
+    self-joins with ONE aggregate whose key cardinality is bounded by
+    the postings of the rarest phrase token — at web scale you'd
+    order phrase tokens by document frequency and prefilter on the
+    rarest, the standard positional-index optimization.  The DuckDB
+    oracle takes the orthogonal route (normalized token string,
+    delimiter-guarded substring containment), so a hash match
+    cross-validates tokenizer AND adjacency semantics."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return phrase_match(d, _PHRASES)
+
+
+def phrase_match(docs: DataFrame, phrases: list[str]) -> DataFrame:
+    """Core of phrase_search: distinct (phrase, doc_id) matches of each
+    space-separated lowercase phrase under [^a-z0-9]+ tokenization."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+            )
+        ).alias("pos", "tok"),
+    )
+    phr = spark.createDataFrame([(p,) for p in phrases], ["phrase"]).select(
+        "phrase", F.split("phrase", " ").alias("pt")
+    )
+    ptoks = phr.select(
+        "phrase",
+        F.size("pt").alias("plen"),
+        F.posexplode("pt").alias("i", "tok"),
+    )
+    hits = toks.join(F.broadcast(ptoks), "tok").select(
+        "phrase", "plen", "doc_id", (F.col("pos") - F.col("i")).alias("start")
+    )
+    matched = (
+        hits.groupBy("phrase", "plen", "doc_id", "start")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") == F.col("plen"))
+    )
+    return matched.select("phrase", "doc_id").distinct()

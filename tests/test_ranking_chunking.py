@@ -236,3 +236,37 @@ def test_mmr_rerank_partitioning_independent(spark):
     a = sorted(mmr_rerank(cands.repartition(1), k=3).collect())
     b = sorted(mmr_rerank(cands.repartition(5), k=3).collect())
     assert a == b and len(a) == 3
+
+
+# ---------------------------------------------------------------- phrase search
+
+
+def _phrase_hits(spark, docs, phrases):
+    from tcdb_spark.plans.queries_ranking import phrase_match
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return {(r["phrase"], r["doc_id"]) for r in phrase_match(df, phrases).collect()}
+
+
+def test_phrase_match_boundaries_and_punctuation(spark):
+    docs = [
+        (1, "Table Hash value"),          # phrase at doc start, case folded
+        (2, "scan of the table hash"),    # phrase at doc end
+        (3, "table, hash"),               # punctuation is a token break, still adjacent
+        (4, "table x hash"),              # interleaved token breaks adjacency
+        (5, "hash table"),                # reversed order is not a match
+    ]
+    got = _phrase_hits(spark, docs, ["table hash"])
+    assert got == {("table hash", 1), ("table hash", 2), ("table hash", 3)}
+
+
+def test_phrase_match_repeated_token_phrase(spark):
+    docs = [(1, "a a a"), (2, "a b a"), (3, "b a b")]
+    got = _phrase_hits(spark, docs, ["a a"])
+    assert got == {("a a", 1)}
+
+
+def test_phrase_match_trigram_and_no_false_positive(spark):
+    docs = [(1, "fast slow hash batch end"), (2, "slow hash. batch"), (3, "slow batch hash")]
+    got = _phrase_hits(spark, docs, ["slow hash batch", "missing phrase here"])
+    assert got == {("slow hash batch", 1), ("slow hash batch", 2)}
