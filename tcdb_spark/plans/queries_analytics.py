@@ -762,3 +762,152 @@ def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("exact_users")
         ).alias("within_5pct"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    c AS (SELECT event_type AS src_type, nxt AS dst_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+    SELECT src_type, dst_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src_type), 6) AS p
+    FROM c
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types — the
+    behavioral-modeling summary (next-action prediction, bot detection,
+    funnel leak localization) of the event stream.
+
+    One per-user window pass pairs each event with its successor (the
+    sequence key is the shuffle key, same shape as acf_lags), one
+    aggregate collapses to |types|^2 cells, and the row-normalization
+    window runs over that tiny matrix partitioned by source type —
+    never over raw events.  Deterministic sequence order (ts, event_id)
+    so cross-engine successor pairs are identical."""
+    from pyspark.sql.window import Window as W
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    ).where(F.col("dst_type").isNotNull())
+    c = s.groupBy("src_type", "dst_type").agg(F.count("*").alias("n"))
+    wn = W.partitionBy("src_type")
+    return c.select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
+    )
+
+
+@register(
+    "user_streaks",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        FROM events
+    ),
+    g AS (SELECT user_id, d,
+                 d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+          FROM pairs),
+    runs AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+             FROM g GROUP BY user_id, grp)
+    SELECT user_id, max(len) AS max_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+)
+def user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands idiom (d - row_number() is constant within a run
+    of consecutive days) that powers engagement/retention scoring.
+
+    Two shuffles, both on user_id and REUSED: the distinct day pairs,
+    the per-user window, and the run-length aggregates all hash on the
+    same key, so Catalyst collapses them into one exchange.  Day index
+    is integer epoch arithmetic (engines disagree on date_trunc week
+    starts; days are unambiguous in a UTC session)."""
+    from pyspark.sql.window import Window as W
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    pairs = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    g = pairs.withColumn("grp", F.col("d") - F.row_number().over(w))
+    runs = g.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"), F.count("*").alias("n_streaks")
+    )
+
+
+@register(
+    "sliding_distinct_hll",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM pairs),
+    cov AS (SELECT p.user_id, p.d + o.off AS cd
+            FROM pairs p, (SELECT unnest(range(0, 7)) AS off) o)
+    SELECT days.d AS d,
+           CAST(count(DISTINCT cov.user_id) AS BIGINT) AS exact_users_7d,
+           TRUE AS within_5pct
+    FROM cov JOIN days ON cov.cd = days.d
+    GROUP BY days.d
+    """,
+)
+def sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, computed BOTH ways and
+    attested: mergeable HLL sketches unioned over a RANGE window (the
+    production path — daily sketches are built once and every trailing
+    window reuses them) versus the exact explode-to-covered-days
+    rollup.  Exact sliding distinct at 100 TB either re-shuffles every
+    raw (user, day) pair per window (explode path: 7x the distinct
+    pairs, still exact — what the oracle and the attestation side do)
+    or dies; the sketch path unions ~KB registers per day and is the
+    only shape that survives arbitrary window widths.  The day-ordered
+    union window is global but its input is ONE ROW PER CALENDAR DAY —
+    physically bounded, allowlisted in plan lint with that argument.
+    The catalog row hash-checks the exact side and attests the sketch
+    lands within 5% (boolean vs the oracle's literal TRUE)."""
+    from pyspark.sql.window import Window as W
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint")
+    pairs = e.select("user_id", day.alias("d")).distinct().persist()
+    daily = pairs.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    w = W.orderBy("d").rangeBetween(-6, 0)
+    est = daily.select(
+        "d", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est")
+    )
+    cov = pairs.select("user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("cd"))
+    days = pairs.select("d").distinct()
+    exact = (
+        cov.join(days, cov.cd == days.d)
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("exact_users_7d"))
+    )
+    return exact.join(est, "d").select(
+        "d",
+        "exact_users_7d",
+        (
+            F.abs(F.col("est") - F.col("exact_users_7d"))
+            <= F.lit(0.05) * F.col("exact_users_7d")
+        ).alias("within_5pct"),
+    )

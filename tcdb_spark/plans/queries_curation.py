@@ -100,3 +100,57 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
     )
+
+
+def _ares_key_sql(cast_type: str) -> str:
+    """ln(u)/w exponential-race key for A-Res weighted sampling, u a
+    uniform (0,1] derived from the first 8 md5 hex chars — one shared
+    SQL text so Spark and DuckDB parse the IDENTICAL float expression
+    (DEVNOTES #43: fixed-form math belongs in one server-parsed
+    string).  position(c IN '0123456789abcdef')-1 is the engine-neutral
+    hex-digit decoder (both engines lack a common hex->int cast)."""
+    h = f"md5('ares1:' || CAST(doc_id AS {cast_type}))"
+    terms = " + ".join(
+        f"CAST(position(substring({h}, {i + 1}, 1) IN '0123456789abcdef') - 1"
+        f" AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return (
+        f"ln((CAST({terms} AS DOUBLE) + 1.0) / 4294967297.0)"
+        " / greatest(CAST(n_chars AS DOUBLE), 1.0)"
+    )
+
+
+@register(
+    "weighted_sample_ares",
+    oracle=f"""
+    SELECT doc_id, round({_ares_key_sql('VARCHAR')}, 9) AS ares_key
+    FROM documents
+    ORDER BY {_ares_key_sql('VARCHAR')} DESC, doc_id
+    LIMIT 50
+    """,
+)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (k=50, weight = n_chars)
+    via Efraimidis-Spirakis A-Res: each item draws a deterministic
+    uniform u from a seeded content hash and races with key ln(u)/w;
+    the k largest keys are exactly a weighted sample without
+    replacement.  This is the only distributed-safe way to get one:
+    sequential reservoir algorithms don't parallelize, and rand() is
+    not stable under repartitioning (DEVNOTES hazard family).
+
+    Scale shape: the key is a pure per-row expression (one scan, no
+    state), and top-k-by-key is TakeOrderedAndProject — per-partition
+    heaps of size k merged on the driver, never a global sort.  Any
+    weighted subsample of a 100 TB corpus (quality-weighted pretraining
+    draws, importance-weighted eval slices) is this exact plan.  The
+    doc_id tiebreak is unreachable (keys are continuous) but pins
+    determinism; keys round to 9 for the cross-engine libm-ln ULP."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    key = F.expr(_ares_key_sql("STRING"))
+    return (
+        d.select("doc_id", key.alias("ares_key"))
+        .orderBy(F.desc("ares_key"), "doc_id")
+        .limit(50)
+        .select("doc_id", F.round("ares_key", 9).alias("ares_key"))
+    )

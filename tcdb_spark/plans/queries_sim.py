@@ -508,3 +508,64 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=16,
         candidate_filter=F.col("label") != F.col("q_label"),
     ).select("q_id", "vec_id", "cosine", "rank_in_group")
+
+
+@register(
+    "label_centroid_cosine",
+    oracle="""
+    WITH dims AS (
+        SELECT label, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    cent AS (SELECT label, i, avg(x) AS c FROM dims GROUP BY 1, 2),
+    dots AS (SELECT a.label AS label_a, b.label AS label_b,
+                    sum(a.c * b.c) AS dot
+             FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+             GROUP BY 1, 2),
+    nrm AS (SELECT label, sqrt(sum(c * c)) AS n FROM cent GROUP BY label)
+    SELECT d.label_a, d.label_b,
+           round(d.dot / (na.n * nb.n), 6) AS cos
+    FROM dots d
+    JOIN nrm na ON na.label = d.label_a
+    JOIN nrm nb ON nb.label = d.label_b
+    """,
+)
+def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids
+    — the dataset-level geometry diagnostic (which classes/domains/
+    clusters collide?) run before trusting labels for hard-negative
+    mining or stratified splits.
+
+    Scale shape: the embedding matrix collapses FIRST (posexplode ->
+    per-(label, dim) mean, a map-side-partial aggregate whose output is
+    k x d rows — independent of corpus size), and only the k centroids
+    meet in the pairwise join, keyed on the dimension index so each dot
+    product is an equi-join partial sum, k^2 x d intermediate rows with
+    k = #labels.  No vector ever rides a cross join; a million-doc
+    corpus with 10 domains costs the same pairwise stage as this test
+    set.  Cross-engine: float32 inputs promote to double in both
+    engines before the mean; round(6) absorbs unordered-sum ULP."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    dims = emb.select("label", F.posexplode("embedding").alias("i", "x"))
+    cent = (
+        dims.groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .persist()
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    nrm = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("n"))
+    return (
+        dots.join(nrm.select(F.col("label").alias("label_a"), F.col("n").alias("na")), "label_a")
+        .join(nrm.select(F.col("label").alias("label_b"), F.col("n").alias("nb")), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+    )

@@ -694,3 +694,44 @@ def test_ivf_build_is_partitioning_independent(spark):
     a1 = {r["vec_id"]: r["bucket"] for r in idx1.collect()}
     a2 = {r["vec_id"]: r["bucket"] for r in idx2.collect()}
     assert a1 == a2
+
+
+def test_runtime_bloom_filter_prefilters_shuffle_join(spark):
+    """Spark injects a runtime bloom filter built from the SELECTIVE
+    side of a shuffle join and applies it under the big side's scan,
+    so non-matching fact rows are dropped BEFORE the shuffle — the
+    free 100 TB lever for selective dim->fact joins.  At production
+    scale the default applicationSideScanSizeThreshold (10 GB) engages
+    it automatically; the test zeroes that threshold because the local
+    fixture scan is tiny, then pins (a) the bloom_filter_agg appears in
+    the optimized plan and (b) results are IDENTICAL to the plain join
+    — the bloom is a prefilter, never a correctness device (false
+    positives still reach the exact join)."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        sel = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        with_bloom = j.count()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain = li.join(sel, li.l_orderkey == sel.o_orderkey).count()
+        assert with_bloom == plain > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -63,7 +63,11 @@ ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 # single-reducer sort shape that dies at corpus scale). Only the
 # documented global-cumsum attestation twin qualifies; its sharded
 # production twin is pack_sequences_sharded.
-GLOBAL_WINDOW_OK = {"pack_sequences"}
+# sliding_distinct_hll: the window input is one row per calendar DAY
+# (a groupBy-day aggregate of KB-sized HLL registers) — physically
+# bounded cardinality regardless of corpus size, so the lint's
+# "unbounded subtree" heuristic is a false positive there.
+GLOBAL_WINDOW_OK = {"pack_sequences", "sliding_distinct_hll"}
 
 # Logical nodes that bound a subtree to driver-scale row counts, making
 # a global window above them safe (rank_leg's top-k then rank pattern).
