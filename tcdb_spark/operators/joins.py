@@ -233,3 +233,55 @@ def exists_gate(incoming: DataFrame, existing: DataFrame, keys: list[str]) -> tu
         incoming.join(ex, on=keys, how="left_anti"),
         incoming.join(ex, on=keys, how="left_semi"),
     )
+
+
+def interval_overlap_pairs(
+    iv: DataFrame,
+    key: str,
+    interval_id: str,
+    start: str,
+    end: str,
+    bin_s: int = 3600,
+) -> DataFrame:
+    """Interval x interval overlap self-join via coarse time-bin
+    cover: each [start, end] explodes into the bins it touches,
+    candidates meet through a bin EQUI-join (only time-local intervals
+    ever pair), the exact overlap predicate verifies, and a distinct on
+    the pair key removes bin-crossing duplicates.  Returns one row per
+    overlapping pair with integer overlap seconds:
+    (key_a, id_a, key_b, id_b, ov).  Pairs are canonical (key_a <
+    key_b), so same-key intervals never pair.  ``bin_s`` is the skew
+    lever — pick it near the median interval length; pathological hot
+    bins take the df-cap treatment (operators/textdedup.py)."""
+    bins = iv.select(
+        F.col(key).alias("k"),
+        F.col(interval_id).alias("iid"),
+        F.col(start).alias("s"),
+        F.col(end).alias("e"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / bin_s), F.floor(F.col(end) / bin_s)
+            )
+        ).alias("bin"),
+    )
+    a, b = bins.alias("a"), bins.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.k") < F.col("b.k"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("a.iid").alias("id_a"),
+            F.col("b.k").alias("key_b"),
+            F.col("b.iid").alias("id_b"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).alias("ov"),
+        )
+        .distinct()
+    )

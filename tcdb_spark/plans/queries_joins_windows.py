@@ -249,3 +249,80 @@ def join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.cast("int").alias("dist"),
         )
     )
+
+
+_SESS_IV_SQL = """
+    lagged AS (
+        SELECT user_id, ts,
+               epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_s,
+               event_id
+        FROM events
+    ),
+    sessed AS (
+        SELECT user_id, ts,
+               sum(CASE WHEN coalesce(gap_s, 0) > 1800 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM lagged
+    ),
+    iv AS (
+        SELECT user_id, session_id,
+               CAST(floor(min(epoch(ts))) AS BIGINT) AS s,
+               CAST(floor(max(epoch(ts))) AS BIGINT) AS e
+        FROM sessed GROUP BY user_id, session_id
+    )
+"""
+
+
+@register(
+    "interval_overlap_join",
+    oracle=(
+        "WITH " + _SESS_IV_SQL + """
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+               AS total_overlap_s
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    GROUP BY 1, 2
+    """
+    ),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: which user pairs had concurrent
+    sessions, and for how long — the interval x interval join class
+    (conflict detection, co-presence, resource contention) that
+    equi-join engines can't express directly and naive engines run as
+    an O(n^2) range cross.
+
+    Scale shape: each session interval explodes into its coarse
+    time-bin cover (1 h bins; a session spans few), candidates meet
+    through a bin EQUI-join — the shuffle key is time locality, so only
+    intervals sharing an hour ever pair — and the exact overlap
+    predicate verifies candidates.  Bin-crossing duplicates are removed
+    by a distinct on the pair key BEFORE aggregation.  Bin width is the
+    skew lever: at 100 TB you pick it near the median interval length
+    (and df-cap pathological hot bins, the textdedup device).  Overlap
+    seconds are INTEGER math end-to-end (floored epochs) — no float
+    hazard anywhere.  The DuckDB oracle runs the honest range-predicate
+    join over the identical sessionized intervals (reusing the
+    sessionize_events CTE), so the hash match attests the bin cover
+    loses no pair and adds no duplicate."""
+    from tcdb_spark.operators.joins import interval_overlap_pairs
+    from tcdb_spark.operators.skew import sessionize
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    sess = sessionize(e, ["user_id"], "ts", gap_minutes=30.0, tiebreak="event_id")
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_timestamp("ts")).alias("s"),
+        F.max(F.unix_timestamp("ts")).alias("e"),
+    )
+    cand = interval_overlap_pairs(iv, "user_id", "session_id", "s", "e", bin_s=3600)
+    return cand.groupBy(
+        F.col("key_a").alias("user_a"), F.col("key_b").alias("user_b")
+    ).agg(
+        F.count("*").alias("n_overlaps"),
+        F.sum("ov").cast("bigint").alias("total_overlap_s"),
+    )

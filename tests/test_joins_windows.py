@@ -149,3 +149,59 @@ def test_next_annual_id(spark):
     out = {r["nhc_id"]: r["annual_id"] for r in next_annual_id(storms, incoming, ["season", "region_id"]).collect()}
     # existing max 7 -> 8, 9; fresh partition starts at 1
     assert out == {"AL012022": 8, "AL022022": 9, "EP012023": 1}
+
+
+# ------------------------------------------------------- interval overlap
+
+
+def _overlap_pairs(spark, rows, bin_s=3600):
+    from tcdb_spark.operators.joins import interval_overlap_pairs
+
+    iv = spark.createDataFrame(rows, ["k", "iid", "s", "e"])
+    return {
+        (r["key_a"], r["id_a"], r["key_b"], r["id_b"], r["ov"])
+        for r in interval_overlap_pairs(iv, "k", "iid", "s", "e", bin_s).collect()
+    }
+
+
+def test_interval_overlap_basic_and_no_self_pairs(spark):
+    rows = [
+        (1, 0, 0, 10), (1, 1, 100, 110),   # user 1
+        (2, 0, 5, 20), (2, 1, 200, 210),   # user 2
+        (3, 0, 15, 16),                    # user 3
+        (1, 2, 6, 8),                      # same-user overlap with (2,0): excluded? no —
+                                           # pairs are cross-KEY only; (1,2)x(2,0) counts
+    ]
+    got = _overlap_pairs(spark, rows)
+    assert (1, 0, 2, 0, 5) in got          # [0,10] x [5,20]
+    assert (2, 0, 3, 0, 1) in got          # [5,20] x [15,16]
+    assert (1, 2, 2, 0, 2) in got          # [6,8] x [5,20]
+    # no same-key pair ever
+    assert not any(a == b for a, _, b, _, _ in got)
+    # users 1 and 3 never overlap
+    assert not any((a, b) == (1, 3) for a, _, b, _, _ in got)
+
+
+def test_interval_overlap_bin_crossing_dedup(spark):
+    # both intervals span bins 0..2 -> 3 shared bins, exactly ONE pair
+    rows = [(1, 0, 0, 7300), (2, 0, 100, 7200)]
+    got = _overlap_pairs(spark, rows)
+    assert got == {(1, 0, 2, 0, 7100)}
+
+
+def test_interval_overlap_touching_endpoints_count(spark):
+    # closed-interval semantics: touching endpoints overlap with ov=0
+    rows = [(1, 0, 0, 100), (2, 0, 100, 200), (3, 0, 201, 300)]
+    got = _overlap_pairs(spark, rows)
+    assert got == {(1, 0, 2, 0, 0)}
+
+
+def test_interval_overlap_bin_width_invariance(spark):
+    rows = [
+        (u, i, 1000 * u + 37 * i, 1000 * u + 37 * i + 500 + 13 * u)
+        for u in range(1, 6)
+        for i in range(4)
+    ] + [(9, 0, 0, 10_000)]  # one long interval overlapping everything
+    a = _overlap_pairs(spark, rows, bin_s=3600)
+    b = _overlap_pairs(spark, rows, bin_s=97)
+    assert a == b and len(a) > 0
