@@ -255,3 +255,48 @@ def funnel(
         c.unpersist()
     schema = T.StructType([T.StructField(n, T.LongType(), False) for n in names])
     return events.sparkSession.createDataFrame([tuple(values)], schema)
+
+
+def basket_pair_lift(ob: DataFrame, min_support: int = 10) -> DataFrame:
+    """Association lift over baskets: ``ob`` is distinct (o, b) rows
+    (basket id, item).  Returns (item_a, item_b, n_ab, lift) for
+    canonical pairs with support >= ``min_support``, lift = P(ab) /
+    (P(a) P(b)) over the basket count.
+
+    The pair stage self-joins on the basket key, so it emits
+    C(basket_size, 2) rows per basket — bounded by basket width, never
+    a global cross; cap pathological baskets first with
+    ``textdedup.drop_hot_keys(ob, "o", cap)``.  Marginals re-enter as a
+    broadcast item table plus a 1-row total; counts stay integers until
+    the final division (exact as doubles below 2^53)."""
+    ob = ob.persist()
+    n_orders = ob.select(F.count_distinct("o").cast("double").alias("n_orders"))
+    bc = ob.groupBy("b").agg(F.count("*").alias("n_b"))
+    a, c = ob.alias("a"), ob.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.b") < F.col("c.b")))
+        .groupBy(F.col("a.b").alias("item_a"), F.col("c.b").alias("item_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+    return (
+        pairs.join(
+            F.broadcast(bc.select(F.col("b").alias("item_a"), F.col("n_b").alias("na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(bc.select(F.col("b").alias("item_b"), F.col("n_b").alias("nb"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab").cast("double") * F.col("n_orders"))
+                / (F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

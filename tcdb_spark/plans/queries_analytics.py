@@ -911,3 +911,63 @@ def sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("exact_users_7d")
         ).alias("within_5pct"),
     )
+
+
+@register(
+    "market_basket_lift",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n_orders FROM ob),
+    bc AS (SELECT b, CAST(count(*) AS BIGINT) AS n_b FROM ob GROUP BY b),
+    pairs AS (
+        SELECT a.b AS brand_a, c.b AS brand_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+        GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b, p.n_ab,
+           round((CAST(p.n_ab AS DOUBLE) * (SELECT n_orders FROM n))
+                 / (ba.n_b * bb.n_b), 6) AS lift
+    FROM pairs p
+    JOIN bc ba ON ba.b = p.brand_a
+    JOIN bc bb ON bb.b = p.brand_b
+    WHERE p.n_ab >= 10
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: brand-pair support and lift
+    over order baskets (lift = P(ab) / P(a)P(b), the association signal
+    behind co-purchase recommenders and — on corpora — tag/domain
+    co-occurrence analysis).
+
+    Scale shape: the fact table joins the brand dimension by BROADCAST
+    (the fact side never shuffles for the enrich), collapses to
+    distinct (order, brand) — baskets bound the pair stage: the
+    self-join on the order key emits C(basket_size, 2) pairs per order,
+    never a global cross.  Oversized hot baskets (a crawl page linking
+    everything) take the df-cap treatment first
+    (operators/textdedup.drop_hot_keys — same device as the shingle
+    index).  Per-brand marginals re-enter as a 25-row broadcast and the
+    order total as a 1-row literal join, so lift is computed without
+    re-scanning the fact.  Min-support 10 prunes the noise floor before
+    output.  Lift numerator/denominator are exact integers promoted to
+    double once — the round(6) only absorbs the division ULP."""
+    from tcdb_spark.operators.aggregates import basket_pair_lift
+
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    ob = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), t["lineitem"].l_partkey == t["part"].p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    out = basket_pair_lift(ob, min_support=10)
+    return out.select(
+        F.col("item_a").alias("brand_a"),
+        F.col("item_b").alias("brand_b"),
+        "n_ab",
+        "lift",
+    )

@@ -131,3 +131,34 @@ def test_ares_keys_deterministic_across_repartition(spark):
         .collect()
     }
     assert a == b
+
+
+def test_basket_pair_lift_closed_form(spark):
+    from tcdb_spark.operators.aggregates import basket_pair_lift
+
+    ob = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (4, "B"), (4, "C")],
+        ["o", "b"],
+    )
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_ab"], r["lift"])
+        for r in basket_pair_lift(ob, min_support=1).collect()
+    }
+    # N=4 baskets; n_A=3, n_B=3, n_C=1; AB together in 2, BC in 1
+    assert got[("A", "B")] == (2, round(2 * 4 / (3 * 3), 6))
+    assert got[("B", "C")] == (1, round(1 * 4 / (3 * 1), 6))
+    assert ("A", "C") not in got
+
+
+def test_basket_pair_lift_hot_basket_cap_composes(spark):
+    from tcdb_spark.operators.aggregates import basket_pair_lift
+    from tcdb_spark.operators.textdedup import drop_hot_keys
+
+    # one pathological basket holding 40 items would emit C(40,2)=780
+    # pairs; the df-cap drops the basket before the pair stage
+    rows = [(99, f"i{k}") for k in range(40)] + [(1, "A"), (1, "B"), (2, "A"), (2, "B")]
+    ob = spark.createDataFrame(rows, ["o", "b"])
+    capped = drop_hot_keys(ob, "o", df_cap=10)
+    got = basket_pair_lift(capped, min_support=1)
+    pairs = {(r["item_a"], r["item_b"]) for r in got.collect()}
+    assert pairs == {("A", "B")}
