@@ -483,3 +483,77 @@ class Engine:
         if isinstance(sf_dir_or_docs, str):
             return winnow_fingerprint(self.spark, sf_dir_or_docs)
         return winnow_frame(sf_dir_or_docs)
+
+    def triangles(self, edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+        """Per-node triangle counts (operators/graph.triangle_counts):
+        degree-oriented wedge enumeration — hub-safe (a 1M-degree node
+        generates zero wedges; see SCALE_SMOKE.md)."""
+        from tcdb_spark.operators.graph import triangle_counts
+
+        return triangle_counts(edges, src=src, dst=dst)
+
+    def phrase_search(self, docs: DataFrame, phrases: list[str]) -> DataFrame:
+        """Exact phrase matches (phrase, doc_id) through the positional
+        inverted index (plans/queries_ranking.phrase_match): phrase
+        tokens broadcast onto the postings, one groupBy intersection —
+        the quoted-query primitive BM25 can't express."""
+        from tcdb_spark.plans.queries_ranking import phrase_match
+
+        return phrase_match(docs, phrases)
+
+    def overlaps(
+        self,
+        iv: DataFrame,
+        key: str,
+        interval_id: str,
+        start: str,
+        end: str,
+        bin_s: int = 3600,
+    ) -> DataFrame:
+        """Interval x interval overlap pairs across keys
+        (operators/joins.interval_overlap_pairs): coarse-bin cover +
+        bin equi-join + exact verify; integer overlap seconds."""
+        from tcdb_spark.operators.joins import interval_overlap_pairs
+
+        return interval_overlap_pairs(iv, key, interval_id, start, end, bin_s)
+
+    def sample_weighted(
+        self, docs: DataFrame, k: int, weight_col: str = "n_chars"
+    ) -> DataFrame:
+        """Weighted sample WITHOUT replacement via A-Res exponential
+        race keys (plans/queries_curation._ares_key_sql): deterministic
+        under repartitioning, top-k is TakeOrderedAndProject.  ``docs``
+        needs doc_id + the weight column."""
+        from pyspark.sql import functions as F
+
+        from tcdb_spark.plans.queries_curation import _ares_key_sql
+
+        key = F.expr(_ares_key_sql("STRING").replace("n_chars", weight_col))
+        return (
+            docs.select("*", key.alias("__ares_key"))
+            .orderBy(F.desc("__ares_key"), "doc_id")
+            .limit(k)
+            .drop("__ares_key")
+        )
+
+    def transition_matrix(
+        self, events: DataFrame, key: str, state_col: str, order_cols: list[str]
+    ) -> DataFrame:
+        """First-order Markov transitions (src_type, dst_type, n, p)
+        over per-key ordered state sequences (the catalog
+        event_transition_matrix shape, parameterized)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy(key).orderBy(*order_cols)
+        s = events.select(
+            F.col(state_col).alias("src_type"),
+            F.lead(state_col).over(w).alias("dst_type"),
+        ).where(F.col("dst_type").isNotNull())
+        c = s.groupBy("src_type", "dst_type").agg(F.count("*").alias("n"))
+        return c.select(
+            "src_type",
+            "dst_type",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(W.partitionBy("src_type"))).alias("p"),
+        )

@@ -349,3 +349,42 @@ def test_engine_tokenize_diversify_winnow_facades(spark, tmp_path):
     for r in fps.collect():
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert by_doc[1] & by_doc[2]
+
+
+def test_engine_session4_facades(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_s4"))
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"])
+    tri = {r["node"]: r["tri_cnt"] for r in eng.triangles(edges).collect()}
+    assert tri == {1: 1, 2: 1, 3: 1}
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s", 16), (2, "beta alpha", "en", "s", 10)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    hits = {(r["phrase"], r["doc_id"]) for r in eng.phrase_search(docs, ["alpha beta"]).collect()}
+    assert hits == {("alpha beta", 1)}
+
+    iv = spark.createDataFrame([(1, 0, 0, 10), (2, 0, 5, 20)], ["k", "i", "s", "e"])
+    ov = eng.overlaps(iv, "k", "i", "s", "e").collect()
+    assert len(ov) == 1 and ov[0]["ov"] == 5
+
+    sampled = eng.sample_weighted(docs, k=1, weight_col="n_chars")
+    assert sampled.count() == 1
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=i), 1, s, 0.0, "{}") for i, s in enumerate("abab")],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    tm = {
+        (r["src_type"], r["dst_type"]): (r["n"], r["p"])
+        for r in eng.transition_matrix(ev, "user_id", "event_type", ["ts", "event_id"]).collect()
+    }
+    assert tm[("a", "b")] == (2, 1.0) and tm[("b", "a")] == (1, 1.0)
