@@ -559,3 +559,93 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         sh, _CONT_T, lambda d: d % 2 == 1, lambda d: d % 2 == 0
     )
+
+
+@register(
+    "cross_source_overlap",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' zz yy xx' AS text, source
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM corpus
+    ), sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles
+        FROM toks WHERE len(tokens) >= {SHINGLE}
+    ), hs AS (
+        SELECT doc_id, {_SHINGLE_HASHES_SQL} AS hashes FROM sh
+    ), sigs AS (
+        SELECT doc_id,
+               {", ".join(f"{_minhash_sql(j)} AS mh{j}" for j in range(N_HASHES))}
+        FROM hs
+    ), bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, mh{2 * b} || mh{2 * b + 1} AS band_key FROM sigs"
+            for b in range(N_BANDS)
+        )}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT least(ca.source, cb.source) AS source_a,
+           greatest(ca.source, cb.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN corpus ca ON ca.doc_id = p.doc_a
+    JOIN corpus cb ON cb.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x source near-duplication matrix: which corpus sources
+    copy from which — the provenance report every multi-source
+    pretraining mix needs BEFORE choosing per-source weights (a source
+    that is 40% mirrored by another contributes far less novel text
+    than its row count claims).
+
+    Composes the shared MinHash-LSH core (operators/textdedup
+    .lsh_band_index: same shingle->minhash->band pipeline the
+    dedup_minhash_lsh oracle attests) with the doc->source dimension:
+    candidate pairs come from the band-bucket equi-join (never
+    all-pairs), the source labels join back onto the BOUNDED pair set
+    (two hash joins on doc_id), and the matrix is one tiny aggregate —
+    #sources^2 rows regardless of corpus size.  Pair canonicalization
+    by least/greatest(source) folds both directions of a pair into one
+    cell."""
+    from tcdb_spark.operators.textdedup import lsh_band_index
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    dups = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text"),
+        "source",
+    )
+    corpus = d.select("doc_id", "text", "source").unionByName(dups).persist()
+    bands = lsh_band_index(corpus).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    src = corpus.select("doc_id", "source")
+    return (
+        pairs.join(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")), "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
