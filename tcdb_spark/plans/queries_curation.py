@@ -154,3 +154,39 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", F.round("ares_key", 9).alias("ares_key"))
     )
+
+
+@register(
+    "weighted_sample_stratified",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT source, doc_id, {_ares_key_sql('VARCHAR')} AS k
+        FROM documents
+    )
+    SELECT source, doc_id, round(k, 9) AS ares_key,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY k DESC, doc_id) AS INTEGER) AS rnk
+    FROM keyed
+    QUALIFY rnk <= 5
+    """,
+)
+def weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: the A-Res
+    race (same ln(u)/w keys as weighted_sample_ares) run independently
+    inside every source — the draw a mixture builder uses to pull a
+    length-weighted per-source quota in ONE pass with no per-source
+    driver loop.  The rank window is PARTITIONED by the stratum (the
+    per-key top-k shape, never a global sort); at web scale a hot
+    stratum takes the two-phase top-N treatment
+    (operators/skew.topn_per_key_two_phase, same contract)."""
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    key = F.expr(_ares_key_sql("STRING"))
+    w = W.partitionBy("source").orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        d.select("source", "doc_id", key.alias("k"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 5)
+        .select("source", "doc_id", F.round("k", 9).alias("ares_key"), "rnk")
+    )
