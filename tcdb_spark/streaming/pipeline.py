@@ -657,3 +657,61 @@ def stream_psi_drift(
         )
     )
     return writer.start()
+
+
+def stream_distinct_hll(
+    spark: SparkSession,
+    events_dir: str,
+    warehouse: Warehouse,
+    schema: T.StructType,
+    id_col: str,
+    group_cols: list[str],
+    table: str = "hll_state",
+    checkpoint_dir: str | None = None,
+):
+    """Continuous distinct-count monitoring: event files land, each
+    micro-batch folds its per-group HLL sketch partials into a
+    persistent state table with ``hll_union`` — the streaming form of
+    the approx_distinct_audit / sliding_distinct_hll batch lanes.  The
+    state stays one KB-sized register blob per group no matter how much
+    data has flowed through; ``hll_sketch_estimate`` over it at any
+    moment is the distinct-to-date signal.
+
+    Unlike the SUM-folded histogram state (stream_hist_quantiles), the
+    HLL fold is IDEMPOTENT — union is a per-register max, so a
+    re-delivered batch re-unions to the identical state and no epoch
+    guard is needed.  That asymmetry is the operational rule: sketches
+    whose merge is max-like (HLL, Bloom, MinHash) are replay-safe by
+    construction; additive summaries (counts, histograms) must carry
+    the epoch discipline.
+
+    Returns the started StreamingQuery (AvailableNow).
+    """
+    feed = spark.readStream.schema(schema).parquet(events_dir)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        parts = batch_df.groupBy(*group_cols).agg(
+            F.hll_sketch_agg(id_col).alias("sk")
+        )
+        if warehouse.exists(table):
+            state = warehouse.read(table)
+            merged = (
+                state.unionByName(parts)
+                .groupBy(*group_cols)
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        else:
+            merged = parts
+        warehouse.write(table, merged)
+
+    writer = (
+        feed.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{warehouse.root}/_checkpoints/hll_{table}",
+        )
+    )
+    return writer.start()

@@ -459,3 +459,72 @@ def test_stream_psi_drift_matches_batch(spark, tmp_path):
     psi = {r["cohort"]: r["psi"] for r in psi_from_counts(state, "cohort").collect()}
     assert psi["s0"] < 0.1 < 0.25 < psi["shifted"]
     assert abs(psi["s0"] - psi["s8"]) < 1e-12
+
+
+def test_stream_distinct_hll_replay_is_idempotent_without_epoch_guard(spark, tmp_path):
+    """HLL state fold is a per-register max, so the torn-transaction
+    replay that REQUIRES the epoch guard on additive folds is a no-op
+    here by construction: crash after the warehouse commit, restart,
+    re-deliver the epoch — the re-union leaves the estimates identical
+    to the one-shot batch sketch.  Also checks incremental folding of a
+    second file batch."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tcdb_spark.sources.warehouse import Warehouse
+    from tcdb_spark.streaming.pipeline import stream_distinct_hll
+
+    schema = T.StructType(
+        [T.StructField("src", T.StringType()), T.StructField("uid", T.LongType())]
+    )
+    d = tmp_path / "events"
+    rows1 = [("a", i % 37) for i in range(200)] + [("b", i % 11) for i in range(50)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(d))
+
+    crash_flag = tmp_path / "crashed_once"
+
+    class CrashAfterCommit(Warehouse):
+        def write(self, table, df, **kw):
+            v = super().write(table, df, **kw)
+            if not crash_flag.exists():
+                crash_flag.write_text("armed")
+                raise RuntimeError("injected crash: committed, checkpoint NOT")
+            return v
+
+    ckpt = str(tmp_path / "ckpt_hll")
+    q = stream_distinct_hll(
+        spark, str(d), CrashAfterCommit(spark, str(tmp_path / "whh")),
+        schema, "uid", ["src"], checkpoint_dir=ckpt,
+    )
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(120)
+
+    wh = Warehouse(spark, str(tmp_path / "whh"))
+    assert wh.current_version("hll_state") == 1
+
+    # restart: epoch 0 re-delivered, re-unioned — state may re-commit
+    # (v2) but the ESTIMATES must not move (idempotent fold)
+    q2 = stream_distinct_hll(spark, str(d), wh, schema, "uid", ["src"], checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    def estimates():
+        return {
+            r["src"]: r["e"]
+            for r in wh.read("hll_state")
+            .select("src", F.hll_sketch_estimate("sk").alias("e"))
+            .collect()
+        }
+
+    assert estimates() == {"a": 37, "b": 11}
+
+    # a second landed file folds in incrementally
+    rows2 = [("a", 1000 + i) for i in range(13)]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(str(d))
+    q3 = stream_distinct_hll(spark, str(d), wh, schema, "uid", ["src"], checkpoint_dir=ckpt)
+    q3.awaitTermination(120)
+    assert q3.exception() is None
+    assert estimates() == {"a": 50, "b": 11}
