@@ -385,3 +385,65 @@ def test_containment_matches_bruteforce(spark, docs, t):
         ).collect()
     }
     assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=0,
+        max_size=40,
+    ),
+)
+@_slow
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-oriented wedge enumeration == brute-force triangle
+    membership counting on arbitrary small graphs (self-loops and
+    duplicate/reversed edges included in the input)."""
+    from itertools import combinations
+
+    from tcdb_spark.operators.graph import triangle_counts
+
+    # brute force on the cleaned undirected simple graph
+    adj = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in adj for x in e})
+    want: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= adj:
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+
+    df = spark.createDataFrame(edges or [(0, 0)], "src int, dst int")
+    got = {r["node"]: r["tri_cnt"] for r in triangle_counts(df).collect()}
+    assert got == want
+
+
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10_000), st.integers(0, 5_000)),
+        min_size=0,
+        max_size=25,
+    ),
+    bin_s=st.sampled_from([60, 3600, 7001]),
+)
+@_slow
+def test_interval_overlap_matches_bruteforce(spark, ivs, bin_s):
+    """Bin-cover overlap join == brute-force O(n^2) range scan for any
+    bin width (the cover may only affect WORK, never the result)."""
+    from tcdb_spark.operators.joins import interval_overlap_pairs
+
+    rows = [(k, i, s, s + d) for i, (k, s, d) in enumerate(ivs)]
+    want = set()
+    for ka, ia, sa, ea in rows:
+        for kb, ib, sb, eb in rows:
+            if ka < kb and sa <= eb and sb <= ea:
+                want.add((ka, ia, kb, ib, min(ea, eb) - max(sa, sb)))
+
+    df = spark.createDataFrame(rows or [(0, 0, 0, 0)], "k int, i int, s long, e long")
+    got = {
+        (r["key_a"], r["id_a"], r["key_b"], r["id_b"], r["ov"])
+        for r in interval_overlap_pairs(df, "k", "i", "s", "e", bin_s).collect()
+    }
+    if not rows:
+        assert got == set()
+    else:
+        assert got == want
