@@ -305,3 +305,25 @@ def apply_cdc_soft(
         update_guards=guard,
         dedupe_incoming=False,
     )
+
+
+def merge_sync(
+    current: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    **merge_kwargs,
+) -> DataFrame:
+    """Full-snapshot synchronization: MERGE upsert semantics PLUS
+    ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` — the load pattern for
+    dimension snapshots where the incoming feed is authoritative and
+    rows it no longer carries must disappear (the third MERGE clause
+    Delta/SQL-2016 engines grew for exactly this; plain merge() keeps
+    orphans forever and delete_where needs the caller to know WHAT
+    vanished).
+
+    One extra left-semi join on the (deduped) incoming keys after the
+    upsert — same shuffle key as the merge itself, so the exchanges
+    collapse; at 100 TB this composes with merge_scoped's bucket
+    pruning unchanged."""
+    merged = merge(current, incoming, keys, **merge_kwargs)
+    return merged.join(incoming.select(*keys).distinct(), keys, "left_semi")

@@ -333,3 +333,55 @@ def warehouse_skipping_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{info['files_total']} files for a narrow key range"
         )
     return pruned.select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "merge_sync_snapshot",
+    oracle="""
+    WITH cur AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    inc AS (
+        SELECT k, CASE WHEN k % 5 = 0 THEN cents + 1000 ELSE cents END AS cents
+        FROM cur WHERE k % 3 <> 0
+        UNION ALL
+        SELECT k + 10000000 AS k, CAST(123 AS BIGINT) AS cents
+        FROM cur WHERE k % 7 = 0
+    )
+    SELECT i.k, i.cents, c.status
+    FROM inc i LEFT JOIN cur c ON c.k = i.k
+    """,
+)
+def merge_sync_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authoritative-snapshot MERGE (upsert + delete-unmatched, the
+    WHEN NOT MATCHED BY SOURCE clause) driven by a deterministic
+    incoming feed: one third of current keys vanish (deleted), every
+    5th gets a price bump (updated), every 7th spawns a new key
+    (inserted, current-only columns NULL).  Money is integer CENTS
+    end-to-end — cross-engine float rounding never enters (DEVNOTES
+    hazard family).  The oracle is the closed-form outcome (incoming
+    keys with coalesced columns), so the hash match attests all three
+    clauses at once.  Plan: the upsert full-outer join and the
+    delete-unmatched semi join share the key shuffle."""
+    from tcdb_spark.operators.merge import merge_sync
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    cur = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).persist()
+    inc = cur.where(F.col("k") % 3 != 0).select(
+        "k",
+        F.when(F.col("k") % 5 == 0, F.col("cents") + 1000)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    ).unionByName(
+        cur.where(F.col("k") % 7 == 0).select(
+            (F.col("k") + 10000000).alias("k"), F.lit(123).cast("bigint").alias("cents")
+        )
+    )
+    out = merge_sync(cur, inc, ["k"])
+    return out.select("k", "cents", "status")

@@ -291,3 +291,27 @@ def test_stream_cdc_apply_end_to_end(spark, tmp_path):
     out = {r["k"]: r["v"] for r in cdc_view(wh.read("kv")).collect()}
     assert out == {2: "b2", 3: "c"}
     assert len(wh.versions("kv")) >= 2  # one commit per non-empty batch
+
+
+def test_merge_sync_deletes_unmatched_and_upserts(spark):
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.operators.merge import merge_sync
+
+    cur = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "tag", "v"]
+    )
+    inc = spark.createDataFrame([(2, 25), (4, 40)], ["k", "v"])
+    got = {r["k"]: (r["tag"], r["v"]) for r in merge_sync(cur, inc, ["k"]).collect()}
+    # 1 and 3 deleted (not matched by source), 2 updated keeping tag,
+    # 4 inserted with NULL for the current-only column
+    assert got == {2: ("b", 25), 4: (None, 40)}
+
+
+def test_merge_sync_noop_feed_is_identity(spark):
+    from tcdb_spark.operators.merge import merge_sync
+
+    cur = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ["k", "tag", "v"])
+    inc = cur.select("k", "v")
+    got = {r["k"]: (r["tag"], r["v"]) for r in merge_sync(cur, inc, ["k"]).collect()}
+    assert got == {1: ("a", 10), 2: ("b", 20)}
