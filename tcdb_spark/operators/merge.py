@@ -327,3 +327,42 @@ def merge_sync(
     pruning unchanged."""
     merged = merge(current, incoming, keys, **merge_kwargs)
     return merged.join(incoming.select(*keys).distinct(), keys, "left_semi")
+
+
+def frame_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pure-DataFrame change classification between two table states:
+    one row per changed key with ``change_type`` in {insert, update,
+    delete} — the engine behind ``Warehouse.diff`` exposed for frames
+    that never touched the warehouse (staging vs production, vendor
+    re-deliveries).  Unlike the warehouse path (xxhash64 fingerprints,
+    Spark-only), comparison here is null-safe column equality — the
+    semantics an external system can reproduce, which is what the
+    catalog oracle attests.  One full-outer join on the key; unchanged
+    keys produce no row."""
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    o, n = old.alias("o"), new.alias("n")
+    on = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
+    j = o.join(n, on=on, how="full_outer")
+    o_exists = F.col(f"o.{keys[0]}").isNotNull()
+    n_exists = F.col(f"n.{keys[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(~o_exists, "insert")
+        .when(~n_exists, "delete")
+        .when(changed, "update")
+    )
+    out_keys = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys
+    ]
+    return (
+        j.select(*out_keys, change.alias("change_type"))
+        .where(F.col("change_type").isNotNull())
+    )

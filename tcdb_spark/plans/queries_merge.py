@@ -385,3 +385,69 @@ def merge_sync_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = merge_sync(cur, inc, ["k"])
     return out.select("k", "cents", "status")
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH cur AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    nxt AS (
+        SELECT k, CASE WHEN k % 10 = 2 THEN cents + 5 ELSE cents END AS cents,
+               status
+        FROM cur WHERE k % 10 <> 1
+        UNION ALL
+        SELECT k + 20000000 AS k, CAST(777 AS BIGINT) AS cents, 'N' AS status
+        FROM cur WHERE k % 10 = 3
+    )
+    SELECT coalesce(c.k, n.k) AS k,
+           CASE WHEN c.k IS NULL THEN 'insert'
+                WHEN n.k IS NULL THEN 'delete'
+                WHEN c.cents IS DISTINCT FROM n.cents
+                  OR c.status IS DISTINCT FROM n.status THEN 'update'
+           END AS change_type
+    FROM cur c FULL OUTER JOIN nxt n ON c.k = n.k
+    WHERE (CASE WHEN c.k IS NULL THEN 'insert'
+                WHEN n.k IS NULL THEN 'delete'
+                WHEN c.cents IS DISTINCT FROM n.cents
+                  OR c.status IS DISTINCT FROM n.status THEN 'update'
+           END) IS NOT NULL
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two table states (operators/merge
+    .frame_diff): insert/update/delete classification through ONE
+    null-safe full-outer join on the key — the change-data-feed
+    primitive (Warehouse.diff's engine) attested with a closed-form
+    oracle: 10% of keys deleted, 10% price-bumped, 10% spawning new
+    keys.  Unchanged keys emit nothing, so the diff output is
+    proportional to the CHANGE volume, not the table size; when both
+    states are bucketed on the key the join is co-partitioned and
+    exchange-free (pinned in tests/test_warehouse_diff.py).  Money is
+    integer cents — no float compare anywhere."""
+    from tcdb_spark.operators.merge import frame_diff
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    cur = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    ).persist()
+    nxt = cur.where(F.col("k") % 10 != 1).select(
+        "k",
+        F.when(F.col("k") % 10 == 2, F.col("cents") + 5)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        "status",
+    ).unionByName(
+        cur.where(F.col("k") % 10 == 3).select(
+            (F.col("k") + 20000000).alias("k"),
+            F.lit(777).cast("bigint").alias("cents"),
+            F.lit("N").alias("status"),
+        )
+    )
+    return frame_diff(cur, nxt, ["k"])

@@ -315,3 +315,24 @@ def test_merge_sync_noop_feed_is_identity(spark):
     inc = cur.select("k", "v")
     got = {r["k"]: (r["tag"], r["v"]) for r in merge_sync(cur, inc, ["k"]).collect()}
     assert got == {1: ("a", 10), 2: ("b", 20)}
+
+
+def test_frame_diff_classification_and_null_safety(spark):
+    from tcdb_spark.operators.merge import frame_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d")], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (5, "e")], ["k", "v"]
+    )
+    got = {r["k"]: r["change_type"] for r in frame_diff(old, new, ["k"]).collect()}
+    # 1 unchanged (no row), 2 NULL->b update (null-safe), 3+4 deleted, 5 inserted
+    assert got == {2: "update", 3: "delete", 4: "delete", 5: "insert"}
+
+
+def test_frame_diff_identical_states_empty(spark):
+    from tcdb_spark.operators.merge import frame_diff
+
+    df = spark.createDataFrame([(1, "a", None), (2, "b", 5)], ["k", "v", "w"])
+    assert frame_diff(df, df, ["k"]).count() == 0
