@@ -54,6 +54,8 @@ SCALAR_CROSS_OK = {
     # 2-query x 8-candidate integer FIXTURE cross (the MMR golden);
     # production pools come from an upstream top-n, never a cross
     "mmr_diversify",
+    # 1-row basket-total broadcast cross (the lift denominator)
+    "market_basket_lift",
 }
 
 # Arrow-based Python ops are design choices documented per operator.

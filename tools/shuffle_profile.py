@@ -54,7 +54,22 @@ def main() -> None:
     QUERIES["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     rows = []
-    extras = ["graph_pagerank", "cdc_apply", "conversation_assembly"]
+    extras = [
+        "graph_pagerank",
+        "cdc_apply",
+        "conversation_assembly",
+        # round-4 session-4 lanes
+        "graph_triangles",
+        "phrase_search",
+        "interval_overlap_join",
+        "cross_source_overlap",
+        "market_basket_lift",
+        "sliding_distinct_hll",
+        "label_centroid_cosine",
+        "weighted_sample_ares",
+        "merge_sync_snapshot",
+        "snapshot_diff",
+    ]
     for name in HEADLINE + [e for e in extras if e not in HEADLINE]:
         seen = set(_stages(ui, app))
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
