@@ -387,3 +387,128 @@ def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr("stack(3, 1, round(a1, 6), 2, round(a2, 6), 3, round(a3, 6)) AS (lag, acf)"),
     )
+
+
+_SAX_SEGMENTS = 4
+_SAX_BREAKS = (-0.4307, 0.4307)  # Gaussian tertile breakpoints, alphabet {a,b,c}
+
+
+@register(
+    "sax_similarity_candidates",
+    oracle=f"""
+    WITH idx AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id, avg(value) AS mu,
+               greatest(stddev_samp(value), 1e-12) AS sigma
+        FROM events GROUP BY user_id
+    ),
+    paa AS (
+        SELECT user_id, CAST(floor(i * {_SAX_SEGMENTS} / n) AS INTEGER) AS seg,
+               avg(value) AS pv
+        FROM idx GROUP BY 1, 2
+    ),
+    lets AS (
+        SELECT p.user_id, p.seg,
+               CASE WHEN round((p.pv - s.mu) / s.sigma, 6) <= {_SAX_BREAKS[0]} THEN 'a'
+                    WHEN round((p.pv - s.mu) / s.sigma, 6) <= {_SAX_BREAKS[1]} THEN 'b'
+                    ELSE 'c' END AS ltr,
+               round((p.pv - s.mu) / s.sigma, 6) AS z
+        FROM paa p JOIN stats s USING (user_id)
+    ),
+    words AS (
+        SELECT user_id,
+               {" || ".join(f"max(CASE WHEN seg = {k} THEN ltr END)" for k in range(_SAX_SEGMENTS))} AS word,
+               {", ".join(f"max(CASE WHEN seg = {k} THEN z END) AS z{k}" for k in range(_SAX_SEGMENTS))}
+        FROM lets GROUP BY user_id
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b, a.word AS sax_word,
+           round({" + ".join(f"(a.z{k} - b.z{k}) * (a.z{k} - b.z{k})" for k in range(_SAX_SEGMENTS))}, 6)
+               AS paa_dist2
+    FROM words a JOIN words b
+      ON a.word = b.word AND a.user_id < b.user_id
+    """,
+)
+def sax_similarity_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity candidates via PAA + SAX symbolization
+    (Lin et al. 2003; the indexing layer behind the retrieved top-k
+    similarity-search papers): z-normalize each series, collapse it to
+    {_SAX_SEGMENTS} piecewise-aggregate means, bucket each into a
+    Gaussian-breakpoint letter, and equi-join the resulting words —
+    candidate pairs come from an INDEX lookup (identical 'cbba'-style
+    words), never a pairwise distance matrix.
+
+    Scale shape: three window/agg passes per series (all sharing the
+    user_id shuffle), then the word join whose fan-out is bounded by
+    bucket occupancy — the lever is word length x alphabet size, grown
+    with corpus size exactly like LSH bands.  The PAA L2 distance rides
+    along for downstream exact re-ranking (the candidates are a
+    superset of close pairs under the standard SAX lower-bound).
+    Z-scores round to 6 BEFORE bucketing in both engines (letter
+    assignment must not flap on unordered-sum ULP; sigma floored
+    identically, DEVNOTES #40/#44 family).
+
+    Honest caveat: on UNSTRUCTURED noise the PAA means shrink toward 0
+    (std ~ 1/sqrt(points-per-segment)) so most words degenerate to
+    'bbbb' and the candidate set stays dense — noise has no structure
+    to index, and SAX correctly says so.  On trended/seasonal series
+    the words separate and the join prunes hard (pinned in
+    tests/test_graph_triangles_acf.py with up/down/flat shapes)."""
+    from pyspark.sql.window import Window as W
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wa = W.partitionBy("user_id")
+    idx = e.select(
+        "user_id",
+        "value",
+        (F.row_number().over(wo) - 1).alias("i"),
+        F.count("*").over(wa).alias("n"),
+    )
+    stats = e.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.greatest(F.stddev_samp("value"), F.lit(1e-12)).alias("sigma"),
+    )
+    paa = idx.groupBy(
+        "user_id",
+        F.floor(F.col("i") * _SAX_SEGMENTS / F.col("n")).cast("int").alias("seg"),
+    ).agg(F.avg("value").alias("pv"))
+    z = F.round((F.col("pv") - F.col("mu")) / F.col("sigma"), 6)
+    lets = paa.join(stats, "user_id").select(
+        "user_id",
+        "seg",
+        F.when(z <= _SAX_BREAKS[0], "a")
+        .when(z <= _SAX_BREAKS[1], "b")
+        .otherwise("c")
+        .alias("ltr"),
+        z.alias("z"),
+    )
+    segs = range(_SAX_SEGMENTS)
+    words = lets.groupBy("user_id").agg(
+        F.concat(
+            *[F.max(F.when(F.col("seg") == k, F.col("ltr"))) for k in segs]
+        ).alias("word"),
+        *[F.max(F.when(F.col("seg") == k, F.col("z"))).alias(f"z{k}") for k in segs],
+    )
+    a, b = words.alias("a"), words.alias("b")
+    dist2 = sum(
+        (F.col(f"a.z{k}") - F.col(f"b.z{k}")) * (F.col(f"a.z{k}") - F.col(f"b.z{k}"))
+        for k in segs
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.word").alias("sax_word"),
+            F.round(dist2, 6).alias("paa_dist2"),
+        )
+    )

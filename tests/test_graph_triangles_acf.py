@@ -116,3 +116,36 @@ def test_hll_union_of_partials_equals_direct_sketch(spark):
     assert abs(merged - direct) <= 0.01 * direct
     assert abs(direct - 1000) <= 0.05 * 1000
     assert abs(merged - 1000) <= 0.05 * 1000
+
+
+def test_sax_words_separate_structured_shapes(spark):
+    """Rising, falling, and flat-with-spike series must land in
+    different SAX words; two series with the SAME shape must collide —
+    the whole point of the symbolization index."""
+    import datetime as dt
+
+    from tcdb_spark.plans.catalog import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    shapes = {
+        1: [float(i) for i in range(16)],            # rising
+        2: [float(i) for i in range(16)],            # rising twin
+        3: [float(16 - i) for i in range(16)],       # falling
+        4: [0.0] * 8 + [10.0] + [0.0] * 7,           # flat with a spike
+    }
+    rows = [
+        (u * 100 + i, t0 + dt.timedelta(hours=i), u, "t", v, "{}")
+        for u, vs in shapes.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = QUERIES["sax_similarity_candidates"](spark, d).collect()
+    pairs = {(r["user_a"], r["user_b"]) for r in out}
+    assert pairs == {(1, 2)}  # only the rising twins collide
+    assert all(r["paa_dist2"] == 0.0 for r in out)
