@@ -599,3 +599,51 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(edges)
+
+
+@register(
+    "hierarchy_roots",
+    oracle="""
+    WITH RECURSIVE pc AS (
+        SELECT c_custkey AS node,
+               CASE WHEN CAST(floor(c_custkey / 10) AS BIGINT) >= 1
+                    THEN CAST(floor(c_custkey / 10) AS BIGINT) END AS parent
+        FROM customer
+    ),
+    walk AS (
+        SELECT node, node AS root, 0 AS depth FROM pc WHERE parent IS NULL
+        UNION ALL
+        SELECT c.node, w.root, w.depth + 1
+        FROM pc c JOIN walk w ON c.parent = w.node
+    )
+    SELECT node, root, CAST(depth AS BIGINT) AS depth FROM walk
+    """,
+)
+def hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive hierarchy resolution — every node of a forest mapped
+    to its (root, depth), the org-chart / BOM-explosion / referrer-
+    chain primitive Spark has no recursive CTE for.
+
+    ``operators/graph.py tree_roots`` runs POINTER DOUBLING: each round
+    self-joins the ancestor table with itself, so known-ancestor
+    distance doubles per round and a depth-d forest resolves in
+    ceil(log2 d) shuffles — the DuckDB oracle's recursive CTE walks one
+    level per iteration (O(d) sequential scans), which is exactly the
+    asymmetry that matters when a crawl's redirect chains or a
+    filesystem tree run thousands of levels deep.  Lineage truncated
+    per round (localCheckpoint); convergence is a scalar count.  The
+    fixture forest is the deterministic 10-ary tree parent(c) =
+    floor(c/10) over customer keys (depth ~ log10 N, so sf0.1 runs one
+    more doubling round than sf0.001 — scale-dependent assumptions
+    would fail the two-SF check)."""
+    from tcdb_spark.operators.graph import tree_roots
+
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    parents = c.select(
+        F.col("c_custkey").alias("node"),
+        F.when(
+            F.floor(F.col("c_custkey") / 10) >= 1,
+            F.floor(F.col("c_custkey") / 10).cast("bigint"),
+        ).alias("parent"),
+    )
+    return tree_roots(parents)

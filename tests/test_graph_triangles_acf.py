@@ -149,3 +149,40 @@ def test_sax_words_separate_structured_shapes(spark):
     pairs = {(r["user_a"], r["user_b"]) for r in out}
     assert pairs == {(1, 2)}  # only the rising twins collide
     assert all(r["paa_dist2"] == 0.0 for r in out)
+
+
+def test_tree_roots_forest_and_depths(spark):
+    from tcdb_spark.operators.graph import tree_roots
+
+    # forest: 1->(2->(4,5), 3); 10->(11); isolated root 99 (self-parent)
+    parents = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 1), (4, 2), (5, 2), (10, None), (11, 10), (99, 99)],
+        "node int, parent int",
+    )
+    got = {r["node"]: (r["root"], r["depth"]) for r in tree_roots(parents).collect()}
+    assert got == {
+        1: (1, 0), 2: (1, 1), 3: (1, 1), 4: (1, 2), 5: (1, 2),
+        10: (10, 0), 11: (10, 1), 99: (99, 0),
+    }
+
+
+def test_tree_roots_deep_chain_log_rounds(spark):
+    from tcdb_spark.operators.graph import tree_roots
+
+    # a 64-deep chain resolves (pointer doubling: ~6 rounds, not 64)
+    n = 64
+    parents = spark.createDataFrame(
+        [(i, i - 1 if i > 0 else None) for i in range(n)], "node int, parent int"
+    )
+    got = {r["node"]: (r["root"], r["depth"]) for r in tree_roots(parents).collect()}
+    assert got[n - 1] == (0, n - 1) and got[0] == (0, 0) and len(got) == n
+
+
+def test_tree_roots_unknown_parent_becomes_detached_root(spark):
+    from tcdb_spark.operators.graph import tree_roots
+
+    parents = spark.createDataFrame(
+        [(5, 1000), (6, 5)], "node int, parent int"
+    )  # 1000 is not a node
+    got = {r["node"]: (r["root"], r["depth"]) for r in tree_roots(parents).collect()}
+    assert got == {5: (5, 0), 6: (5, 1)}
