@@ -219,6 +219,33 @@ def cmd_span_dedup(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Row-level diff between two parquet table states: insert/update/
+    delete classification (operators/merge.frame_diff) plus a change
+    summary — the pre-merge sanity check for vendor re-deliveries and
+    staging-vs-production promotion."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.operators.merge import frame_diff
+
+    spark = _spark()
+    old_df = spark.read.parquet(args.old)
+    new_df = spark.read.parquet(args.new)
+    d = frame_diff(old_df, new_df, args.keys).persist()
+    counts = {
+        r["change_type"]: r["n"]
+        for r in d.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+    }
+    print(_json.dumps({"insert": counts.get("insert", 0),
+                       "update": counts.get("update", 0),
+                       "delete": counts.get("delete", 0)}))
+    if args.out:
+        d.write.mode("overwrite").parquet(args.out)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tcdb_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -284,6 +311,13 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--tables", nargs="+", required=True)
     e.add_argument("--fmt", default="csv")
     e.set_defaults(fn=cmd_export)
+
+    df = sub.add_parser("diff", help="classify row changes between two parquet states")
+    df.add_argument("--old", required=True, help="previous state parquet path")
+    df.add_argument("--new", required=True, help="new state parquet path")
+    df.add_argument("--keys", nargs="+", required=True)
+    df.add_argument("--out", default=None, help="optional parquet path for the change rows")
+    df.set_defaults(fn=cmd_diff)
     return p
 
 

@@ -251,3 +251,26 @@ def test_cli_audit_bundle(spark, capsys):
         "mad_outlier_filter", "approx_quantile_hist",
     }
     assert all(len(v) > 0 for v in report.values())
+
+
+def test_cli_diff_counts_and_rows(spark, tmp_path, capsys):
+    import json
+
+    from tcdb_spark.__main__ import main
+
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    new = spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], ["k", "v"])
+    old.write.parquet(str(tmp_path / "old"))
+    new.write.parquet(str(tmp_path / "new"))
+    rc = main([
+        "diff", "--old", str(tmp_path / "old"), "--new", str(tmp_path / "new"),
+        "--keys", "k", "--out", str(tmp_path / "changes"),
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report == {"insert": 1, "update": 1, "delete": 1}
+    rows = {
+        (r["k"], r["change_type"])
+        for r in spark.read.parquet(str(tmp_path / "changes")).collect()
+    }
+    assert rows == {(2, "update"), (3, "delete"), (4, "insert")}
