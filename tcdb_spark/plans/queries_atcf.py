@@ -184,3 +184,109 @@ def dim_model_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tech").isin(MODEL_TECHS).alias("in_allowlist"),
         )
     )
+
+
+# --- forecast verification fixture: OFCL/AVNO forecasts vs best track ------
+
+ADECK_VERIF_LINES = [
+    "AL, 09, 2022092600, 01, OFCL, 0, 252N, 741W, 40, 1000, TS, 34, NEQ, 0, 0, 0, 0, p",
+    "AL, 09, 2022092600, 01, OFCL, 6, 258N, 749W, 45, 997, TS, 34, NEQ, 0, 0, 0, 0, p",
+    "AL, 09, 2022092600, 01, OFCL, 12, 268N, 759W, 55, 990, TS, 34, NEQ, 0, 0, 0, 0, p",
+    "AL, 09, 2022092600, 02, AVNO, 0, 250N, 739W, 38, 1001, TS, 34, NEQ, 0, 0, 0, 0, p",
+    "AL, 09, 2022092600, 02, AVNO, 6, 261N, 752W, 44, 998, TS, 34, NEQ, 0, 0, 0, 0, p",
+    "AL, 09, 2022092600, 02, AVNO, 12, 263N, 753W, 48, 995, TS, 34, NEQ, 0, 0, 0, 0, p",
+    "AL, 09, 2022092600, 01, OFCL, 24, 280N, 770W, 60, 985, TS, 34, NEQ, 0, 0, 0, 0, p",  # no 24Z best point -> drops
+]
+
+BDECK_VERIF_LINES = [
+    "AL, 09, 2022092600, , BEST, 0, 251N, 740W, 35, 1003, TS, 34, NEQ, 60, 40, 30, 50, 1010, 150, 30, 45, 0, L, 8, ab, 270, 8, IAN, D, 12, NEQ, 0, 0, 0, 0, ,",
+    "AL, 09, 2022092600, , BEST, 0, 251N, 740W, 35, 1003, TS, 50, NEQ, 30, 20, 10, 20, 1010, 150, 30, 45, 0, L, 8, ab, 270, 8, IAN, D, 12, NEQ, 0, 0, 0, 0, ,",
+    "AL, 09, 2022092606, , BEST, 0, 258N, 748W, 45, 996, TS, 34, NEQ, 70, 50, 40, 60, 1009, 160, 25, 55, 0, L, 9, ab, 275, 9, IAN, D, 12, NEQ, 0, 0, 0, 0, ,",
+    "AL, 09, 2022092612, , BEST, 0, 266N, 756W, 55, 990, TS, 34, NEQ, 80, 60, 50, 70, 1008, 170, 25, 60, 0, L, 9, ab, 280, 10, IAN, D, 12, NEQ, 0, 0, 0, 0, ,",
+]
+
+_HAV_SQL = """
+    round(2.0 * asin(sqrt(
+        pow(sin((radians(f.lat) - radians(b.lat)) / 2), 2)
+      + cos(radians(f.lat)) * cos(radians(b.lat))
+        * pow(sin((radians(f.lon) - radians(b.lon)) / 2), 2)
+    )) * (180.0 / pi()) * 60.0, 4)
+"""
+
+_VERIF_FC = [
+    ("OFCL", 0, "2022-09-26 00:00:00", 25.2, -74.1),
+    ("OFCL", 6, "2022-09-26 06:00:00", 25.8, -74.9),
+    ("OFCL", 12, "2022-09-26 12:00:00", 26.8, -75.9),
+    ("OFCL", 24, "2022-09-27 00:00:00", 28.0, -77.0),
+    ("AVNO", 0, "2022-09-26 00:00:00", 25.0, -73.9),
+    ("AVNO", 6, "2022-09-26 06:00:00", 26.1, -75.2),
+    ("AVNO", 12, "2022-09-26 12:00:00", 26.3, -75.3),
+]
+_VERIF_BT = [
+    ("2022-09-26 00:00:00", 25.1, -74.0),
+    ("2022-09-26 06:00:00", 25.8, -74.8),
+    ("2022-09-26 12:00:00", 26.6, -75.6),
+]
+
+
+@register(
+    "forecast_verification",
+    oracle=(
+        "WITH f(tech, tau, valid, lat, lon) AS (VALUES\n      "
+        + ",\n      ".join(
+            f"('{t}', {tau}, TIMESTAMP '{v}', CAST({la!r} AS DOUBLE), CAST({lo!r} AS DOUBLE))"
+            for t, tau, v, la, lo in _VERIF_FC
+        )
+        + "),\n    b(dt, lat, lon) AS (VALUES\n      "
+        + ",\n      ".join(
+            f"(TIMESTAMP '{v}', CAST({la!r} AS DOUBLE), CAST({lo!r} AS DOUBLE))"
+            for v, la, lo in _VERIF_BT
+        )
+        + f""")
+    SELECT f.tech, f.tau, {_HAV_SQL} AS err_nm
+    FROM f JOIN b ON f.valid = b.dt
+    """
+    ),
+)
+def forecast_verification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Track-forecast verification — position error (great-circle nm)
+    per model per lead time, THE operational TC-forecasting metric (the
+    read the reference's a-deck/b-deck star schema exists to serve):
+    a-deck forecast positions advance to their valid time (issuance +
+    TAU hours) and join the b-deck best track at that instant; the
+    error is the shared pure-column haversine (functions/scalar.py).
+
+    Both decks parse through the REAL scan path (fixture lines, like
+    every ATCF golden — FIXTURES.md §A); the oracle re-derives the
+    errors from the hand-decoded positions as VALUES, so the hash match
+    attests parse + time arithmetic + join + formula together.  Best
+    track dedupes its per-wind-radii row multiplicity (34/50 kt rows
+    share a position) with a distinct BEFORE the join — forgetting that
+    double-counts every verification at radii-bearing times.  Leads
+    with no verifying best-track point (tau 24 here) drop via the inner
+    join, as operational verification does.  Scale shape: best track is
+    dimension-sized -> broadcast; forecasts never shuffle."""
+    fc = parse_adeck_lines(
+        spark.createDataFrame([(l,) for l in ADECK_VERIF_LINES], "value string")
+    ).select(
+        F.col("TECH").alias("tech"),
+        F.col("TAU").alias("tau"),
+        F.timestamp_add("HOUR", F.col("TAU"), F.col("DATETIME")).alias("valid"),
+        F.col("LAT").alias("lat"),
+        F.col("LON").alias("lon"),
+    )
+    bt = (
+        parse_bdeck_lines(
+            spark.createDataFrame([(l,) for l in BDECK_VERIF_LINES], "value string")
+        )
+        .select(F.col("DATETIME").alias("dt"), F.col("LAT").alias("blat"), F.col("LON").alias("blon"))
+        .distinct()
+    )
+    from tcdb_spark.functions.scalar import haversine
+
+    j = fc.join(F.broadcast(bt), fc.valid == bt.dt)
+    return j.select(
+        "tech",
+        "tau",
+        F.round(haversine(F.col("lat"), F.col("lon"), F.col("blat"), F.col("blon"), "nm"), 4).alias("err_nm"),
+    )
