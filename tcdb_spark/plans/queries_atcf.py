@@ -290,3 +290,77 @@ def forecast_verification(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tau",
         F.round(haversine(F.col("lat"), F.col("lon"), F.col("blat"), F.col("blon"), "nm"), 4).alias("err_nm"),
     )
+
+
+@register(
+    "forecast_skill",
+    oracle=(
+        "WITH f(tech, tau, valid, lat, lon) AS (VALUES\n      "
+        + ",\n      ".join(
+            f"('{t}', {tau}, TIMESTAMP '{v}', CAST({la!r} AS DOUBLE), CAST({lo!r} AS DOUBLE))"
+            for t, tau, v, la, lo in _VERIF_FC
+        )
+        + "),\n    b(dt, lat, lon) AS (VALUES\n      "
+        + ",\n      ".join(
+            f"(TIMESTAMP '{v}', CAST({la!r} AS DOUBLE), CAST({lo!r} AS DOUBLE))"
+            for v, la, lo in _VERIF_BT
+        )
+        + f"""),
+    err AS (
+        SELECT f.tech, f.tau, {_HAV_SQL} AS err_nm
+        FROM f JOIN b ON f.valid = b.dt
+    ),
+    base AS (SELECT tau, err_nm AS base_err FROM err WHERE tech = 'OFCL')
+    SELECT e.tech, e.tau, e.err_nm,
+           round((b.base_err - e.err_nm) / b.base_err, 6) AS skill
+    FROM err e JOIN base b ON e.tau = b.tau
+    WHERE e.tech <> 'OFCL'
+    """
+    ),
+)
+def forecast_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast skill relative to the baseline model (NHC convention:
+    positive skill = beats the baseline at that lead): per-lead errors
+    from forecast_verification's pipeline, baseline errors re-entering
+    as a leads-sized broadcast join — the model-intercomparison read a
+    verification warehouse serves daily.  Baseline errors are rounded
+    BEFORE the skill ratio in both engines (the shared _HAV_SQL /
+    haversine rounding), so the division operands are bit-identical."""
+    from tcdb_spark.functions.scalar import haversine
+
+    fc = parse_adeck_lines(
+        spark.createDataFrame([(l,) for l in ADECK_VERIF_LINES], "value string")
+    ).select(
+        F.col("TECH").alias("tech"),
+        F.col("TAU").alias("tau"),
+        F.timestamp_add("HOUR", F.col("TAU"), F.col("DATETIME")).alias("valid"),
+        F.col("LAT").alias("lat"),
+        F.col("LON").alias("lon"),
+    )
+    bt = (
+        parse_bdeck_lines(
+            spark.createDataFrame([(l,) for l in BDECK_VERIF_LINES], "value string")
+        )
+        .select(F.col("DATETIME").alias("dt"), F.col("LAT").alias("blat"), F.col("LON").alias("blon"))
+        .distinct()
+    )
+    err = fc.join(F.broadcast(bt), fc.valid == bt.dt).select(
+        "tech",
+        "tau",
+        F.round(
+            haversine(F.col("lat"), F.col("lon"), F.col("blat"), F.col("blon"), "nm"), 4
+        ).alias("err_nm"),
+    ).persist()
+    base = err.where(F.col("tech") == "OFCL").select(
+        F.col("tau").alias("tau"), F.col("err_nm").alias("base_err")
+    )
+    return (
+        err.where(F.col("tech") != "OFCL")
+        .join(F.broadcast(base), "tau")
+        .select(
+            "tech",
+            "tau",
+            "err_nm",
+            F.round((F.col("base_err") - F.col("err_nm")) / F.col("base_err"), 6).alias("skill"),
+        )
+    )
