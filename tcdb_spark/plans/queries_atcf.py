@@ -364,3 +364,74 @@ def forecast_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("base_err") - F.col("err_nm")) / F.col("base_err"), 6).alias("skill"),
         )
     )
+
+
+_VERIF_BT_VMAX = [
+    ("2022-09-26 00:00:00", 35.0),
+    ("2022-09-26 06:00:00", 45.0),
+    ("2022-09-26 12:00:00", 55.0),
+]
+_VERIF_FC_VMAX = [
+    ("OFCL", 0, "2022-09-26 00:00:00", 40.0),
+    ("OFCL", 6, "2022-09-26 06:00:00", 45.0),
+    ("OFCL", 12, "2022-09-26 12:00:00", 55.0),
+    ("OFCL", 24, "2022-09-27 00:00:00", 60.0),
+    ("AVNO", 0, "2022-09-26 00:00:00", 38.0),
+    ("AVNO", 6, "2022-09-26 06:00:00", 44.0),
+    ("AVNO", 12, "2022-09-26 12:00:00", 48.0),
+]
+
+
+@register(
+    "intensity_verification",
+    oracle=(
+        "WITH f(tech, tau, valid, vmax) AS (VALUES\n      "
+        + ",\n      ".join(
+            f"('{t}', {tau}, TIMESTAMP '{v}', CAST({vm!r} AS DOUBLE))"
+            for t, tau, v, vm in _VERIF_FC_VMAX
+        )
+        + "),\n    b(dt, vmax) AS (VALUES\n      "
+        + ",\n      ".join(
+            f"(TIMESTAMP '{v}', CAST({vm!r} AS DOUBLE))" for v, vm in _VERIF_BT_VMAX
+        )
+        + """)
+    SELECT f.tech,
+           round(avg(abs(f.vmax - b.vmax)), 4) AS mae_kt,
+           round(avg(f.vmax - b.vmax), 4) AS bias_kt,
+           CAST(count(*) AS BIGINT) AS n_verified
+    FROM f JOIN b ON f.valid = b.dt
+    GROUP BY f.tech
+    """
+    ),
+)
+def intensity_verification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intensity verification — per-model VMAX mean-absolute-error and
+    BIAS (signed: positive = over-forecast), the companion read to
+    forecast_verification that decides whether a model's winds are
+    trustworthy.  Same fixture decks through the real parsers, same
+    valid-time join discipline (best-track radii rows deduped first,
+    unverifiable leads drop); errors are exact kt differences averaged
+    once — the only rounding is the output's."""
+    fc = parse_adeck_lines(
+        spark.createDataFrame([(l,) for l in ADECK_VERIF_LINES], "value string")
+    ).select(
+        F.col("TECH").alias("tech"),
+        F.timestamp_add("HOUR", F.col("TAU"), F.col("DATETIME")).alias("valid"),
+        F.col("VMAX").alias("fvmax"),
+    )
+    bt = (
+        parse_bdeck_lines(
+            spark.createDataFrame([(l,) for l in BDECK_VERIF_LINES], "value string")
+        )
+        .select(F.col("DATETIME").alias("dt"), F.col("VMAX").alias("bvmax"))
+        .distinct()
+    )
+    return (
+        fc.join(F.broadcast(bt), fc.valid == bt.dt)
+        .groupBy("tech")
+        .agg(
+            F.round(F.avg(F.abs(F.col("fvmax") - F.col("bvmax"))), 4).alias("mae_kt"),
+            F.round(F.avg(F.col("fvmax") - F.col("bvmax")), 4).alias("bias_kt"),
+            F.count("*").alias("n_verified"),
+        )
+    )

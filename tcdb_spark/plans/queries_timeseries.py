@@ -512,3 +512,76 @@ def sax_similarity_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dist2, 6).alias("paa_dist2"),
         )
     )
+
+
+from tcdb_spark.plans.catalog import ORACLES as _ORACLES  # noqa: E402
+
+
+@register("sax_similarity_capped", oracle=_ORACLES["sax_similarity_candidates"])
+def sax_similarity_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION twin of sax_similarity_candidates: identical
+    pipeline with the hot-word df-cap in front of the join
+    (textdedup.drop_hot_keys) — the guard that kept the degenerate
+    25M-event smoke from attempting 3.1e10 pairs (SCALE_SMOKE.md).
+    The cap (1000) sits above any word's occupancy at test scale, so
+    this shares the EXACT query's oracle verbatim — the driver
+    hash-match attests the capped path is lossless when no bucket is
+    hot (the salted-equivalence convention; the smoke attests the hot
+    case)."""
+    from pyspark.sql.window import Window as W
+
+    from tcdb_spark.operators.textdedup import drop_hot_keys
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wa = W.partitionBy("user_id")
+    idx = e.select(
+        "user_id",
+        "value",
+        (F.row_number().over(wo) - 1).alias("i"),
+        F.count("*").over(wa).alias("n"),
+    )
+    stats = e.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.greatest(F.stddev_samp("value"), F.lit(1e-12)).alias("sigma"),
+    )
+    paa = idx.groupBy(
+        "user_id",
+        F.floor(F.col("i") * _SAX_SEGMENTS / F.col("n")).cast("int").alias("seg"),
+    ).agg(F.avg("value").alias("pv"))
+    z = F.round((F.col("pv") - F.col("mu")) / F.col("sigma"), 6)
+    lets = paa.join(stats, "user_id").select(
+        "user_id",
+        "seg",
+        F.when(z <= _SAX_BREAKS[0], "a")
+        .when(z <= _SAX_BREAKS[1], "b")
+        .otherwise("c")
+        .alias("ltr"),
+        z.alias("z"),
+    )
+    segs = range(_SAX_SEGMENTS)
+    words = lets.groupBy("user_id").agg(
+        F.concat(
+            *[F.max(F.when(F.col("seg") == k, F.col("ltr"))) for k in segs]
+        ).alias("word"),
+        *[F.max(F.when(F.col("seg") == k, F.col("z"))).alias(f"z{k}") for k in segs],
+    )
+    capped = drop_hot_keys(words, "word", df_cap=1000)
+    a, b = capped.alias("a"), capped.alias("b")
+    dist2 = sum(
+        (F.col(f"a.z{k}") - F.col(f"b.z{k}")) * (F.col(f"a.z{k}") - F.col(f"b.z{k}"))
+        for k in segs
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.word").alias("sax_word"),
+            F.round(dist2, 6).alias("paa_dist2"),
+        )
+    )

@@ -647,3 +647,46 @@ def hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("parent"),
     )
     return tree_roots(parents)
+
+
+@register(
+    "hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE pc AS (
+        SELECT c_custkey AS node,
+               CASE WHEN CAST(floor(c_custkey / 10) AS BIGINT) >= 1
+                    THEN CAST(floor(c_custkey / 10) AS BIGINT) END AS parent
+        FROM customer
+    ),
+    walk AS (
+        SELECT node, node AS root, 0 AS depth FROM pc WHERE parent IS NULL
+        UNION ALL
+        SELECT c.node, w.root, w.depth + 1
+        FROM pc c JOIN walk w ON c.parent = w.node
+    )
+    SELECT root,
+           CAST(count(*) AS BIGINT) AS subtree_size,
+           CAST(max(depth) AS BIGINT) AS max_depth
+    FROM walk GROUP BY root
+    """,
+)
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup per root — the BOM-explosion / org-headcount read
+    built on hierarchy_roots' pointer-doubled closure: once every node
+    knows its root, per-subtree aggregates are ONE groupBy (size and
+    max depth here; any additive measure works the same).  The
+    recursive-CTE oracle re-walks the tree level by level; the engine
+    path is log-rounds + a single aggregate."""
+    from tcdb_spark.operators.graph import tree_roots
+
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    parents = c.select(
+        F.col("c_custkey").alias("node"),
+        F.when(
+            F.floor(F.col("c_custkey") / 10) >= 1,
+            F.floor(F.col("c_custkey") / 10).cast("bigint"),
+        ).alias("parent"),
+    )
+    return tree_roots(parents).groupBy("root").agg(
+        F.count("*").alias("subtree_size"), F.max("depth").alias("max_depth")
+    )
