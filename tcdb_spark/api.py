@@ -557,3 +557,40 @@ class Engine:
             "n",
             (F.col("n").cast("double") / F.sum("n").over(W.partitionBy("src_type"))).alias("p"),
         )
+
+    def verify_forecasts(
+        self,
+        forecasts: DataFrame,
+        best_track: DataFrame,
+        units: str = "nm",
+    ) -> DataFrame:
+        """Track-forecast verification: position error per (model, lead).
+        ``forecasts`` needs TECH/TAU/DATETIME/LAT/LON (a-deck parse
+        columns), ``best_track`` DATETIME/LAT/LON (b-deck parse);
+        wind-radii row multiplicity on the best track is deduped before
+        the valid-time join (the classic double-count).  Best track
+        broadcasts; forecasts never shuffle."""
+        from pyspark.sql import functions as F
+
+        from tcdb_spark.functions.scalar import haversine
+
+        fc = forecasts.select(
+            F.col("TECH").alias("tech"),
+            F.col("TAU").alias("tau"),
+            F.timestamp_add("HOUR", F.col("TAU"), F.col("DATETIME")).alias("valid"),
+            F.col("LAT").alias("lat"),
+            F.col("LON").alias("lon"),
+        )
+        bt = best_track.select(
+            F.col("DATETIME").alias("dt"),
+            F.col("LAT").alias("blat"),
+            F.col("LON").alias("blon"),
+        ).distinct()
+        return fc.join(F.broadcast(bt), fc.valid == bt.dt).select(
+            "tech",
+            "tau",
+            F.round(
+                haversine(F.col("lat"), F.col("lon"), F.col("blat"), F.col("blon"), units),
+                4,
+            ).alias(f"err_{units}"),
+        )

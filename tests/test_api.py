@@ -388,3 +388,23 @@ def test_engine_session4_facades(spark, tmp_path):
         for r in eng.transition_matrix(ev, "user_id", "event_type", ["ts", "event_id"]).collect()
     }
     assert tm[("a", "b")] == (2, 1.0) and tm[("b", "a")] == (1, 1.0)
+
+
+def test_engine_verify_forecasts_facade(spark, tmp_path):
+    from tcdb_spark.api import Engine
+    from tcdb_spark.plans.queries_atcf import ADECK_VERIF_LINES, BDECK_VERIF_LINES
+    from tcdb_spark.sources.atcf import parse_adeck_lines, parse_bdeck_lines
+
+    eng = Engine(spark, str(tmp_path / "wh_v"))
+    fc = parse_adeck_lines(
+        spark.createDataFrame([(l,) for l in ADECK_VERIF_LINES], "value string")
+    )
+    bt = parse_bdeck_lines(
+        spark.createDataFrame([(l,) for l in BDECK_VERIF_LINES], "value string")
+    )
+    out = eng.verify_forecasts(fc, bt).collect()
+    by = {(r["tech"], r["tau"]): r["err_nm"] for r in out}
+    # tau-0 OFCL error: (25.2,-74.1) vs (25.1,-74.0) -> ~8 nm; tau 24 unverifiable
+    assert 5 < by[("OFCL", 0)] < 12
+    assert ("OFCL", 24) not in by
+    assert len(by) == 6
