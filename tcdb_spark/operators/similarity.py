@@ -117,12 +117,24 @@ def ivf_build(
     import numpy as np
 
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    sample = base
-    n = base.count()
-    if n > train_cap:
-        m = (n + train_cap - 1) // train_cap
-        sample = base.where(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0)
-    pdf = sample.toPandas().sort_values("vec_id")  # driver-side order pin
+    # Size the training sample WITHOUT a full count(): at 100 TB a
+    # count is a complete scan just to pick a sampling modulus. The
+    # limit(cap+1) probe stops as soon as cap+1 rows exist; if the
+    # collect came back within cap, the limit never bound, so the
+    # collected set IS the complete (modulus-filtered) set — still
+    # deterministic under any partitioning. Over cap, double the
+    # id-hash modulus and re-probe: log2(n/cap) early-stopping probes
+    # replace the full scan.
+    pdf = base.limit(train_cap + 1).toPandas()
+    if len(pdf) > train_cap:
+        m = 2
+        while True:
+            cand = base.where(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0)
+            pdf = cand.limit(train_cap + 1).toPandas()
+            if len(pdf) <= train_cap:
+                break
+            m *= 2
+    pdf = pdf.sort_values("vec_id")  # driver-side order pin
     X = np.stack(pdf["emb"].to_numpy())
     nrm = np.linalg.norm(X, axis=1, keepdims=True)
     X = X / np.where(nrm == 0, 1.0, nrm)
