@@ -259,9 +259,11 @@ def tree_roots(
         F.col("p").isNull().alias("done"),
     ).localCheckpoint()
     hops = 1
+    converged = False
     while hops < max_depth:
         unresolved = state.where(~F.col("done")).limit(1).count()
         if unresolved == 0:
+            converged = True
             break
         jump = state.where(~F.col("done")).alias("s").join(
             state.select(
@@ -279,6 +281,12 @@ def tree_roots(
         )
         state = state.where(F.col("done")).unionByName(jump).localCheckpoint()
         hops *= 2
+    if not converged and state.where(~F.col("done")).limit(1).count():
+        raise ValueError(
+            "tree_roots: unresolved nodes after pointer doubling — the "
+            "parent map contains a cycle (or depth exceeds max_depth); "
+            "a parent relation must be a forest"
+        )
     return state.select(
         "n", F.col("anc").alias("root"), F.col("d").cast("bigint").alias("depth")
     ).withColumnRenamed("n", node)

@@ -393,6 +393,71 @@ _SAX_SEGMENTS = 4
 _SAX_BREAKS = (-0.4307, 0.4307)  # Gaussian tertile breakpoints, alphabet {a,b,c}
 
 
+
+def _sax_words(e: DataFrame) -> DataFrame:
+    """Shared PAA+SAX symbolization: events -> one row per user with
+    the SAX word and the z-scored PAA components z0..z{n-1} (the exact
+    and capped catalog twins both build on this)."""
+    from pyspark.sql.window import Window as W
+
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wa = W.partitionBy("user_id")
+    idx = e.select(
+        "user_id",
+        "value",
+        (F.row_number().over(wo) - 1).alias("i"),
+        F.count("*").over(wa).alias("n"),
+    )
+    stats = e.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.greatest(F.stddev_samp("value"), F.lit(1e-12)).alias("sigma"),
+    )
+    paa = idx.groupBy(
+        "user_id",
+        F.floor(F.col("i") * _SAX_SEGMENTS / F.col("n")).cast("int").alias("seg"),
+    ).agg(F.avg("value").alias("pv"))
+    z = F.round((F.col("pv") - F.col("mu")) / F.col("sigma"), 6)
+    lets = paa.join(stats, "user_id").select(
+        "user_id",
+        "seg",
+        F.when(z <= _SAX_BREAKS[0], "a")
+        .when(z <= _SAX_BREAKS[1], "b")
+        .otherwise("c")
+        .alias("ltr"),
+        z.alias("z"),
+    )
+    segs = range(_SAX_SEGMENTS)
+    return lets.groupBy("user_id").agg(
+        F.concat(
+            *[F.max(F.when(F.col("seg") == k, F.col("ltr"))) for k in segs]
+        ).alias("word"),
+        *[F.max(F.when(F.col("seg") == k, F.col("z"))).alias(f"z{k}") for k in segs],
+    )
+
+
+def _sax_pairs(words: DataFrame) -> DataFrame:
+    """Word equi-join + PAA L2 over symbolized series."""
+    segs = range(_SAX_SEGMENTS)
+    a, b = words.alias("a"), words.alias("b")
+    dist2 = sum(
+        (F.col(f"a.z{k}") - F.col(f"b.z{k}")) * (F.col(f"a.z{k}") - F.col(f"b.z{k}"))
+        for k in segs
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.word").alias("sax_word"),
+            F.round(dist2, 6).alias("paa_dist2"),
+        )
+    )
+
+
 @register(
     "sax_similarity_candidates",
     oracle=f"""
@@ -458,60 +523,8 @@ def sax_similarity_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     to index, and SAX correctly says so.  On trended/seasonal series
     the words separate and the join prunes hard (pinned in
     tests/test_graph_triangles_acf.py with up/down/flat shapes)."""
-    from pyspark.sql.window import Window as W
-
     e = load_tables(spark, sf_dir, "events")["events"]
-    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wa = W.partitionBy("user_id")
-    idx = e.select(
-        "user_id",
-        "value",
-        (F.row_number().over(wo) - 1).alias("i"),
-        F.count("*").over(wa).alias("n"),
-    )
-    stats = e.groupBy("user_id").agg(
-        F.avg("value").alias("mu"),
-        F.greatest(F.stddev_samp("value"), F.lit(1e-12)).alias("sigma"),
-    )
-    paa = idx.groupBy(
-        "user_id",
-        F.floor(F.col("i") * _SAX_SEGMENTS / F.col("n")).cast("int").alias("seg"),
-    ).agg(F.avg("value").alias("pv"))
-    z = F.round((F.col("pv") - F.col("mu")) / F.col("sigma"), 6)
-    lets = paa.join(stats, "user_id").select(
-        "user_id",
-        "seg",
-        F.when(z <= _SAX_BREAKS[0], "a")
-        .when(z <= _SAX_BREAKS[1], "b")
-        .otherwise("c")
-        .alias("ltr"),
-        z.alias("z"),
-    )
-    segs = range(_SAX_SEGMENTS)
-    words = lets.groupBy("user_id").agg(
-        F.concat(
-            *[F.max(F.when(F.col("seg") == k, F.col("ltr"))) for k in segs]
-        ).alias("word"),
-        *[F.max(F.when(F.col("seg") == k, F.col("z"))).alias(f"z{k}") for k in segs],
-    )
-    a, b = words.alias("a"), words.alias("b")
-    dist2 = sum(
-        (F.col(f"a.z{k}") - F.col(f"b.z{k}")) * (F.col(f"a.z{k}") - F.col(f"b.z{k}"))
-        for k in segs
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.word") == F.col("b.word"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("user_a"),
-            F.col("b.user_id").alias("user_b"),
-            F.col("a.word").alias("sax_word"),
-            F.round(dist2, 6).alias("paa_dist2"),
-        )
-    )
+    return _sax_pairs(_sax_words(e))
 
 
 from tcdb_spark.plans.catalog import ORACLES as _ORACLES  # noqa: E402
@@ -528,60 +541,7 @@ def sax_similarity_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match attests the capped path is lossless when no bucket is
     hot (the salted-equivalence convention; the smoke attests the hot
     case)."""
-    from pyspark.sql.window import Window as W
-
     from tcdb_spark.operators.textdedup import drop_hot_keys
 
     e = load_tables(spark, sf_dir, "events")["events"]
-    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wa = W.partitionBy("user_id")
-    idx = e.select(
-        "user_id",
-        "value",
-        (F.row_number().over(wo) - 1).alias("i"),
-        F.count("*").over(wa).alias("n"),
-    )
-    stats = e.groupBy("user_id").agg(
-        F.avg("value").alias("mu"),
-        F.greatest(F.stddev_samp("value"), F.lit(1e-12)).alias("sigma"),
-    )
-    paa = idx.groupBy(
-        "user_id",
-        F.floor(F.col("i") * _SAX_SEGMENTS / F.col("n")).cast("int").alias("seg"),
-    ).agg(F.avg("value").alias("pv"))
-    z = F.round((F.col("pv") - F.col("mu")) / F.col("sigma"), 6)
-    lets = paa.join(stats, "user_id").select(
-        "user_id",
-        "seg",
-        F.when(z <= _SAX_BREAKS[0], "a")
-        .when(z <= _SAX_BREAKS[1], "b")
-        .otherwise("c")
-        .alias("ltr"),
-        z.alias("z"),
-    )
-    segs = range(_SAX_SEGMENTS)
-    words = lets.groupBy("user_id").agg(
-        F.concat(
-            *[F.max(F.when(F.col("seg") == k, F.col("ltr"))) for k in segs]
-        ).alias("word"),
-        *[F.max(F.when(F.col("seg") == k, F.col("z"))).alias(f"z{k}") for k in segs],
-    )
-    capped = drop_hot_keys(words, "word", df_cap=1000)
-    a, b = capped.alias("a"), capped.alias("b")
-    dist2 = sum(
-        (F.col(f"a.z{k}") - F.col(f"b.z{k}")) * (F.col(f"a.z{k}") - F.col(f"b.z{k}"))
-        for k in segs
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.word") == F.col("b.word"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("user_a"),
-            F.col("b.user_id").alias("user_b"),
-            F.col("a.word").alias("sax_word"),
-            F.round(dist2, 6).alias("paa_dist2"),
-        )
-    )
+    return _sax_pairs(drop_hot_keys(_sax_words(e), "word", df_cap=1000))

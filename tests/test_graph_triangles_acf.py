@@ -186,3 +186,15 @@ def test_tree_roots_unknown_parent_becomes_detached_root(spark):
     )  # 1000 is not a node
     got = {r["node"]: (r["root"], r["depth"]) for r in tree_roots(parents).collect()}
     assert got == {5: (5, 0), 6: (5, 1)}
+
+
+def test_tree_roots_cycle_raises(spark):
+    import pytest
+
+    from tcdb_spark.operators.graph import tree_roots
+
+    parents = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (9, None)], "node int, parent int"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        tree_roots(parents, max_depth=64).collect()
