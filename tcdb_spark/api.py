@@ -594,3 +594,55 @@ class Engine:
                 4,
             ).alias(f"err_{units}"),
         )
+
+    def retrieval_eval(
+        self,
+        cands: DataFrame,
+        q_col: str = "q_id",
+        rel_col: str = "rel",
+        score_col: str = "score",
+        id_col: str = "vec_id",
+        k: int = 10,
+    ) -> DataFrame:
+        """Per-query Precision@k, MRR and nDCG@k from a scored candidate
+        frame (operators/evalmetrics.retrieval_eval) — the measurement
+        layer for any retrieval lane: feed it sim_topk/ANN/hybrid output
+        plus a 0/1 relevance column and read the quality numbers."""
+        from tcdb_spark.operators.evalmetrics import retrieval_eval
+
+        return retrieval_eval(
+            cands, q_col=q_col, rel_col=rel_col, score_col=score_col,
+            id_col=id_col, k=k,
+        )
+
+    def calibration(
+        self,
+        scored: DataFrame,
+        score_col: str = "score",
+        pos_col: str = "pos",
+        bins: int = 16,
+        lo: float = -1.0,
+        hi: float = 1.0,
+    ) -> DataFrame:
+        """Reliability diagram of a classifier/similarity score
+        (operators/evalmetrics.calibration): per-bin count, positive
+        count and observed positive rate — the audit before any score
+        thresholds documents."""
+        from tcdb_spark.operators.evalmetrics import calibration
+
+        return calibration(
+            scored, score_col=score_col, pos_col=pos_col, bins=bins, lo=lo, hi=hi
+        )
+
+    def media_near_dup(
+        self, media: DataFrame, max_hamming: int = 7, bands: int = 8
+    ) -> DataFrame:
+        """Near-duplicate image pairs by perceptual hash: Arrow-batched
+        aHash over the binary payload column, banded Hamming equi-join
+        (exact for max_hamming < bands — sources/multimodal.media_ahash
+        + media_near_dup_pairs).  The media twin of dedup_simhash."""
+        from tcdb_spark.sources.multimodal import media_ahash, media_near_dup_pairs
+
+        return media_near_dup_pairs(
+            media_ahash(media), max_hamming=max_hamming, bands=bands
+        )

@@ -410,3 +410,160 @@ def extract_features_arrow(media: DataFrame, decode_stub: bool = True) -> DataFr
 
     cols = ["media_id", "payload", "media_type"]
     return media.select(*cols).mapInArrow(_op, schema=FEATURES_SCHEMA)
+
+
+# ------------------------------------------------- perceptual image hashing
+
+AHASH_GRID = 8  # 8x8 cells -> 64-bit average hash
+
+AHASH_SCHEMA = "media_id long, ahash long"
+
+
+def ahash_ppm(payload: bytes, grid: int = AHASH_GRID) -> int:
+    """Average hash (aHash) of a PPM/PGM payload: grayscale -> grid x
+    grid block means -> one bit per cell (cell >= global cell mean),
+    packed row-major MSB-first.  Returns the UNSIGNED 64-bit value;
+    :func:`media_ahash` converts to Spark's signed LongType.
+
+    aHash is brightness-shift invariant by construction (adding a
+    constant to every pixel shifts every cell mean and the threshold by
+    the same amount), which is exactly the near-duplicate class
+    re-encoded/re-exposed images fall into."""
+    img = decode_ppm(payload)
+    px = img["pixels"].astype(np.float64).mean(axis=2)
+    h, w = px.shape
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    cells = np.empty((grid, grid))
+    for r in range(grid):
+        for c in range(grid):
+            cells[r, c] = px[ys[r] : ys[r + 1], xs[c] : xs[c + 1]].mean()
+    bits = (cells >= cells.mean()).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val
+
+
+def _ahash_signed(payload: bytes, decode_stub: bool = True) -> int:
+    """64-bit aHash as a signed long (Spark LongType two's complement).
+    Non-Netpbm payloads fall back to a deterministic md5 pseudo-hash
+    (``decode_stub``) or raise where the codec call would sit."""
+    if payload[:2] in (b"P5", b"P6"):
+        v = ahash_ppm(payload)
+    elif decode_stub:
+        import hashlib
+
+        v = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+    else:
+        raise NotImplementedError(
+            "payload format needs codec libraries not in this container"
+        )
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def media_ahash(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """(media_id, payload) -> (media_id, ahash) via Arrow-batched
+    mapInPandas — the hashing map rides the scan (no shuffle); only the
+    8-byte hashes continue into the dedup join, the payloads never do."""
+
+    def _op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": [
+                        _ahash_signed(bytes(p), decode_stub) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_op, schema=AHASH_SCHEMA)
+
+
+def media_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 7, bands: int = 8
+) -> DataFrame:
+    """Near-duplicate media pairs by banded Hamming join over 64-bit
+    perceptual hashes: split each hash into ``bands`` equal bit-bands,
+    equi-join on (band index, band value), then verify the true Hamming
+    distance with ``bit_count(a ^ b) <= max_hamming``.
+
+    EXACT for ``max_hamming < bands`` by pigeonhole — fewer differing
+    bits than bands means at least one band is identical, so the banded
+    equi-join provably finds every qualifying pair and the verify step
+    discards false candidates; no all-pairs join exists anywhere.  With
+    the defaults (8 bands of 8 bits, threshold 7) this is the media twin
+    of the text SimHash lane (operators/textdedup): candidate volume is
+    bounded by per-(band, value) bucket sizes, the hot-bucket hazard and
+    its df-cap mitigation carry over unchanged at corpus scale."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded join is only exact for max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_exprs = ", ".join(
+        f"CAST(shiftrightunsigned(ahash, {width * (bands - 1 - b)}) & {mask} AS INT)"
+        for b in range(bands)
+    )
+    banded = hashes.where(F.col("ahash").isNotNull()).selectExpr(
+        "media_id", "ahash", f"posexplode(array({band_exprs})) AS (band, bval)"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()  # a pair can collide in several bands; dedup BEFORE popcount
+    )
+    return cand.select(
+        "media_id_a",
+        "media_id_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def make_patterned_ppm(
+    seed: str,
+    width: int = 32,
+    height: int = 24,
+    grid: int = AHASH_GRID,
+    brightness: int = 0,
+    flip_cells: tuple = (),
+) -> bytes:
+    """Deterministic high-contrast P5 fixture for the perceptual-hash
+    lane: each aHash cell is uniformly dark (10) or bright (200) from
+    md5(seed, cell) — cell means sit far from the global mean, so the
+    hash is stable under the uniform ``brightness`` shift (no clipping:
+    values stay within [10, 208]) and ``flip_cells`` inverts exactly the
+    named cells (one hash bit each)."""
+    import hashlib
+
+    rows = []
+    for y in range(height):
+        row = []
+        for x in range(width):
+            cr, cc = (y * grid) // height, (x * grid) // width
+            on = int.from_bytes(
+                hashlib.md5(f"{seed}:{cr}:{cc}".encode()).digest()[:2], "big"
+            ) % 2 == 0
+            if (cr, cc) in flip_cells:
+                on = not on
+            row.append((200 if on else 10) + brightness)
+        rows.append(row)
+    header = f"P5\n{width} {height}\n255\n".encode()
+    return header + bytes(v for row in rows for v in row)

@@ -56,6 +56,11 @@ SCALAR_CROSS_OK = {
     "mmr_diversify",
     # 1-row basket-total broadcast cross (the lift denominator)
     "market_basket_lift",
+    # bounded broadcast query SET x base scan (same shape as
+    # sim_topk_cosine — the metrics run on the exact ranking)
+    "retrieval_metrics",
+    # 1-row class-centroid array broadcast cross
+    "calibration_bins",
 }
 
 # Arrow-based Python ops are design choices documented per operator.
