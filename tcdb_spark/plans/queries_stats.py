@@ -1,0 +1,423 @@
+"""Statistical monitoring and preference-learning catalog entries.
+
+Rounds out the drift-monitor family (`psi_drift`, `unigram_drift`) with
+distribution-free two-sample tests (Kolmogorov-Smirnov, Mann-Whitney),
+sequential changepoint detection (CUSUM), labeling-QA agreement
+(Cohen's kappa), and DPO-style preference-pair construction — the
+statistics an LLM-data pipeline runs between ingestion and training.
+
+Cross-engine exactness strategy (DEVNOTES #1/#5/#23): every statistic
+here is assembled from EXACT integer aggregates (counts, rank sums,
+integer cents) and only converted to floating point in ONE final
+expression written identically on both engines — no float summation
+ever crosses a GROUP BY, so the driver's exact float compare holds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tcdb_spark.plans.catalog import load_tables, register
+
+# Shared ECDF scaffolding for the two-sample tests: for every cohort g
+# (event_type) the comparison sample is the LEAVE-ONE-OUT rest of the
+# corpus (DEVNOTES #40 — a drift baseline must exclude the cohort being
+# scored).  Counts are pre-aggregated per (event_type, value) BEFORE the
+# small cohort-dim cross join, so the fan-out is |distinct (type,value)|
+# x |cohorts|, never |rows| x |cohorts|; the per-cohort running counts
+# are integer window sums over the distinct-value frame.
+_ECDF_CTES = """
+    coh AS (SELECT DISTINCT event_type AS g FROM events),
+    agg0 AS (SELECT event_type, value, count(*) AS cnt
+             FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    agg AS (SELECT c.g, a.value,
+                   sum(CASE WHEN a.event_type = c.g THEN a.cnt ELSE 0 END) AS a,
+                   sum(a.cnt) AS c
+            FROM agg0 a CROSS JOIN coh c GROUP BY 1, 2),
+    run AS (SELECT g, value, a, c,
+                   sum(a) OVER (PARTITION BY g ORDER BY value
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                   sum(c) OVER (PARTITION BY g ORDER BY value
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+            FROM agg),
+    tot AS (SELECT g, sum(a) AS n_g, sum(c) AS n_all FROM agg GROUP BY 1)
+"""
+
+
+def _ecdf_frames(spark: SparkSession, sf_dir: str):
+    """(run, tot) DataFrames mirroring `_ECDF_CTES` — shared by the KS
+    and rank-sum monitors."""
+    e = (
+        load_tables(spark, sf_dir, "events")["events"]
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    coh = e.select(F.col("event_type").alias("g")).distinct()
+    agg0 = e.groupBy("event_type", "value").agg(F.count("*").alias("cnt"))
+    agg = (
+        agg0.crossJoin(F.broadcast(coh))
+        .groupBy("g", "value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == F.col("g"), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("a"),
+            F.sum("cnt").alias("c"),
+        )
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = agg.select(
+        "g", "value", "a", "c", F.sum("a").over(w).alias("ca"), F.sum("c").over(w).alias("cc")
+    )
+    tot = agg.groupBy("g").agg(F.sum("a").alias("n_g"), F.sum("c").alias("n_all"))
+    return run, tot
+
+
+@register(
+    "ks_drift",
+    oracle="WITH "
+    + _ECDF_CTES
+    + """
+    SELECT r.g AS event_type, CAST(t.n_g AS BIGINT) AS n_cohort,
+           max(abs(CAST(r.ca AS DOUBLE) / CAST(t.n_g AS DOUBLE)
+                 - CAST(r.cc - r.ca AS DOUBLE) / CAST(t.n_all - t.n_g AS DOUBLE))) AS ks_d
+    FROM run r JOIN tot t ON r.g = t.g
+    GROUP BY 1, 2
+    """,
+)
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift monitor: for every cohort,
+    the sup-distance between its value ECDF and the leave-one-out rest
+    of the corpus — the distribution-free complement to the binned
+    `psi_drift` (PSI misses shape changes inside a bin; KS does not).
+
+    Scale shape: one corpus scan pre-aggregates (type, value) counts,
+    a |cohorts|-row broadcast cross fans out only the DISTINCT frame,
+    and the ECDFs are integer running sums in per-cohort sort order
+    (partitioned window — never a global sort).  Every D contribution
+    is |ca/n1 - cb/n2| of exact integers computed by one identical
+    expression per engine, so max() compares identical float sets.
+    """
+    run, tot = _ecdf_frames(spark, sf_dir)
+    d_expr = F.abs(
+        F.col("ca").cast("double") / F.col("n_g").cast("double")
+        - (F.col("cc") - F.col("ca")).cast("double")
+        / (F.col("n_all") - F.col("n_g")).cast("double")
+    )
+    return (
+        run.join(F.broadcast(tot), "g")
+        .groupBy(F.col("g").alias("event_type"), F.col("n_g").alias("n_cohort"))
+        .agg(F.max(d_expr).alias("ks_d"))
+    )
+
+
+@register(
+    "rank_sum_shift",
+    oracle="WITH "
+    + _ECDF_CTES
+    + """,
+    ranked AS (
+        SELECT g, sum(a * (2 * cc - c + 1)) AS twice_r FROM run GROUP BY g
+    )
+    SELECT r.g AS event_type,
+           CAST(r.twice_r - t.n_g * (t.n_g + 1) AS BIGINT) AS u2,
+           CAST(r.twice_r - t.n_g * (t.n_g + 1) AS DOUBLE)
+             / (CAST(t.n_g AS DOUBLE) * CAST(t.n_all - t.n_g AS DOUBLE) * 2.0) AS auc
+    FROM ranked r JOIN tot t ON r.g = t.g
+    """,
+)
+def rank_sum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum location-shift monitor per cohort vs the
+    leave-one-out rest: doubled tie-corrected U (`u2`, exact integer)
+    and the common-language effect size `auc` = P(cohort draw > rest
+    draw) + P(tie)/2.  KS says "the distributions differ"; AUC says in
+    which DIRECTION and by how much — together they are the standard
+    nonparametric drift pair.
+
+    Rank sums with midrank tie correction stay in integer space by
+    tracking 2x the rank sum (`a * (2*cc - c + 1)` per distinct value),
+    so the only float op is the final one-expression division.  Same
+    shared ECDF scaffolding and scale shape as `ks_drift`.  (The bigint
+    product n_g*n_rest caps the exact lane near n~3e9 per cohort; past
+    that the same expression runs in DOUBLE with attested tolerance.)
+    """
+    run, tot = _ecdf_frames(spark, sf_dir)
+    ranked = run.groupBy("g").agg(
+        F.sum(F.col("a") * (F.lit(2) * F.col("cc") - F.col("c") + F.lit(1))).alias("twice_r")
+    )
+    u2 = F.col("twice_r") - F.col("n_g") * (F.col("n_g") + F.lit(1))
+    return (
+        ranked.join(F.broadcast(tot), "g")
+        .select(
+            F.col("g").alias("event_type"),
+            u2.cast("bigint").alias("u2"),
+            (
+                u2.cast("double")
+                / (
+                    F.col("n_g").cast("double")
+                    * (F.col("n_all") - F.col("n_g")).cast("double")
+                    * F.lit(2.0)
+                )
+            ).alias("auc"),
+        )
+    )
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH cents AS (
+        SELECT event_type, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    tot AS (SELECT event_type, sum(cents) AS s_n, count(*) AS n
+            FROM cents GROUP BY 1),
+    run AS (
+        SELECT c.event_type, c.ts, c.event_id, t.n,
+               sum(c.cents) OVER (PARTITION BY c.event_type ORDER BY c.ts, c.event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               row_number() OVER (PARTITION BY c.event_type ORDER BY c.ts, c.event_id) AS k,
+               t.s_n
+        FROM cents c JOIN tot t ON c.event_type = t.event_type
+    ),
+    stat AS (
+        SELECT event_type, ts, event_id, n,
+               abs(n * cum - k * s_n) AS stat2,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(n * cum - k * s_n) DESC, ts, event_id) AS rn
+        FROM run
+    )
+    SELECT event_type, ts AS cp_ts, event_id AS cp_event_id,
+           CAST(stat2 AS BIGINT) AS stat2,
+           CAST(stat2 AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS cusum_stat
+    FROM stat WHERE rn = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint per series: the timestamp maximizing
+    |S_k - (k/n) S_n| over the ts-ordered value series — where the
+    running sum departs furthest from the global trend line, i.e. the
+    most likely single mean-shift point (the batch twin of a streaming
+    CUSUM alarm).  `cusum_stat` is the max deviation in value units.
+
+    Exactness: values go to integer cents (same floor idiom as the
+    merge-family oracles), the running sum / totals stay BIGINT, and
+    the argmax compares the EXACT integer |n*S_k - k*S_n| — floats
+    appear only in the final reported statistic.  Tiebreak (ts,
+    event_id) per DEVNOTES #6.  Scale: one partitioned window + one
+    broadcast totals join per series — no global sort; bigint headroom
+    n*cum needs n * sum(cents) < 9e18, i.e. fine to ~1e8 rows/series at
+    these magnitudes, past which the series shards by epoch first.
+    """
+    e = load_tables(spark, sf_dir, "events")["events"].where(F.col("value").isNotNull())
+    cents = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    tot = cents.groupBy("event_type").agg(
+        F.sum("cents").alias("s_n"), F.count("*").alias("n")
+    )
+    ord_cols = [F.col("ts"), F.col("event_id")]
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy(*ord_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_num = Window.partitionBy("event_type").orderBy(*ord_cols)
+    run = cents.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n",
+        F.sum("cents").over(w_run).alias("cum"),
+        F.row_number().over(w_num).alias("k"),
+        "s_n",
+    )
+    stat2 = F.abs(F.col("n") * F.col("cum") - F.col("k") * F.col("s_n"))
+    w_arg = Window.partitionBy("event_type").orderBy(
+        stat2.desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        run.select(
+            "event_type",
+            "ts",
+            "event_id",
+            "n",
+            stat2.alias("stat2"),
+            F.row_number().over(w_arg).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("cp_ts"),
+            F.col("event_id").alias("cp_event_id"),
+            F.col("stat2").cast("bigint").alias("stat2"),
+            (F.col("stat2").cast("double") / (F.col("n").cast("double") * F.lit(100.0))).alias(
+                "cusum_stat"
+            ),
+        )
+    )
+
+
+from tcdb_spark.plans.catalog import ORACLES as _ORACLES  # noqa: E402
+
+_LANG_GUESS_SQL = _ORACLES["text_lang_id"]
+
+
+@register(
+    "annotator_kappa",
+    oracle=f"""
+    WITH guesses AS ({_LANG_GUESS_SQL}),
+    lab AS (
+        SELECT d.source, g.lang_label, g.lang_guess
+        FROM guesses g JOIN documents d ON g.doc_id = d.doc_id
+    ),
+    conf AS (SELECT source, lang_label, lang_guess, count(*) AS n
+             FROM lab GROUP BY 1, 2, 3),
+    rows_ AS (SELECT source, lang_label AS k, sum(n) AS r FROM conf GROUP BY 1, 2),
+    cols_ AS (SELECT source, lang_guess AS k, sum(n) AS c FROM conf GROUP BY 1, 2),
+    tot AS (SELECT source, sum(n) AS n,
+                   sum(CASE WHEN lang_label = lang_guess THEN n ELSE 0 END) AS agree
+            FROM conf GROUP BY 1),
+    pe AS (SELECT r.source, sum(r.r * c.c) AS pe_num
+           FROM rows_ r JOIN cols_ c ON r.source = c.source AND r.k = c.k
+           GROUP BY 1)
+    SELECT t.source, CAST(t.n AS BIGINT) AS n_docs, CAST(t.agree AS BIGINT) AS n_agree,
+           CASE WHEN t.n * t.n = p.pe_num THEN NULL
+                ELSE CAST(t.agree * t.n - p.pe_num AS DOUBLE)
+                     / CAST(t.n * t.n - p.pe_num AS DOUBLE) END AS kappa
+    FROM tot t JOIN pe p ON t.source = p.source
+    """,
+)
+def annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per source between the labeled language and the
+    heuristic detector — chance-corrected agreement, the labeling-QA
+    statistic behind every annotation/RLHF pipeline (raw accuracy
+    rewards majority-class collapse; kappa does not).  Reuses the
+    `text_lang_id` plan verbatim as one "annotator" (same convention as
+    `lang_id_confusion`).
+
+    kappa = (po-pe)/(1-pe) is computed entirely from integer marginals
+    as (agree*n - pe_num)/(n*n - pe_num) — ONE float division at the
+    end; NULL (not a DIVIDE_BY_ZERO crash — DEVNOTES #44) when a
+    degenerate source has pe = 1.  Scale: a 25-cell confusion matrix
+    per source; everything after the corpus scan is metadata-sized.
+    """
+    from tcdb_spark.plans.queries_text import text_lang_id
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    lab = text_lang_id(spark, sf_dir).join(d.select("doc_id", "source"), "doc_id")
+    conf = lab.groupBy("source", "lang_label", "lang_guess").agg(F.count("*").alias("n"))
+    rows_ = conf.groupBy("source", F.col("lang_label").alias("k")).agg(F.sum("n").alias("r"))
+    cols_ = conf.groupBy("source", F.col("lang_guess").alias("k")).agg(F.sum("n").alias("c"))
+    tot = conf.groupBy("source").agg(
+        F.sum("n").alias("n"),
+        F.sum(F.when(F.col("lang_label") == F.col("lang_guess"), F.col("n")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    pe = (
+        rows_.join(cols_, ["source", "k"])
+        .groupBy("source")
+        .agg(F.sum(F.col("r") * F.col("c")).alias("pe_num"))
+    )
+    n2 = F.col("n") * F.col("n")
+    return (
+        tot.join(pe, "source")
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("agree").cast("bigint").alias("n_agree"),
+            F.when(n2 == F.col("pe_num"), F.lit(None).cast("double"))
+            .otherwise(
+                (F.col("agree") * F.col("n") - F.col("pe_num")).cast("double")
+                / (n2 - F.col("pe_num")).cast("double")
+            )
+            .alias("kappa"),
+        )
+    )
+
+
+from tcdb_spark.plans.queries_text import STOPWORDS  # noqa: E402
+
+_STOP_SQL = ", ".join("'" + s + "'" for s in STOPWORDS)
+
+
+@register(
+    "preference_pairs",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source, doc_id,
+               3 * len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x IN ({_STOP_SQL})))
+               + len(regexp_split_to_array(trim(text), '\\s+'))
+               - 2 * length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS score
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    ranked AS (
+        SELECT source, doc_id, score,
+               row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn_top,
+               row_number() OVER (PARTITION BY source ORDER BY score ASC, doc_id) AS rn_bot
+        FROM scored
+    )
+    SELECT t.source, t.doc_id AS chosen_doc, b.doc_id AS rejected_doc,
+           CAST(t.score - b.score AS BIGINT) AS margin
+    FROM ranked t JOIN ranked b ON t.source = b.source
+    WHERE t.rn_top = 1 AND b.rn_bot = 1
+      AND t.doc_id <> b.doc_id AND t.score > b.score
+    """,
+)
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction: per group (source), pair
+    the best- and worst-scoring documents under an integer composite
+    quality score (stopword hits, token count, punctuation density —
+    the same signals as `text_quality_score`, combined with integer
+    weights so ranking and margin are exact).  Groups whose extremes
+    tie (or collapse to one doc) emit no pair — a zero-margin pair is
+    training noise.
+
+    Scale: two row_number windows partitioned by group + a self-join on
+    the two rank-1 rows — per-group cost, no global sort; margin stays
+    BIGINT end to end.  Tiebreak doc_id per DEVNOTES #6.
+    """
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    score = (
+        F.lit(3) * F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+        + F.size(toks)
+        - F.lit(2) * F.length(F.regexp_replace(F.col("text"), r"[^.,!?;:]", ""))
+    )
+    scored = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "source", "doc_id", score.cast("bigint").alias("score")
+    )
+    w_top = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id"))
+    w_bot = Window.partitionBy("source").orderBy(F.col("score").asc(), F.col("doc_id"))
+    ranked = scored.select(
+        "source",
+        "doc_id",
+        "score",
+        F.row_number().over(w_top).alias("rn_top"),
+        F.row_number().over(w_bot).alias("rn_bot"),
+    )
+    t = ranked.where(F.col("rn_top") == 1).alias("t")
+    b = ranked.where(F.col("rn_bot") == 1).alias("b")
+    return (
+        t.join(b, F.col("t.source") == F.col("b.source"))
+        .where(
+            (F.col("t.doc_id") != F.col("b.doc_id")) & (F.col("t.score") > F.col("b.score"))
+        )
+        .select(
+            F.col("t.source").alias("source"),
+            F.col("t.doc_id").alias("chosen_doc"),
+            F.col("b.doc_id").alias("rejected_doc"),
+            (F.col("t.score") - F.col("b.score")).cast("bigint").alias("margin"),
+        )
+    )

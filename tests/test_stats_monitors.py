@@ -1,0 +1,137 @@
+"""Semantic tests for the statistical-monitoring family
+(queries_stats.py): planted effects must move the statistics the right
+way, independent of the DuckDB oracle hash-match the driver performs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    out = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+def _mk_rows(spec):
+    """spec: list of (event_type, values). Deterministic timestamps."""
+    rows, eid = [], 0
+    base = dt.datetime(2024, 1, 1)
+    for etype, values in spec:
+        for i, v in enumerate(values):
+            rows.append((eid, base + dt.timedelta(minutes=eid), eid % 7, etype, float(v), "{}"))
+            eid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def drift_dir(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("stats_events")
+    # "same" ~ the bulk; "shifted" is translated by +50 — a pure location
+    # shift both KS and AUC must flag.
+    bulk = [round(10 + 0.37 * i % 20, 2) for i in range(200)]
+    shifted = [round(60 + 0.37 * i % 20, 2) for i in range(100)]
+    return _write_events(spark, tmp, _mk_rows([("same_a", bulk), ("same_b", bulk), ("shifted", shifted)]))
+
+
+def test_ks_flags_planted_shift(spark, drift_dir):
+    from tcdb_spark.plans.queries_stats import ks_drift
+
+    out = {r["event_type"]: r["ks_d"] for r in ks_drift(spark, drift_dir).collect()}
+    # The shifted cohort is disjoint in support from the rest: D = 1.
+    assert out["shifted"] == pytest.approx(1.0)
+    # The two identical bulk cohorts still differ from their leave-one-out
+    # rest (the rest contains the shifted mass), but far less.
+    assert out["same_a"] < 0.5 and out["same_b"] < 0.5
+
+
+def test_auc_direction_and_bounds(spark, drift_dir):
+    from tcdb_spark.plans.queries_stats import rank_sum_shift
+
+    out = {r["event_type"]: r["auc"] for r in rank_sum_shift(spark, drift_dir).collect()}
+    # Shifted cohort stochastically dominates the rest entirely: AUC = 1.
+    assert out["shifted"] == pytest.approx(1.0)
+    # Identical cohorts vs rest-including-shifted-mass: AUC < 0.5 (the
+    # rest has higher mass above them), and symmetric between the twins.
+    assert out["same_a"] == pytest.approx(out["same_b"])
+    assert 0.0 <= out["same_a"] < 0.5
+
+
+def test_cusum_finds_planted_mean_shift(spark, tmp_path):
+    from tcdb_spark.plans.queries_stats import cusum_changepoint
+
+    # 100 values at 10.0 then 100 at 30.0: CUSUM argmax must sit exactly
+    # at the last pre-shift row (k=100).
+    rows = _mk_rows([("series", [10.0] * 100 + [30.0] * 100)])
+    d = _write_events(spark, tmp_path, rows)
+    row = cusum_changepoint(spark, d).collect()[0]
+    assert row["cp_event_id"] == 99  # 0-based ids, 100th row
+    # Max deviation for a two-level step: k*(S_n/n - mu1) at the break =
+    # 100*(20-10) = 1000 value units.
+    assert row["cusum_stat"] == pytest.approx(1000.0)
+
+
+def test_cusum_tiebreak_deterministic(spark, tmp_path):
+    from tcdb_spark.plans.queries_stats import cusum_changepoint
+
+    # Constant series: every prefix has stat2 = 0; tiebreak must pick the
+    # FIRST row (ts, event_id ascending), not an arbitrary one.
+    rows = _mk_rows([("flat", [5.0] * 50)])
+    d = _write_events(spark, tmp_path, rows)
+    row = cusum_changepoint(spark, d).collect()[0]
+    assert row["stat2"] == 0 and row["cp_event_id"] == 0
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    out = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+def test_kappa_perfect_and_degenerate(spark, tmp_path):
+    from tcdb_spark.plans.queries_stats import annotator_kappa
+
+    # src_perfect: detector and label always agree AND both marginals are
+    # split across two classes -> kappa == 1.  src_degenerate: every doc
+    # is labeled en and guessed en -> pe == 1 -> NULL kappa (not a crash,
+    # DEVNOTES #44).
+    en = "the a data of things"  # hits en markers
+    es = "table row fast stuff here"  # hits es markers
+    rows = [
+        (1, en, "en", "src_perfect", 20),
+        (2, es, "es", "src_perfect", 25),
+        (3, en, "en", "src_degenerate", 20),
+        (4, en, "en", "src_degenerate", 20),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r["source"]: r for r in annotator_kappa(spark, d).collect()}
+    assert out["src_perfect"]["kappa"] == pytest.approx(1.0)
+    assert out["src_perfect"]["n_agree"] == 2
+    assert out["src_degenerate"]["kappa"] is None
+
+
+def test_preference_pairs_margin_and_skip(spark, tmp_path):
+    from tcdb_spark.plans.queries_stats import preference_pairs
+
+    # srcA: clear quality gap -> one pair with positive margin, chosen is
+    # the stopword-rich doc.  srcB: two identical docs -> tie -> NO pair.
+    rows = [
+        (1, "the a of and to in is the a of", "en", "srcA", 30),
+        (2, "zzz,,,!!!...", "en", "srcA", 12),
+        (3, "same text here", "en", "srcB", 14),
+        (4, "same text here", "en", "srcB", 14),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = preference_pairs(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["source"] == "srcA" and r["chosen_doc"] == 1 and r["rejected_doc"] == 2
+    assert r["margin"] > 0

@@ -61,6 +61,11 @@ SCALAR_CROSS_OK = {
     "retrieval_metrics",
     # 1-row class-centroid array broadcast cross
     "calibration_bins",
+    # bounded |cohorts|-row broadcast dim cross over the pre-aggregated
+    # DISTINCT (type, value) frame — the leave-one-out ECDF tagging
+    # (queries_stats.py); fan-out is |cohorts| x distinct frame, audited
+    "ks_drift",
+    "rank_sum_shift",
 }
 
 # Arrow-based Python ops are design choices documented per operator.
