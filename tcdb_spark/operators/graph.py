@@ -290,3 +290,54 @@ def tree_roots(
     return state.select(
         "n", F.col("anc").alias("root"), F.col("d").cast("bigint").alias("depth")
     ).withColumnRenamed("n", node)
+
+
+def common_neighbor_links(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    deg_cap: int = 96,
+    top_n: int = 50,
+) -> DataFrame:
+    """Link prediction by neighborhood Jaccard: top-``top_n``
+    NON-adjacent pairs ranked by |N(u) ∩ N(v)| / |N(u) ∪ N(v)|.
+
+    ``edges`` is an undirected edge list (one row per edge, ``src`` <
+    ``dst``).  The wedge join goes through MIDDLE vertices only: a hub
+    of degree d contributes d^2 candidate pairs, so middles above
+    ``deg_cap`` are excluded from CONNECTING (true degrees still feed
+    the Jaccard denominator) — megahubs are near-zero link evidence and
+    the quadratic hazard at once, the same df-cap discipline as the
+    n-gram dedup inverted index.  Counts stay integer; Jaccard is one
+    final division; the top-n is orderBy+limit (TakeOrderedAndProject).
+    Reference analogue: tcdb has no graph operators — this extends the
+    entity-resolution family (SURVEY.md §2.4) to graph context.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    adj = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = adj.groupBy("x").agg(F.count("*").alias("d"))
+    capped = deg.where(F.col("d") <= deg_cap).select(F.col("x").alias("cx"))
+    mid = adj.join(capped, adj["y"] == capped["cx"], "left_semi")
+    ma, mb = mid.alias("ma"), mid.alias("mb")
+    cn = (
+        ma.join(mb, (F.col("ma.y") == F.col("mb.y")) & (F.col("ma.x") < F.col("mb.x")))
+        .groupBy(F.col("ma.x").alias("u"), F.col("mb.x").alias("v"))
+        .agg(F.count("*").alias("cn"))
+    )
+    ne = cn.join(e, ["u", "v"], "left_anti")
+    j = ne.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u").join(
+        deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v"
+    )
+    jac = F.col("cn").cast("double") / (F.col("du") + F.col("dv") - F.col("cn")).cast("double")
+    return (
+        j.select(
+            "u",
+            "v",
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            jac.alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(top_n)
+    )

@@ -266,6 +266,249 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINS_CTES = """
+    sums AS (SELECT user_id, event_type,
+                    sum(CAST(floor(value * 100) AS BIGINT)) AS s
+             FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    duels AS (SELECT CASE WHEN a.s > b.s THEN a.event_type ELSE b.event_type END AS w,
+                     CASE WHEN a.s > b.s THEN b.event_type ELSE a.event_type END AS l
+              FROM sums a JOIN sums b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              WHERE a.s <> b.s),
+    wins AS (SELECT w, l, count(*) AS n FROM duels GROUP BY 1, 2)
+"""
+
+
+@register(
+    "pairwise_wins",
+    oracle="WITH "
+    + _WINS_CTES
+    + """
+    SELECT w AS winner, l AS loser, CAST(n AS BIGINT) AS n_wins FROM wins
+    """,
+)
+def pairwise_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-preference extraction: each user "judges" every pair of
+    event types they touched — the type with the larger exact
+    integer-cents value total wins the duel; exact ties abstain.  The
+    aggregated (winner, loser, n) matrix is the input to any pairwise
+    rating model (Bradley-Terry below, win-rate boards, Elo-style
+    leaderboards) — the RLHF-comparison reduction step.
+
+    This is the DISTRIBUTED part of the rating pipeline and stays fully
+    declarative: one groupBy to per-user totals, a self-equi-join on
+    user_id (each user contributes C(k,2) duels for the k types they
+    touched), and a k^2-key aggregate.  Everything is integer-exact.
+    """
+    e = load_tables(spark, sf_dir, "events")["events"].where(F.col("value").isNotNull())
+    sums = e.groupBy("user_id", "event_type").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("s")
+    )
+    a, b = sums.alias("a"), sums.alias("b")
+    duels = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .where(F.col("a.s") != F.col("b.s"))
+        .select(
+            F.when(F.col("a.s") > F.col("b.s"), F.col("a.event_type"))
+            .otherwise(F.col("b.event_type"))
+            .alias("w"),
+            F.when(F.col("a.s") > F.col("b.s"), F.col("b.event_type"))
+            .otherwise(F.col("a.event_type"))
+            .alias("l"),
+        )
+    )
+    return duels.groupBy(F.col("w").alias("winner"), F.col("l").alias("loser")).agg(
+        F.count("*").cast("bigint").alias("n_wins")
+    )
+
+
+_BT_ITERS = 25
+
+
+def _bt_oracle_sql() -> str:
+    """Unrolled 25-iteration Bradley-Terry MM chain over the wins CTEs.
+    Float group-sums appear inside each iteration (order-unspecified),
+    so the final ratings are round(6)ed on both engines — MM is a
+    contraction, keeping cross-engine drift at the last-ULP level
+    (precedent: agg_percentiles)."""
+    # Every itK is referenced twice by itK+1 — without MATERIALIZED,
+    # CTE inlining re-expands the chain exponentially (2^25 scans).
+    ctes = [
+        """items AS MATERIALIZED (SELECT w AS i FROM wins UNION SELECT l FROM wins),
+    pairs AS MATERIALIZED (SELECT i, j, sum(n) AS n FROM (
+                SELECT w AS i, l AS j, n FROM wins
+                UNION ALL SELECT l AS i, w AS j, n FROM wins) u
+              GROUP BY 1, 2),
+    wtot AS MATERIALIZED (SELECT it.i, CAST(coalesce(s.wn, 0) AS DOUBLE) AS wi
+             FROM items it LEFT JOIN
+                  (SELECT w AS i, sum(n) AS wn FROM wins GROUP BY 1) s
+               ON it.i = s.i),
+    it0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM items)"""
+    ]
+    for k in range(1, _BT_ITERS + 1):
+        ctes.append(
+            f"""it{k} AS MATERIALIZED (
+        SELECT w.i,
+               CASE WHEN w.wi = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE w.wi / sum(CASE WHEN ri.p + rj.p = 0 THEN CAST(0.0 AS DOUBLE)
+                                         ELSE CAST(p.n AS DOUBLE) / (ri.p + rj.p) END)
+               END AS p
+        FROM wtot w
+        JOIN pairs p ON p.i = w.i
+        JOIN it{k - 1} ri ON ri.i = p.i
+        JOIN it{k - 1} rj ON rj.i = p.j
+        GROUP BY w.i, w.wi)"""
+        )
+    return (
+        "WITH "
+        + _WINS_CTES
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f""",
+    tot AS (SELECT sum(p) AS t FROM it{_BT_ITERS})
+    SELECT f.i AS event_type,
+           CAST(coalesce(g.wn, 0) AS BIGINT) AS n_wins,
+           round(f.p / tot.t, 6) AS rating
+    FROM it{_BT_ITERS} f
+    LEFT JOIN (SELECT w AS i, sum(n) AS wn FROM wins GROUP BY 1) g ON f.i = g.i
+    CROSS JOIN tot
+    """
+    )
+
+
+@register("bradley_terry_ratings", oracle=_bt_oracle_sql())
+def bradley_terry_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength ratings from the pairwise duel matrix —
+    the model-ranking / preference-strength estimator behind chat-arena
+    leaderboards (vs raw win rate, BT corrects for opponent strength).
+
+    100 TB shape: the heavy lifting is `pairwise_wins` (one shuffle to
+    the k^2-row duel matrix); the MM solve then runs on the DRIVER over
+    that matrix (guarded collect — k item types, never row-scale) and
+    the k-row rating table broadcasts wherever it joins next.  An
+    iterative k x k solve has no business shuffling a cluster.  Spark
+    and the unrolled-CTE DuckDB oracle both run 25 MM iterations from
+    p=1; ratings normalize to sum 1 and are round(6)ed on both sides
+    (cross-engine sum-order drift is last-ULP, DEVNOTES #5).
+    """
+    wins_df = pairwise_wins(spark, sf_dir)
+    rows = wins_df.collect()
+    if len(rows) > 10_000:
+        raise ValueError(
+            f"duel matrix has {len(rows)} cells; expected k^2 item pairs — "
+            "aggregate items before rating"
+        )
+    n: dict[tuple[str, str], int] = {}
+    wi: dict[str, float] = {}
+    items: set[str] = set()
+    for r in rows:
+        w, l, c = r["winner"], r["loser"], int(r["n_wins"])
+        items.update((w, l))
+        n[(w, l)] = n.get((w, l), 0) + c
+        n[(l, w)] = n.get((l, w), 0) + c
+        wi[w] = wi.get(w, 0.0) + c
+    order = sorted(items)
+    p = {i: 1.0 for i in order}
+    for _ in range(_BT_ITERS):
+        new = {}
+        for i in order:
+            w_i = wi.get(i, 0.0)
+            if w_i == 0:
+                new[i] = 0.0
+                continue
+            den = 0.0
+            for j in order:
+                nij = n.get((i, j))
+                if nij:
+                    s = p[i] + p[j]
+                    den += nij / s if s != 0 else 0.0
+            new[i] = w_i / den
+        p = new
+    tot = 0.0
+    for i in order:
+        tot += p[i]
+    out = [(i, int(wi.get(i, 0.0)), round(p[i] / tot, 6)) for i in order]
+    return spark.createDataFrame(out, "event_type string, n_wins bigint, rating double")
+
+
+from tcdb_spark.plans.queries_training import _TRI_EDGES_SQL  # noqa: E402
+
+_CN_DEG_CAP = 96
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=(
+        "WITH "
+        + _TRI_EDGES_SQL
+        + f""",
+    adj AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+    deg AS (SELECT x, count(*) AS d FROM adj GROUP BY 1),
+    mid AS (SELECT a.x, a.y FROM adj a JOIN deg d ON a.y = d.x
+            WHERE d.d <= {_CN_DEG_CAP}),
+    cn AS (SELECT a.x AS u, b.x AS v, count(*) AS cn
+           FROM mid a JOIN mid b ON a.y = b.y AND a.x < b.x
+           GROUP BY 1, 2),
+    ne AS (SELECT cn.u, cn.v, cn.cn FROM cn
+           LEFT JOIN e ON cn.u = e.u AND cn.v = e.v
+           WHERE e.u IS NULL),
+    j AS (SELECT ne.u, ne.v, ne.cn, du.d AS du, dv.d AS dv
+          FROM ne JOIN deg du ON ne.u = du.x JOIN deg dv ON ne.v = dv.x)
+    SELECT u, v, CAST(cn AS BIGINT) AS common_neighbors,
+           CAST(cn AS DOUBLE) / CAST(du + dv - cn AS DOUBLE) AS jaccard
+    FROM j
+    ORDER BY jaccard DESC, u, v LIMIT 50
+    """
+    ),
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the customer co-purchase graph: top-50
+    non-adjacent pairs by neighborhood Jaccard — "these two customers
+    share most of their graph context but no edge yet", the
+    recommendation / entity-consolidation primitive (same edge set as
+    `graph_triangles`).
+
+    Scale: the wedge join is the quadratic hazard (hub middle vertex b
+    contributes deg(b)^2 candidate pairs), so middle vertices above a
+    degree cap are excluded from CONNECTING pairs (cap {_CN_DEG_CAP};
+    true degrees still drive the Jaccard) — hubs are terrible link
+    evidence anyway (a megahub connecting everyone predicts nothing),
+    the same df-cap discipline as `dedup_ngram_jaccard`.  Candidate
+    scoring is integer counts; Jaccard is the single final division;
+    top-50 is orderBy+limit (TakeOrderedAndProject, never a global
+    sort), tiebreak (u, v) per DEVNOTES #6.
+    """
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    co = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+            F.floor(F.unix_timestamp("o_orderdate") / 604800).cast("bigint").alias("wk"),
+        )
+        .distinct()
+    )
+    from tcdb_spark.operators.graph import common_neighbor_links
+
+    a, b = co.alias("a"), co.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.supp") == F.col("b.supp"))
+            & (F.col("a.wk") == F.col("b.wk"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .select(F.col("a.cust").alias("u"), F.col("b.cust").alias("v"))
+        .distinct()
+    )
+    return common_neighbor_links(e, deg_cap=_CN_DEG_CAP, top_n=50)
+
+
 from tcdb_spark.plans.catalog import ORACLES as _ORACLES  # noqa: E402
 
 _LANG_GUESS_SQL = _ORACLES["text_lang_id"]
