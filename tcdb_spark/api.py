@@ -646,3 +646,70 @@ class Engine:
         return media_near_dup_pairs(
             media_ahash(media), max_hamming=max_hamming, bands=bands
         )
+
+    # --- statistical monitoring / preference learning ---------------------
+
+    def ks_drift(self, df: DataFrame, cohort_col: str, value_col: str) -> DataFrame:
+        """Two-sample Kolmogorov-Smirnov D per cohort vs the
+        leave-one-out rest (plans/queries_stats.ks_by_cohort) — the
+        distribution-free complement to Engine.drift's binned PSI."""
+        from tcdb_spark.plans.queries_stats import ks_by_cohort
+
+        return ks_by_cohort(df, cohort_col, value_col)
+
+    def rank_shift(self, df: DataFrame, cohort_col: str, value_col: str) -> DataFrame:
+        """Mann-Whitney doubled-U and AUC effect size per cohort vs the
+        leave-one-out rest (plans/queries_stats.rank_shift_by_cohort):
+        KS detects ANY difference; this reports shift direction."""
+        from tcdb_spark.plans.queries_stats import rank_shift_by_cohort
+
+        return rank_shift_by_cohort(df, cohort_col, value_col)
+
+    def changepoint(
+        self, df: DataFrame, series_col: str, ts_col: str, id_col: str, value_col: str
+    ) -> DataFrame:
+        """Offline CUSUM: per series, the timestamp where the running
+        sum departs furthest from the global trend (integer-exact
+        argmax; plans/queries_stats.cusum_by_series)."""
+        from tcdb_spark.plans.queries_stats import cusum_by_series
+
+        return cusum_by_series(df, series_col, ts_col, id_col, value_col)
+
+    def kappa(
+        self, df: DataFrame, group_col: str, label_col: str, pred_col: str
+    ) -> DataFrame:
+        """Per-group Cohen's kappa between two label columns — the
+        chance-corrected labeling-QA statistic
+        (plans/queries_stats.cohen_kappa)."""
+        from tcdb_spark.plans.queries_stats import cohen_kappa
+
+        return cohen_kappa(df, group_col, label_col, pred_col)
+
+    def preference_pairs(
+        self, scored: DataFrame, group_col: str, id_col: str, score_col: str
+    ) -> DataFrame:
+        """Best-vs-worst (chosen, rejected, margin) pairs per group for
+        DPO-style training (plans/queries_stats.preference_pairs_from);
+        tied or single-member groups emit no pair."""
+        from tcdb_spark.plans.queries_stats import preference_pairs_from
+
+        return preference_pairs_from(scored, group_col, id_col, score_col)
+
+    def rate_pairwise(self, wins: DataFrame, item_col: str = "item") -> DataFrame:
+        """Bradley-Terry ratings from a (winner, loser, n_wins) duel
+        matrix (plans/queries_stats.bt_ratings_from_wins): distributed
+        reduction upstream, guarded k^2 driver MM solve here."""
+        from tcdb_spark.plans.queries_stats import bt_ratings_from_wins
+
+        return bt_ratings_from_wins(self.spark, wins, item_col)
+
+    def predict_links(
+        self, edges: DataFrame, src: str = "u", dst: str = "v",
+        deg_cap: int = 96, top_n: int = 50,
+    ) -> DataFrame:
+        """Top-n non-adjacent pairs by neighborhood Jaccard
+        (operators/graph.common_neighbor_links) — link prediction with
+        hub middles capped out of the wedge join."""
+        from tcdb_spark.operators.graph import common_neighbor_links
+
+        return common_neighbor_links(edges, src=src, dst=dst, deg_cap=deg_cap, top_n=top_n)

@@ -45,13 +45,12 @@ _ECDF_CTES = """
 """
 
 
-def _ecdf_frames(spark: SparkSession, sf_dir: str):
-    """(run, tot) DataFrames mirroring `_ECDF_CTES` — shared by the KS
-    and rank-sum monitors."""
+def ecdf_frames(df: DataFrame, cohort_col: str, value_col: str):
+    """(run, tot) DataFrames mirroring `_ECDF_CTES` over any
+    (cohort, value) frame — shared by the KS and rank-sum monitors."""
     e = (
-        load_tables(spark, sf_dir, "events")["events"]
-        .where(F.col("value").isNotNull())
-        .select("event_type", "value")
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(cohort_col).alias("event_type"), F.col(value_col).alias("value"))
     )
     coh = e.select(F.col("event_type").alias("g")).distinct()
     agg0 = e.groupBy("event_type", "value").agg(F.count("*").alias("cnt"))
@@ -75,6 +74,48 @@ def _ecdf_frames(spark: SparkSession, sf_dir: str):
     )
     tot = agg.groupBy("g").agg(F.sum("a").alias("n_g"), F.sum("c").alias("n_all"))
     return run, tot
+
+
+def ks_by_cohort(df: DataFrame, cohort_col: str, value_col: str) -> DataFrame:
+    """Generic leave-one-out two-sample KS per cohort (facade twin of
+    the `ks_drift` catalog entry — same plan over any frame)."""
+    run, tot = ecdf_frames(df, cohort_col, value_col)
+    d_expr = F.abs(
+        F.col("ca").cast("double") / F.col("n_g").cast("double")
+        - (F.col("cc") - F.col("ca")).cast("double")
+        / (F.col("n_all") - F.col("n_g")).cast("double")
+    )
+    return (
+        run.join(F.broadcast(tot), "g")
+        .groupBy(F.col("g").alias(cohort_col), F.col("n_g").alias("n_cohort"))
+        .agg(F.max(d_expr).alias("ks_d"))
+    )
+
+
+def rank_shift_by_cohort(df: DataFrame, cohort_col: str, value_col: str) -> DataFrame:
+    """Generic leave-one-out Mann-Whitney shift per cohort (facade twin
+    of the `rank_sum_shift` catalog entry)."""
+    run, tot = ecdf_frames(df, cohort_col, value_col)
+    ranked = run.groupBy("g").agg(
+        F.sum(F.col("a") * (F.lit(2) * F.col("cc") - F.col("c") + F.lit(1))).alias("twice_r")
+    )
+    u2 = F.col("twice_r") - F.col("n_g") * (F.col("n_g") + F.lit(1))
+    return (
+        ranked.join(F.broadcast(tot), "g")
+        .select(
+            F.col("g").alias(cohort_col),
+            u2.cast("bigint").alias("u2"),
+            (
+                u2.cast("double")
+                / (
+                    F.col("n_g").cast("double")
+                    * (F.col("n_all") - F.col("n_g")).cast("double")
+                    * F.lit(2.0)
+                )
+            ).alias("auc"),
+        )
+    )
+
 
 
 @register(
@@ -102,17 +143,8 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |ca/n1 - cb/n2| of exact integers computed by one identical
     expression per engine, so max() compares identical float sets.
     """
-    run, tot = _ecdf_frames(spark, sf_dir)
-    d_expr = F.abs(
-        F.col("ca").cast("double") / F.col("n_g").cast("double")
-        - (F.col("cc") - F.col("ca")).cast("double")
-        / (F.col("n_all") - F.col("n_g")).cast("double")
-    )
-    return (
-        run.join(F.broadcast(tot), "g")
-        .groupBy(F.col("g").alias("event_type"), F.col("n_g").alias("n_cohort"))
-        .agg(F.max(d_expr).alias("ks_d"))
-    )
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return ks_by_cohort(e, "event_type", "value")
 
 
 @register(
@@ -145,26 +177,8 @@ def rank_sum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     product n_g*n_rest caps the exact lane near n~3e9 per cohort; past
     that the same expression runs in DOUBLE with attested tolerance.)
     """
-    run, tot = _ecdf_frames(spark, sf_dir)
-    ranked = run.groupBy("g").agg(
-        F.sum(F.col("a") * (F.lit(2) * F.col("cc") - F.col("c") + F.lit(1))).alias("twice_r")
-    )
-    u2 = F.col("twice_r") - F.col("n_g") * (F.col("n_g") + F.lit(1))
-    return (
-        ranked.join(F.broadcast(tot), "g")
-        .select(
-            F.col("g").alias("event_type"),
-            u2.cast("bigint").alias("u2"),
-            (
-                u2.cast("double")
-                / (
-                    F.col("n_g").cast("double")
-                    * (F.col("n_all") - F.col("n_g")).cast("double")
-                    * F.lit(2.0)
-                )
-            ).alias("auc"),
-        )
-    )
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return rank_shift_by_cohort(e, "event_type", "value")
 
 
 @register(
@@ -214,12 +228,21 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     n*cum needs n * sum(cents) < 9e18, i.e. fine to ~1e8 rows/series at
     these magnitudes, past which the series shards by epoch first.
     """
-    e = load_tables(spark, sf_dir, "events")["events"].where(F.col("value").isNotNull())
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return cusum_by_series(e, "event_type", "ts", "event_id", "value")
+
+
+def cusum_by_series(
+    df: DataFrame, series_col: str, ts_col: str, id_col: str, value_col: str
+) -> DataFrame:
+    """Generic CUSUM changepoint per series (facade twin of the
+    `cusum_changepoint` catalog entry — same integer-exact plan)."""
+    e = df.where(F.col(value_col).isNotNull())
     cents = e.select(
-        "event_type",
-        "ts",
-        "event_id",
-        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.col(series_col).alias("event_type"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        F.floor(F.col(value_col) * 100).cast("bigint").alias("cents"),
     )
     tot = cents.groupBy("event_type").agg(
         F.sum("cents").alias("s_n"), F.count("*").alias("n")
@@ -255,7 +278,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") == 1)
         .select(
-            "event_type",
+            F.col("event_type").alias(series_col),
             F.col("ts").alias("cp_ts"),
             F.col("event_id").alias("cp_event_id"),
             F.col("stat2").cast("bigint").alias("stat2"),
@@ -395,7 +418,14 @@ def bradley_terry_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     p=1; ratings normalize to sum 1 and are round(6)ed on both sides
     (cross-engine sum-order drift is last-ULP, DEVNOTES #5).
     """
-    wins_df = pairwise_wins(spark, sf_dir)
+    return bt_ratings_from_wins(spark, pairwise_wins(spark, sf_dir), "event_type")
+
+
+def bt_ratings_from_wins(
+    spark: SparkSession, wins_df: DataFrame, item_col: str = "item"
+) -> DataFrame:
+    """MM solve over any (winner, loser, n_wins) frame (facade twin of
+    `bradley_terry_ratings` — guarded driver collect, k^2 cells)."""
     rows = wins_df.collect()
     if len(rows) > 10_000:
         raise ValueError(
@@ -432,7 +462,7 @@ def bradley_terry_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in order:
         tot += p[i]
     out = [(i, int(wi.get(i, 0.0)), round(p[i] / tot, 6)) for i in order]
-    return spark.createDataFrame(out, "event_type string, n_wins bigint, rating double")
+    return spark.createDataFrame(out, f"{item_col} string, n_wins bigint, rating double")
 
 
 from tcdb_spark.plans.queries_training import _TRI_EDGES_SQL  # noqa: E402
@@ -557,26 +587,37 @@ def annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
     lab = text_lang_id(spark, sf_dir).join(d.select("doc_id", "source"), "doc_id")
-    conf = lab.groupBy("source", "lang_label", "lang_guess").agg(F.count("*").alias("n"))
-    rows_ = conf.groupBy("source", F.col("lang_label").alias("k")).agg(F.sum("n").alias("r"))
-    cols_ = conf.groupBy("source", F.col("lang_guess").alias("k")).agg(F.sum("n").alias("c"))
-    tot = conf.groupBy("source").agg(
+    return cohen_kappa(lab, "source", "lang_label", "lang_guess").withColumnRenamed(
+        "n_rows", "n_docs"
+    )
+
+
+def cohen_kappa(
+    df: DataFrame, group_col: str, label_col: str, pred_col: str
+) -> DataFrame:
+    """Generic per-group Cohen's kappa between two label columns
+    (facade twin of `annotator_kappa` — integer marginals, one final
+    division, NULL on the pe=1 degenerate)."""
+    conf = df.groupBy(group_col, label_col, pred_col).agg(F.count("*").alias("n"))
+    rows_ = conf.groupBy(group_col, F.col(label_col).alias("k")).agg(F.sum("n").alias("r"))
+    cols_ = conf.groupBy(group_col, F.col(pred_col).alias("k")).agg(F.sum("n").alias("c"))
+    tot = conf.groupBy(group_col).agg(
         F.sum("n").alias("n"),
-        F.sum(F.when(F.col("lang_label") == F.col("lang_guess"), F.col("n")).otherwise(0)).alias(
+        F.sum(F.when(F.col(label_col) == F.col(pred_col), F.col("n")).otherwise(0)).alias(
             "agree"
         ),
     )
     pe = (
-        rows_.join(cols_, ["source", "k"])
-        .groupBy("source")
+        rows_.join(cols_, [group_col, "k"])
+        .groupBy(group_col)
         .agg(F.sum(F.col("r") * F.col("c")).alias("pe_num"))
     )
     n2 = F.col("n") * F.col("n")
     return (
-        tot.join(pe, "source")
+        tot.join(pe, group_col)
         .select(
-            "source",
-            F.col("n").cast("bigint").alias("n_docs"),
+            group_col,
+            F.col("n").cast("bigint").alias("n_rows"),
             F.col("agree").cast("bigint").alias("n_agree"),
             F.when(n2 == F.col("pe_num"), F.lit(None).cast("double"))
             .otherwise(
@@ -641,26 +682,39 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.where(F.length(F.trim(F.col("text"))) > 0).select(
         "source", "doc_id", score.cast("bigint").alias("score")
     )
-    w_top = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id"))
-    w_bot = Window.partitionBy("source").orderBy(F.col("score").asc(), F.col("doc_id"))
+    return preference_pairs_from(scored, "source", "doc_id", "score")
+
+
+def preference_pairs_from(
+    scored: DataFrame, group_col: str, id_col: str, score_col: str
+) -> DataFrame:
+    """Generic best-vs-worst pair construction over any scored frame
+    (facade twin of `preference_pairs`): two partitioned rank windows +
+    a rank-1 self-join; tied or single-member groups emit no pair."""
     ranked = scored.select(
-        "source",
-        "doc_id",
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.col(score_col).alias("score"),
+    ).select(
+        "g",
+        "id",
         "score",
-        F.row_number().over(w_top).alias("rn_top"),
-        F.row_number().over(w_bot).alias("rn_bot"),
+        F.row_number().over(
+            Window.partitionBy("g").orderBy(F.col("score").desc(), F.col("id"))
+        ).alias("rn_top"),
+        F.row_number().over(
+            Window.partitionBy("g").orderBy(F.col("score").asc(), F.col("id"))
+        ).alias("rn_bot"),
     )
     t = ranked.where(F.col("rn_top") == 1).alias("t")
     b = ranked.where(F.col("rn_bot") == 1).alias("b")
     return (
-        t.join(b, F.col("t.source") == F.col("b.source"))
-        .where(
-            (F.col("t.doc_id") != F.col("b.doc_id")) & (F.col("t.score") > F.col("b.score"))
-        )
+        t.join(b, F.col("t.g") == F.col("b.g"))
+        .where((F.col("t.id") != F.col("b.id")) & (F.col("t.score") > F.col("b.score")))
         .select(
-            F.col("t.source").alias("source"),
-            F.col("t.doc_id").alias("chosen_doc"),
-            F.col("b.doc_id").alias("rejected_doc"),
+            F.col("t.g").alias(group_col),
+            F.col("t.id").alias("chosen_doc"),
+            F.col("b.id").alias("rejected_doc"),
             (F.col("t.score") - F.col("b.score")).cast("bigint").alias("margin"),
         )
     )

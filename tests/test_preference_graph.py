@@ -74,3 +74,32 @@ def test_common_neighbor_deg_cap_drops_hub_wedges(spark):
     e = spark.createDataFrame(edges, "u bigint, v bigint")
     assert common_neighbor_links(e, deg_cap=5, top_n=100).count() == 0
     assert common_neighbor_links(e, deg_cap=10, top_n=100).count() == 15
+
+
+def test_engine_stats_facades(spark, tmp_path):
+    from tcdb_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 11.0)], "g string, v double"
+    )
+    ks = {r["g"]: r["ks_d"] for r in eng.ks_drift(df, "g", "v").collect()}
+    assert ks["a"] == 1.0 and ks["b"] == 1.0  # disjoint supports
+    shift = {r["g"]: r["auc"] for r in eng.rank_shift(df, "g", "v").collect()}
+    assert shift["b"] == 1.0 and shift["a"] == 0.0
+    lab = spark.createDataFrame(
+        [("s", "x", "x"), ("s", "y", "y"), ("s", "x", "x"), ("s", "y", "x")],
+        "src string, gold string, pred string",
+    )
+    k = eng.kappa(lab, "src", "gold", "pred").collect()[0]
+    assert 0 < k["kappa"] < 1
+    wins = spark.createDataFrame(
+        [("A", "B", 10), ("B", "A", 5)], "winner string, loser string, n_wins bigint"
+    )
+    rated = {r["item"]: r["rating"] for r in eng.rate_pairwise(wins).collect()}
+    assert rated["A"] > rated["B"] > 0
+    scored = spark.createDataFrame(
+        [("g1", 1, 5), ("g1", 2, 9), ("g1", 3, 1)], "grp string, id bigint, s bigint"
+    )
+    pair = eng.preference_pairs(scored, "grp", "id", "s").collect()[0]
+    assert pair["chosen_doc"] == 2 and pair["rejected_doc"] == 3 and pair["margin"] == 8
