@@ -713,3 +713,15 @@ class Engine:
         from tcdb_spark.operators.graph import common_neighbor_links
 
         return common_neighbor_links(edges, src=src, dst=dst, deg_cap=deg_cap, top_n=top_n)
+
+    def bootstrap_ci(
+        self, df: DataFrame, cohort_col: str, id_col: str, value_col: str, reps: int = 100
+    ) -> DataFrame:
+        """Poisson-bootstrap CI (2.5/50/97.5%) of the per-cohort mean
+        (plans/queries_stats.bootstrap_ci) — independent per-row
+        Poisson(1) weights make the bootstrap embarrassingly parallel;
+        weights come from integer-threshold seeded hashing, so reruns
+        are bit-identical."""
+        from tcdb_spark.plans.queries_stats import bootstrap_ci
+
+        return bootstrap_ci(df, cohort_col, id_col, value_col, reps=reps)

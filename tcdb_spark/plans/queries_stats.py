@@ -718,3 +718,216 @@ def preference_pairs_from(
             (F.col("t.score") - F.col("b.score")).cast("bigint").alias("margin"),
         )
     )
+
+
+# Poisson(1) CDF thresholds scaled to 2^32 and floored to EXACT integer
+# literals: the bootstrap weight is decided by comparing the exact
+# 32-bit hash integer against these — no floating point anywhere in the
+# resampling, so both engines draw bit-identical weights.
+_POISSON_T = [1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291, 4294609777]
+_BOOT_REPS = 100
+
+
+def _boot_u_sql(cast_type: str) -> str:
+    """Exact 32-bit uniform integer from md5('boot1:'||event_id||':'||rep)
+    — the engine-neutral hex-digit polynomial (DEVNOTES #46), kept as
+    ONE shared SQL text modulo the string-type name (DEVNOTES #43)."""
+    h = f"md5('boot1:' || CAST(event_id AS {cast_type}) || ':' || CAST(rep AS {cast_type}))"
+    return " + ".join(
+        f"CAST(position(substring({h}, {i + 1}, 1) IN '0123456789abcdef') - 1"
+        f" AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+def _boot_w_sql(cast_type: str) -> str:
+    u = _boot_u_sql(cast_type)
+    cases = " ".join(
+        f"WHEN ({u}) < {t} THEN {k}" for k, t in enumerate(_POISSON_T)
+    )
+    return f"CASE {cases} ELSE 7 END"
+
+
+@register(
+    "bootstrap_ci_mean",
+    oracle=f"""
+    WITH expanded AS (
+        SELECT e.event_type, e.event_id,
+               CAST(floor(e.value * 100) AS BIGINT) AS cents,
+               r.rep
+        FROM events e
+        CROSS JOIN (SELECT unnest(range(1, {_BOOT_REPS + 1})) AS rep) r
+        WHERE e.value IS NOT NULL
+    ),
+    weighted AS (
+        SELECT event_type, rep, cents, {_boot_w_sql('VARCHAR')} AS w
+        FROM expanded
+    ),
+    reps AS (
+        SELECT event_type, rep, sum(w * cents) AS swc, sum(w) AS sw
+        FROM weighted GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT event_type,
+               CASE WHEN sw = 0 THEN NULL
+                    ELSE CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0 END AS m
+        FROM reps
+    )
+    SELECT event_type,
+           round(quantile_cont(m, 0.025), 6) AS boot_lo,
+           round(quantile_cont(m, 0.5), 6) AS boot_mid,
+           round(quantile_cont(m, 0.975), 6) AS boot_hi
+    FROM means GROUP BY event_type
+    """,
+)
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-cohort mean —
+    THE distributed bootstrap: classical resampling needs n draws from
+    a shared urn (sequential), while Poisson(1) weights are independent
+    per row, so each of the {R} replicates is one weighted aggregate
+    that partial-aggregates map-side like any other sum.  The 2.5/50/
+    97.5 percentiles of the replicate means are the nonparametric CI a
+    dashboard puts around every metric.
+
+    Exactness: the resampling weight is decided by comparing the EXACT
+    32-bit seeded-hash integer (DEVNOTES #46 polynomial) against
+    integer-literal Poisson CDF thresholds — no float enters until the
+    replicate mean's single division; percentile interpolation matches
+    across engines with round(6) (agg_percentiles precedent).
+
+    Scale: fan-out is rows x R with immediate map-side combine into
+    |cohorts| x R partials — the shuffle carries R rows per cohort per
+    partition, not the expanded data.  R=100 is the knob; the hash is
+    seeded per (row, rep) so adding replicates never reshuffles old
+    ones.
+    """
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return bootstrap_ci(e, "event_type", "event_id", "value")
+
+
+def bootstrap_ci(
+    df: DataFrame, cohort_col: str, id_col: str, value_col: str, reps: int = _BOOT_REPS
+) -> DataFrame:
+    """Generic Poisson-bootstrap CI of the per-cohort mean (facade twin
+    of `bootstrap_ci_mean`); `id_col` seeds the per-(row, rep) hash, so
+    it must be unique per row for i.i.d. weights."""
+    e = df.where(F.col(value_col).isNotNull()).select(
+        F.col(cohort_col).alias("event_type"),
+        F.col(id_col).alias("event_id"),
+        F.col(value_col).alias("value"),
+    )
+    expanded = e.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.explode(F.sequence(F.lit(1), F.lit(reps))).alias("rep"),
+    )
+    w = F.expr(_boot_w_sql('STRING'))
+    repagg = (
+        expanded.select("event_type", "rep", "cents", w.alias("w"))
+        .groupBy("event_type", "rep")
+        .agg(F.sum(F.col("w") * F.col("cents")).alias("swc"), F.sum("w").alias("sw"))
+    )
+    m = F.when(F.col("sw") == 0, F.lit(None).cast("double")).otherwise(
+        F.col("swc").cast("double") / F.col("sw").cast("double") / F.lit(100.0)
+    )
+    return (
+        repagg.select("event_type", m.alias("m"))
+        .groupBy(F.col("event_type").alias(cohort_col))
+        .agg(
+            F.round(F.percentile("m", F.lit(0.025)), 6).alias("boot_lo"),
+            F.round(F.percentile("m", F.lit(0.5)), 6).alias("boot_mid"),
+            F.round(F.percentile("m", F.lit(0.975)), 6).alias("boot_hi"),
+        )
+    )
+
+
+@register(
+    "ab_test_proportions",
+    oracle="""
+    WITH arms AS (
+        SELECT DISTINCT user_id, user_id % 2 AS arm FROM events
+    ),
+    denom AS (SELECT arm, count(*) AS n FROM arms GROUP BY 1),
+    conv AS (
+        SELECT e.event_type, a.arm, count(DISTINCT e.user_id) AS x
+        FROM events e JOIN arms a ON e.user_id = a.user_id
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT c.event_type,
+               sum(CASE WHEN c.arm = 0 THEN c.x ELSE 0 END) AS x_a,
+               sum(CASE WHEN c.arm = 1 THEN c.x ELSE 0 END) AS x_b
+        FROM conv c GROUP BY 1
+    ),
+    n_ AS (
+        SELECT sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS n_a,
+               sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS n_b
+        FROM denom
+    )
+    SELECT w.event_type,
+           CAST(w.x_a AS BIGINT) AS x_a, CAST(n_.n_a AS BIGINT) AS n_a,
+           CAST(w.x_b AS BIGINT) AS x_b, CAST(n_.n_b AS BIGINT) AS n_b,
+           CASE WHEN w.x_a + w.x_b = 0 OR w.x_a + w.x_b = n_.n_a + n_.n_b THEN NULL
+                ELSE (CAST(w.x_a AS DOUBLE) / CAST(n_.n_a AS DOUBLE)
+                    - CAST(w.x_b AS DOUBLE) / CAST(n_.n_b AS DOUBLE))
+                     / sqrt((CAST(w.x_a + w.x_b AS DOUBLE) / CAST(n_.n_a + n_.n_b AS DOUBLE))
+                          * (1.0 - CAST(w.x_a + w.x_b AS DOUBLE) / CAST(n_.n_a + n_.n_b AS DOUBLE))
+                          * (1.0 / CAST(n_.n_a AS DOUBLE) + 1.0 / CAST(n_.n_b AS DOUBLE)))
+           END AS z_stat
+    FROM wide w CROSS JOIN n_
+    """,
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per event type: users split into arms by
+    id parity (the deterministic hash-split every experiment framework
+    uses); "converted" = the user emitted at least one event of the
+    type; z compares arm conversion rates under the pooled-variance
+    normal approximation — the decision statistic of every A/B
+    dashboard.  NULL z on the all-or-none degenerates (DEVNOTES #44).
+
+    Exactness: x/n counts are integers; z is ONE shared-shape float
+    expression (sub-expressions written identically on both engines;
+    sqrt is correctly-rounded IEEE).  Scale: two distinct-aggregates
+    (user dim + per-type users) and a 2-row broadcast denominator —
+    conversion counting is the only corpus-scale work.
+    """
+    e = load_tables(spark, sf_dir, "events")["events"]
+    arms = e.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    )
+    denom = arms.groupBy("arm").agg(F.count("*").alias("n"))
+    conv = (
+        e.join(arms, "user_id")
+        .groupBy("event_type", "arm")
+        .agg(F.countDistinct("user_id").alias("x"))
+    )
+    wide = conv.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0)).alias("x_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0)).alias("x_b"),
+    )
+    n_ = denom.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0)).alias("n_b"),
+    )
+    x_pool = F.col("x_a") + F.col("x_b")
+    n_pool = F.col("n_a") + F.col("n_b")
+    p_pool = x_pool.cast("double") / n_pool.cast("double")
+    z = (
+        F.col("x_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    ) / F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (F.lit(1.0) / F.col("n_a").cast("double") + F.lit(1.0) / F.col("n_b").cast("double"))
+    )
+    return wide.crossJoin(F.broadcast(n_)).select(
+        "event_type",
+        F.col("x_a").cast("bigint").alias("x_a"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("x_b").cast("bigint").alias("x_b"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.when((x_pool == 0) | (x_pool == n_pool), F.lit(None).cast("double"))
+        .otherwise(z)
+        .alias("z_stat"),
+    )

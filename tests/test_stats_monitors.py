@@ -135,3 +135,41 @@ def test_preference_pairs_margin_and_skip(spark, tmp_path):
     r = out[0]
     assert r["source"] == "srcA" and r["chosen_doc"] == 1 and r["rejected_doc"] == 2
     assert r["margin"] > 0
+
+
+def test_bootstrap_ci_brackets_true_mean(spark, tmp_path_factory):
+    from tcdb_spark.plans.queries_stats import bootstrap_ci_mean
+
+    tmp = tmp_path_factory.mktemp("boot_events")
+    # 400 values symmetric around 25.0 -> CI must bracket 25 tightly,
+    # lo < mid < hi, and the whole thing must be deterministic.
+    vals = [25.0 + ((i % 21) - 10) * 0.5 for i in range(400)]
+    d = _write_events(spark, tmp, _mk_rows([("m", vals)]))
+    r1 = bootstrap_ci_mean(spark, d).collect()[0]
+    r2 = bootstrap_ci_mean(spark, d).collect()[0]
+    assert (r1["boot_lo"], r1["boot_mid"], r1["boot_hi"]) == (
+        r2["boot_lo"], r2["boot_mid"], r2["boot_hi"])  # seeded-hash determinism
+    assert r1["boot_lo"] < r1["boot_mid"] < r1["boot_hi"]
+    assert r1["boot_lo"] < 25.0 < r1["boot_hi"]
+    assert r1["boot_hi"] - r1["boot_lo"] < 2.0  # ~2*1.96*sd/sqrt(n) scale
+
+
+def test_ab_test_planted_effect(spark, tmp_path):
+    from tcdb_spark.plans.queries_stats import ab_test_proportions
+
+    # Arm 0 = even users, arm 1 = odd. "treat" events go to even users
+    # only (huge effect); "common" events go to everyone (z == 0 ...
+    # exactly, since both proportions are 1).
+    rows, eid = [], 0
+    base = dt.datetime(2024, 1, 1)
+    for u in range(40):
+        rows.append((eid, base, u, "common", 1.0, "{}")); eid += 1
+        if u % 2 == 0:
+            rows.append((eid, base, u, "treat", 1.0, "{}")); eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in ab_test_proportions(spark, d).collect()}
+    t = out["treat"]
+    assert t["x_a"] == 20 and t["x_b"] == 0 and t["n_a"] == 20 and t["n_b"] == 20
+    assert t["z_stat"] is not None and t["z_stat"] > 5.0
+    # all-converted degenerate -> pooled p = 1 -> NULL (no ANSI crash)
+    assert out["common"]["z_stat"] is None

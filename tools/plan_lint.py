@@ -66,6 +66,8 @@ SCALAR_CROSS_OK = {
     # (queries_stats.py); fan-out is |cohorts| x distinct frame, audited
     "ks_drift",
     "rank_sum_shift",
+    # 1-row per-arm-denominator broadcast cross (the z-test n_a/n_b)
+    "ab_test_proportions",
 }
 
 # Arrow-based Python ops are design choices documented per operator.
