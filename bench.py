@@ -46,6 +46,15 @@ HEADLINE = [
     "ewma_smooth",
     "pack_sequences_sharded",
     "knn_join",
+    # round-5 widening (VERDICT r4 item 6): the round-4 lanes join the
+    # frozen set; positions 1-20 and 1-25 stay comparable via the
+    # core20_total / core25_total subtotals.
+    "ks_drift",
+    "bradley_terry_ratings",
+    "retrieval_metrics",
+    "image_phash_dedup",
+    "graph_common_neighbors",
+    "winnow_fingerprint",
 ]
 
 
@@ -99,6 +108,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     core20 = round(sum(t for n, t in timings.items() if n in HEADLINE[:20]), 3)
+    core25 = round(sum(t for n, t in timings.items() if n in HEADLINE[:25]), 3)
     print(
         json.dumps(
             {
@@ -109,6 +119,9 @@ def main() -> None:
                 # the original frozen-20 subtotal — the number BASELINE.md's
                 # operative r1 figure (12.118 s) is comparable against
                 "core20_total": core20,
+                # the round-4 25-lane subtotal — comparable to BENCH_r04's
+                # headline total (12.012 s)
+                "core25_total": core25,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -20,6 +20,7 @@ from __future__ import annotations
 import datetime as dt
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tcdb_spark.sources.warehouse import Warehouse
 
@@ -280,7 +281,18 @@ class Engine:
         from tcdb_spark.operators.bpe import bpe_encode, bpe_segment
 
         if id_col in docs.columns:
-            return docs.join(bpe_encode(docs, merges, id_col=id_col), id_col, "left")
+            # coalesce so empty/whitespace docs (no words -> no row in the
+            # per-doc token table) get the same empty array the
+            # bpe_segment fallback produces, not NULL.  id_col must be
+            # unique — duplicate ids would collapse into one shared join
+            # row, silently sharing a token sequence.
+            return (
+                docs.join(bpe_encode(docs, merges, id_col=id_col), id_col, "left")
+                .withColumn(
+                    "tokens",
+                    F.coalesce(F.col("tokens"), F.array().cast("array<string>")),
+                )
+            )
         return bpe_segment(docs, merges)
 
     def restore(self, table: str, version: int) -> int:
@@ -665,6 +677,33 @@ class Engine:
 
         return rank_shift_by_cohort(df, cohort_col, value_col)
 
+    def ks_drift_binned(
+        self, df: DataFrame, cohort_col: str, value_col: str, bins: int = 64
+    ) -> DataFrame:
+        """Binned-ECDF KS per cohort — the production twin of ks_drift
+        for continuous/high-cardinality value columns: per-cohort state
+        is |bins| integers instead of the full distinct-value frame
+        (plans/queries_stats.binned_value_frame + ks_by_cohort)."""
+        from tcdb_spark.plans.queries_stats import binned_value_frame, ks_by_cohort
+
+        return ks_by_cohort(
+            binned_value_frame(df, cohort_col, value_col, bins), cohort_col, "value"
+        )
+
+    def rank_shift_binned(
+        self, df: DataFrame, cohort_col: str, value_col: str, bins: int = 64
+    ) -> DataFrame:
+        """Grouped-midrank Mann-Whitney over bin ids — the production
+        twin of rank_shift for continuous value columns."""
+        from tcdb_spark.plans.queries_stats import (
+            binned_value_frame,
+            rank_shift_by_cohort,
+        )
+
+        return rank_shift_by_cohort(
+            binned_value_frame(df, cohort_col, value_col, bins), cohort_col, "value"
+        )
+
     def changepoint(
         self, df: DataFrame, series_col: str, ts_col: str, id_col: str, value_col: str
     ) -> DataFrame:
@@ -702,6 +741,17 @@ class Engine:
         from tcdb_spark.plans.queries_stats import bt_ratings_from_wins
 
         return bt_ratings_from_wins(self.spark, wins, item_col)
+
+    def rate_pairwise_distributed(
+        self, wins: DataFrame, item_col: str = "item"
+    ) -> DataFrame:
+        """Bradley-Terry at item scale: join-aggregate MM iterations
+        (plans/queries_stats.bt_ratings_distributed) for duel matrices
+        beyond the driver solve's 10k-cell guard — 10^6-item
+        per-document preference data."""
+        from tcdb_spark.plans.queries_stats import bt_ratings_distributed
+
+        return bt_ratings_distributed(wins, item_col)
 
     def predict_links(
         self, edges: DataFrame, src: str = "u", dst: str = "v",

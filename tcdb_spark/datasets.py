@@ -51,12 +51,20 @@ def _obs_point_lookup(warehouse: Warehouse, storms: DataFrame) -> DataFrame:
 
     v = warehouse.current_version("observations")
     if v is not None and os.path.exists(warehouse._stats_path("observations", v)):
-        ids = [r["storm_id"] for r in storms.select("storm_id").collect()]
-        if ids:
+        # one-row aggregate instead of collecting the id list: only the
+        # (min, max) bounds reach the driver (file pruning is a
+        # driver-side metadata decision), and the exact membership
+        # filter stays distributed as a broadcast semi-join
+        b = storms.agg(
+            F.min("storm_id").alias("lo"), F.max("storm_id").alias("hi")
+        ).first()
+        if b["lo"] is not None:
             obs, _info = warehouse.read_skipping(
-                "observations", {"storm_id": (min(ids), max(ids))}
+                "observations", {"storm_id": (b["lo"], b["hi"])}
             )
-            return obs.where(F.col("storm_id").isin(ids))
+            return obs.join(
+                F.broadcast(storms.select("storm_id")), "storm_id", "left_semi"
+            )
     return warehouse.read("observations")
 
 

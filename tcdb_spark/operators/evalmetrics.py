@@ -61,13 +61,25 @@ def retrieval_eval(
     Shape: the per-query rank window is bounded by that query's
     candidate set (partitioned, never global); everything after the
     top-k pivot runs on #queries rows.  Ties break on ``id_col`` so
-    ranks are deterministic."""
+    ranks are deterministic.
+
+    Degenerate inputs are first-class (arbitrary ANN/hybrid output hits
+    both routinely): a query with FEWER than k candidates leaves the
+    missing rel_i slots NULL after the pivot — they coalesce to 0 so
+    p@k and the DCG ladder treat absent ranks as non-relevant instead
+    of going NULL; a query with ZERO relevant candidates has IDCG = 0 —
+    nDCG is undefined there, so it returns NULL (never a 0/0 division,
+    which raises under the ANSI default) and drops out of downstream
+    averages explicitly rather than crashing the job (DEVNOTES #44
+    convention, same as cohen_kappa / acf_lags)."""
     w = W.partitionBy(q_col).orderBy(F.col(score_col).desc(), F.col(id_col).asc())
     nrel = cands.groupBy(q_col).agg(F.sum(rel_col).cast("bigint").alias("n_rel"))
     ranked = cands.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
     pivoted = ranked.groupBy(q_col).agg(
         *[
-            F.max(F.when(F.col("rnk") == i, F.col(rel_col))).alias(f"rel_{i}")
+            F.coalesce(
+                F.max(F.when(F.col("rnk") == i, F.col(rel_col))), F.lit(0)
+            ).alias(f"rel_{i}")
             for i in range(1, k + 1)
         ],
         F.min(F.when(F.col(rel_col) == 1, F.col("rnk"))).alias("first_rel"),
@@ -77,7 +89,8 @@ def retrieval_eval(
         "n_rel",
         f"{precision_expr(k)} AS p_at_{k}",
         f"round({MRR_EXPR}, 6) AS mrr",
-        f"round(({dcg_ladder(k)}) / ({idcg_ladder(k)}), 6) AS ndcg_at_{k}",
+        f"CASE WHEN n_rel = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE round(({dcg_ladder(k)}) / ({idcg_ladder(k)}), 6) END AS ndcg_at_{k}",
     )
 
 

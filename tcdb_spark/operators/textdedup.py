@@ -125,31 +125,35 @@ def incremental_lsh_candidates(index: DataFrame, new_bands: DataFrame) -> DataFr
     return cross.unionByName(within).distinct()
 
 
-def hot_keys(inv: DataFrame, key: str, df_cap: int) -> DataFrame:
-    """Distinct values of ``key`` whose row frequency exceeds ``df_cap``.
+def hot_keys(inv: DataFrame, key: str | list[str], df_cap: int) -> DataFrame:
+    """Distinct values of ``key`` (a column or a composite key list)
+    whose row frequency exceeds ``df_cap``.
 
     ``inv`` must already be per-document distinct in ``key`` (one row per
     (doc, key)) so the row count *is* the document frequency.  The result
     is tiny by construction (only keys hotter than the cap), so callers
     broadcast it.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     return (
-        inv.groupBy(key)
+        inv.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__df"))
         .where(F.col("__df") > df_cap)
-        .select(key)
+        .select(*keys)
     )
 
 
-def drop_hot_keys(inv: DataFrame, key: str, df_cap: int) -> DataFrame:
-    """Remove rows whose ``key`` has document frequency > ``df_cap``.
+def drop_hot_keys(inv: DataFrame, key: str | list[str], df_cap: int) -> DataFrame:
+    """Remove rows whose ``key`` (column or composite key list) has
+    document frequency > ``df_cap``.
 
     One extra aggregation over the index (map-side partial, key-wise
     shuffle) buys a bounded join: afterwards no key can contribute more
     than ``df_cap``^2 pairs.  The hot set is broadcast, so the filter
     itself adds no shuffle to the main path.
     """
-    return inv.join(F.broadcast(hot_keys(inv, key, df_cap)), key, "left_anti")
+    keys = [key] if isinstance(key, str) else list(key)
+    return inv.join(F.broadcast(hot_keys(inv, keys, df_cap)), keys, "left_anti")
 
 
 def incremental_winnow_candidates(index: DataFrame, new_fps: DataFrame) -> DataFrame:

@@ -78,7 +78,7 @@ _RETRIEVAL_ORACLE = f"""
         QUALIFY rnk <= {TOP}
     ), pivoted AS (
         SELECT q_id,
-               {", ".join(f"max(CASE WHEN rnk = {i} THEN rel END) AS rel_{i}"
+               {", ".join(f"coalesce(max(CASE WHEN rnk = {i} THEN rel END), 0) AS rel_{i}"
                           for i in range(1, TOP + 1))},
                min(CASE WHEN rel = 1 THEN rnk END) AS first_rel
         FROM ranked GROUP BY q_id
@@ -86,7 +86,8 @@ _RETRIEVAL_ORACLE = f"""
     SELECT p.q_id, n.n_rel,
            {_PREC} AS p_at_{TOP},
            round({_MRR}, 6) AS mrr,
-           round(({_DCG}) / ({_IDCG}), 6) AS ndcg_at_{TOP}
+           CASE WHEN n_rel = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE round(({_DCG}) / ({_IDCG}), 6) END AS ndcg_at_{TOP}
     FROM pivoted p JOIN nrel n ON n.q_id = p.q_id
     """
 

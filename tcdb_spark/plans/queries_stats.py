@@ -27,10 +27,16 @@ from tcdb_spark.plans.catalog import load_tables, register
 # small cohort-dim cross join, so the fan-out is |distinct (type,value)|
 # x |cohorts|, never |rows| x |cohorts|; the per-cohort running counts
 # are integer window sums over the distinct-value frame.
-_ECDF_CTES = """
-    coh AS (SELECT DISTINCT event_type AS g FROM events),
+
+
+def _ecdf_ctes(src: str = "events") -> str:
+    """ECDF CTE chain over any (event_type, value) source relation —
+    parameterized so the EXACT lanes run it on raw values and the
+    BINNED production twins run the identical chain on bin ids."""
+    return f"""
+    coh AS (SELECT DISTINCT event_type AS g FROM {src}),
     agg0 AS (SELECT event_type, value, count(*) AS cnt
-             FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+             FROM {src} WHERE value IS NOT NULL GROUP BY 1, 2),
     agg AS (SELECT c.g, a.value,
                    sum(CASE WHEN a.event_type = c.g THEN a.cnt ELSE 0 END) AS a,
                    sum(a.cnt) AS c
@@ -43,6 +49,9 @@ _ECDF_CTES = """
             FROM agg),
     tot AS (SELECT g, sum(a) AS n_g, sum(c) AS n_all FROM agg GROUP BY 1)
 """
+
+
+_ECDF_CTES = _ecdf_ctes()
 
 
 def ecdf_frames(df: DataFrame, cohort_col: str, value_col: str):
@@ -142,6 +151,14 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partitioned window — never a global sort).  Every D contribution
     is |ca/n1 - cb/n2| of exact integers computed by one identical
     expression per engine, so max() compares identical float sets.
+
+    ATTESTATION TWIN: exact KS needs a total order over the distinct
+    values, so each cohort's window partition holds the full distinct
+    frame — right for bounded-cardinality metrics (event scores, enum
+    grades), quadratic-reducer-state on a continuous column at corpus
+    scale.  The production lane for continuous metrics is
+    `ks_drift_binned` (|bins| integers per cohort, D error bounded by
+    within-bin spread, equality pinned on discrete fixtures).
     """
     e = load_tables(spark, sf_dir, "events")["events"]
     return ks_by_cohort(e, "event_type", "value")
@@ -176,9 +193,160 @@ def rank_sum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared ECDF scaffolding and scale shape as `ks_drift`.  (The bigint
     product n_g*n_rest caps the exact lane near n~3e9 per cohort; past
     that the same expression runs in DOUBLE with attested tolerance.)
+
+    ATTESTATION TWIN: same distinct-value window fan-out as `ks_drift`
+    — exact on bounded-cardinality metrics, quadratic on continuous
+    ones; the continuous-metric production lane is `rank_sum_binned`
+    (grouped midrank U over |bins| integers per cohort).
     """
     e = load_tables(spark, sf_dir, "events")["events"]
     return rank_shift_by_cohort(e, "event_type", "value")
+
+
+# --- binned ECDF production twins (the PSI discipline) ----------------------
+#
+# The EXACT lanes above fan the full distinct-value frame into every
+# cohort's window partition — on a continuous metric at corpus scale,
+# distinct ~ rows and each cohort's single reducer sorts the entire value
+# universe.  These twins bin first (fixed shared edges, same idiom as
+# psi_drift), so per-cohort state is |bins| integers, the leave-one-out
+# cross fans out |cohorts| x |bins| rows, and the per-cohort window sorts
+# at most |bins| rows.  D error is bounded by the within-bin CDF spread
+# (zero when values are already discrete per bin — the
+# sax_similarity_capped convention); the EXACT lanes remain as
+# attestation twins for bounded-cardinality value columns.
+
+_KS_BINS = 64
+
+_KS_BIN_SQL = (
+    f"CAST(least(floor((value - mn) / (greatest(mx - mn, 1e-300) / {_KS_BINS})), "
+    f"{_KS_BINS - 1}) AS INTEGER)"
+)
+
+_BINNED_SRC_CTES = f"""
+    rng AS (SELECT min(value) AS mn, max(value) AS mx
+            FROM events WHERE value IS NOT NULL),
+    events_b AS (
+        SELECT event_type, {_KS_BIN_SQL} AS value
+        FROM events CROSS JOIN rng WHERE value IS NOT NULL
+    )"""
+
+
+def binned_value_frame(
+    df: DataFrame, cohort_col: str, value_col: str, bins: int = _KS_BINS
+) -> DataFrame:
+    """(cohort, bin-id) frame under shared fixed-width edges derived
+    from the global (min, max) — one tiny broadcast aggregate, then a
+    pure codegen bin expression per row (identical float shape to the
+    `_KS_BIN_SQL` oracle text, so both engines bin the same value
+    identically).  The bin id feeds the SAME ECDF scaffolding the exact
+    lanes use; constant value columns collapse to bin 0 (width guard)."""
+    e = df.where(F.col(value_col).isNotNull())
+    rng = e.agg(F.min(value_col).alias("mn"), F.max(value_col).alias("mx"))
+    width = F.greatest(F.col("mx") - F.col("mn"), F.lit(1e-300)) / bins
+    return e.crossJoin(F.broadcast(rng)).select(
+        F.col(cohort_col).alias(cohort_col),
+        F.least(F.floor((F.col(value_col) - F.col("mn")) / width), F.lit(bins - 1))
+        .cast("int")
+        .alias("value"),
+    )
+
+
+@register(
+    "ks_drift_binned",
+    oracle="WITH "
+    + _BINNED_SRC_CTES
+    + ","
+    + _ecdf_ctes("events_b")
+    + """
+    SELECT r.g AS event_type, CAST(t.n_g AS BIGINT) AS n_cohort,
+           max(abs(CAST(r.ca AS DOUBLE) / CAST(t.n_g AS DOUBLE)
+                 - CAST(r.cc - r.ca AS DOUBLE) / CAST(t.n_all - t.n_g AS DOUBLE))) AS ks_d
+    FROM run r JOIN tot t ON r.g = t.g
+    GROUP BY 1, 2
+    """,
+)
+def ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned-ECDF KS drift monitor — the 100 TB production twin of
+    `ks_drift`: values bin into {bins} fixed shared-edge buckets FIRST
+    (one scan + map-side combine to |cohorts| x |bins| integer counts),
+    then the identical leave-one-out ECDF chain runs on bin ids, so no
+    window partition ever holds more than |bins| rows regardless of the
+    value column's cardinality.  D is exact at bin edges and under-reads
+    the true sup-distance by at most the within-bin CDF spread; on a
+    value column whose distinct values land one-per-bin the twin equals
+    the exact lane bit-for-bit (pinned in tests/test_stats_monitors.py).
+    """
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return ks_by_cohort(
+        binned_value_frame(e, "event_type", "value"), "event_type", "value"
+    )
+
+
+@register(
+    "rank_sum_binned",
+    oracle="WITH "
+    + _BINNED_SRC_CTES
+    + ","
+    + _ecdf_ctes("events_b")
+    + """,
+    ranked AS (
+        SELECT g, sum(a * (2 * cc - c + 1)) AS twice_r FROM run GROUP BY g
+    )
+    SELECT r.g AS event_type,
+           CAST(r.twice_r - t.n_g * (t.n_g + 1) AS BIGINT) AS u2,
+           CAST(r.twice_r - t.n_g * (t.n_g + 1) AS DOUBLE)
+             / (CAST(t.n_g AS DOUBLE) * CAST(t.n_all - t.n_g AS DOUBLE) * 2.0) AS auc
+    FROM ranked r JOIN tot t ON r.g = t.g
+    """,
+)
+def rank_sum_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Mann-Whitney production twin of `rank_sum_shift`: grouped
+    midrank U over bin ids — every value in a bin ties at the bin's
+    midrank (the standard grouped/interval rank-sum), which perturbs AUC
+    by at most the within-bin mass product while collapsing per-cohort
+    window state to |bins| integers.  Same binning, same exact-integer
+    2xU bookkeeping, same one-final-division float discipline as the
+    exact lane; equality on one-value-per-bin fixtures is pinned in
+    tests/test_stats_monitors.py."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return rank_shift_by_cohort(
+        binned_value_frame(e, "event_type", "value"), "event_type", "value"
+    )
+
+
+def ks_from_counts(
+    state: DataFrame, cohort_col: str, bins: int = 16
+) -> DataFrame:
+    """Leave-one-out binned KS from a wide (cohort, c0..c{bins-1}, n)
+    bin-count matrix — the SAME state `streaming.pipeline.psi_bin_counts`
+    folds (drift monitoring shares one mergeable summary across PSI and
+    KS).  Per cohort the ECDF is a fixed-order literal running sum over
+    the count columns; the rest-of-pool ECDF subtracts the cohort from
+    the broadcast totals (one tiny aggregate).  Single-cohort states
+    return NULL ks_d (no comparison population — DEVNOTES #44, never a
+    divide-by-zero)."""
+    tot = state.agg(
+        *[F.sum(f"c{i}").alias(f"t{i}") for i in range(bins)],
+        F.sum("n").alias("tn"),
+    )
+    j = state.crossJoin(F.broadcast(tot))
+    ca = "0"
+    ct = "0"
+    d_terms = []
+    for i in range(bins):
+        ca = f"{ca} + c{i}"
+        ct = f"{ct} + t{i}"
+        d_terms.append(
+            f"abs(CAST({ca} AS DOUBLE) / CAST(n AS DOUBLE)"
+            f" - CAST(({ct}) - ({ca}) AS DOUBLE) / CAST(tn - n AS DOUBLE))"
+        )
+    d_expr = "greatest(" + ", ".join(d_terms) + ")"
+    return j.selectExpr(
+        f"{cohort_col}",
+        "CAST(n AS BIGINT) AS n_cohort",
+        f"CASE WHEN tn = n THEN CAST(NULL AS DOUBLE) ELSE {d_expr} END AS ks_d",
+    )
 
 
 @register(
@@ -465,9 +633,111 @@ def bt_ratings_from_wins(
     return spark.createDataFrame(out, f"{item_col} string, n_wins bigint, rating double")
 
 
+@register("bradley_terry_distributed", oracle=_bt_oracle_sql())
+def bradley_terry_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-scale Bradley-Terry: the DISTRIBUTED MM twin of
+    `bradley_terry_ratings` for duel matrices the driver cannot hold
+    (10^6 items — per-document preference data, where k^2 cells is not
+    "a leaderboard" any more).  Each MM update is ONE join-aggregate —
+    pairs ⋈ ratings (on i) ⋈ ratings (on j) → per-item denominator sums
+    → wi/den — exactly the `pagerank` iteration shape: the pair matrix
+    persists once, ratings are O(|items|), lineage truncates per round
+    (localCheckpoint), fixed {_BT_ITERS} iterations keep it
+    SQL-expressible against the identical unrolled-CTE oracle.  Same
+    p=1 start, same zero-guards, same round(6) normalized output as the
+    driver solve — pinned equal to it in tests/test_preference_graph.py
+    and smoked at 10^5 items (tools/scale_smoke_r5.py).
+    """
+    return bt_ratings_distributed(pairwise_wins(spark, sf_dir), "event_type")
+
+
+def bt_ratings_distributed(
+    wins_df: DataFrame, item_col: str = "item", iters: int = _BT_ITERS
+) -> DataFrame:
+    """MM solve over any (winner, loser, n_wins) frame as join-aggregate
+    iterations (facade twin of `bradley_terry_distributed`); use
+    `bt_ratings_from_wins` when k is leaderboard-sized — a k x k solve
+    has no business shuffling a cluster, but a 10^6-item one has no
+    business on the driver.
+
+    Iteration state rides PARQUET, not checkpoint/cache: each round's
+    O(|items|) ratings table is written out and re-read, so every round
+    starts from a clean file-scan leaf — constant plan depth, constant
+    (real) size statistics, zero recompute lineage.  The obvious
+    alternatives compound across 25 rounds: a checkpointed LogicalRDD
+    preserves its origin's sizeInBytes, and Catalyst's visitJoin
+    MULTIPLIES child sizes, so the estimate SQUARES per round (measured:
+    30+ min inside BigInteger.multiplyToomCook3 before any task ran);
+    cache-and-unpersist loops stall on recompute races.  Persisting each
+    round to storage is the standard iterative-job discipline at cluster
+    scale anyway (it is what makes a 10^6-item run restartable)."""
+    import tempfile
+
+    spark = wins_df.sparkSession
+    w = wins_df.select(
+        F.col("winner").alias("i"), F.col("loser").alias("j"),
+        F.col("n_wins").cast("bigint").alias("n"),
+    )
+    pairs = (
+        w.unionByName(w.select(F.col("j").alias("i"), F.col("i").alias("j"), "n"))
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n"))
+        .persist()
+    )
+    wtot = (
+        pairs.select("i")
+        .distinct()
+        .join(w.groupBy("i").agg(F.sum("n").alias("wn")), "i", "left")
+        .select("i", F.coalesce(F.col("wn"), F.lit(0)).cast("double").alias("wi"))
+        .persist()
+    )
+    tmp = tempfile.mkdtemp(prefix="bt_mm_rounds_")
+    p = wtot.select("i", F.lit(1.0).alias("p"))
+    for k in range(iters):
+        den = (
+            pairs.join(p.select(F.col("i"), F.col("p").alias("pi")), "i")
+            .join(p.select(F.col("i").alias("j"), F.col("p").alias("pj")), "j")
+            .select(
+                "i",
+                F.when(F.col("pi") + F.col("pj") == 0, F.lit(0.0))
+                .otherwise(F.col("n").cast("double") / (F.col("pi") + F.col("pj")))
+                .alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("den"))
+        )
+        new_p = wtot.join(den, "i").select(
+            "i",
+            F.when((F.col("wi") == 0) | (F.col("den") == 0), F.lit(0.0))
+            .otherwise(F.col("wi") / F.col("den"))
+            .alias("p"),
+        )
+        # alternate two round dirs; the FINAL round keeps its files (the
+        # returned DataFrame scans them lazily)
+        path = f"{tmp}/round_{k % 2}" if k < iters - 1 else f"{tmp}/final"
+        new_p.write.mode("overwrite").parquet(path)
+        p = spark.read.parquet(path)
+    tot = p.agg(F.sum("p").alias("t"))
+    out = (
+        p.crossJoin(F.broadcast(tot))
+        .join(wtot, "i")
+        .select(
+            F.col("i").alias(item_col),
+            F.col("wi").cast("bigint").alias("n_wins"),
+            F.round(F.col("p") / F.col("t"), 6).alias("rating"),
+        )
+    )
+    return out
+
+
 from tcdb_spark.plans.queries_training import _TRI_EDGES_SQL  # noqa: E402
 
 _CN_DEG_CAP = 96
+# co-occurrence-key cap for the edge-construction self-join: max buyers
+# per (supplier, week) before the key is dropped as a hub (testdata max
+# is 11 at sf0.1 — the cap is lossless there and bounds a planted
+# megahub to <= cap^2 pairs)
+_CO_KEY_CAP = 64
 
 
 @register(
@@ -507,12 +777,20 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree cap are excluded from CONNECTING pairs (cap {_CN_DEG_CAP};
     true degrees still drive the Jaccard) — hubs are terrible link
     evidence anyway (a megahub connecting everyone predicts nothing),
-    the same df-cap discipline as `dedup_ngram_jaccard`.  Candidate
-    scoring is integer counts; Jaccard is the single final division;
-    top-50 is orderBy+limit (TakeOrderedAndProject, never a global
-    sort), tiebreak (u, v) per DEVNOTES #6.
+    the same df-cap discipline as `dedup_ngram_jaccard`.  The EDGE
+    CONSTRUCTION self-join has the same hazard one step earlier: a hot
+    (supp, wk) co-occurrence key with 10^6 buyers yields 10^12 candidate
+    pairs before the wedge cap ever runs, so the co-purchase frame is
+    df-capped on (supp, wk) at {_CO_KEY_CAP} first (`drop_hot_keys`) —
+    lossless when no key is hot (testdata max is 11; the planted-hot-key
+    test pins survival).  Candidate scoring is integer counts; Jaccard
+    is the single final division; top-50 is orderBy+limit
+    (TakeOrderedAndProject, never a global sort), tiebreak (u, v) per
+    DEVNOTES #6.
     """
     t = load_tables(spark, sf_dir, "orders", "lineitem")
+    from tcdb_spark.operators.graph import common_neighbor_links
+
     co = (
         t["orders"]
         .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
@@ -523,20 +801,37 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    from tcdb_spark.operators.graph import common_neighbor_links
+    e = cooccurrence_edges(co, ["supp", "wk"], "cust", key_cap=_CO_KEY_CAP)
+    return common_neighbor_links(e, deg_cap=_CN_DEG_CAP, top_n=50)
 
-    a, b = co.alias("a"), co.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.supp") == F.col("b.supp"))
-            & (F.col("a.wk") == F.col("b.wk"))
-            & (F.col("a.cust") < F.col("b.cust")),
+
+def cooccurrence_edges(
+    co: DataFrame, key_cols: list[str], node_col: str, key_cap: int
+) -> DataFrame:
+    """Undirected co-occurrence edges (u < v): two nodes connect when
+    they share a key.  ``co`` must be distinct per (node, key).
+
+    The self-join is quadratic per key (one hot key with 10^6 members
+    yields 10^12 candidate pairs), so keys with more than ``key_cap``
+    members are dropped FIRST via the broadcast-anti `drop_hot_keys` —
+    lossless when no key is hot, and a megahub key is near-zero
+    co-occurrence evidence anyway (everyone co-occurs with everyone —
+    the df-cap rationale of the n-gram dedup index).  Planted-hot-key
+    survival is pinned in tests/test_preference_graph.py."""
+    from tcdb_spark.operators.textdedup import drop_hot_keys
+
+    capped = drop_hot_keys(co, key_cols, key_cap)
+    a, b = capped.alias("a"), capped.alias("b")
+    cond = F.col(f"a.{node_col}") < F.col(f"b.{node_col}")
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{node_col}").alias("u"), F.col(f"b.{node_col}").alias("v")
         )
-        .select(F.col("a.cust").alias("u"), F.col("b.cust").alias("v"))
         .distinct()
     )
-    return common_neighbor_links(e, deg_cap=_CN_DEG_CAP, top_n=50)
 
 
 from tcdb_spark.plans.catalog import ORACLES as _ORACLES  # noqa: E402

@@ -2,11 +2,13 @@
 ``binary`` payloads with typed metadata, processed by Arrow-batched
 ``mapInPandas`` operators.
 
-Decoding is REAL for two pure-numpy formats — binary PPM images (P5/P6)
-and PCM WAV audio (RIFF headers + 8/16-bit samples) — routed by magic
-bytes, so feature extraction computes from actual pixels and samples
-with no codec libraries.  Other formats (JPEG/MP4/...) would need
-PIL/ffmpeg, which are not in this container: ``decode_stub=True`` routes
+Decoding is REAL for three pure-stdlib/numpy formats — binary PPM images
+(P5/P6), PNG (zlib inflate + the five scanline filters, 8-bit
+gray/RGB/palette/alpha), and PCM WAV audio (RIFF headers + 8/16-bit
+samples) — routed by magic bytes, so feature extraction computes from
+actual pixels and samples with no codec libraries.  Other formats
+(JPEG/MP4/...) would need PIL/ffmpeg, which are not in this container:
+``decode_stub=True`` routes
 them to a deterministic fake featureizer so the distributed path is
 still exercised end to end; ``decode_stub=False`` raises
 NotImplementedError where the codec call would sit in a real deployment.
@@ -68,6 +70,146 @@ def decode_ppm(payload: bytes) -> dict:
     }
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def decode_png(payload: bytes) -> dict:
+    """Pure-stdlib PNG decode (zlib inflate + the five scanline filters):
+    8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4
+    (gray+alpha), 6 (RGBA), non-interlaced — the format real corpora
+    actually contain, with no codec library anywhere.  Returns the same
+    dict shape as :func:`decode_ppm` (width, height, maxval, (h, w, c)
+    uint8 pixels; palette images expand to RGB).
+
+    Filter inversion is row-sequential by spec; per row, None/Up are
+    one vectorized add, Sub is a per-channel-lane cumsum (recon[x] =
+    raw[x] + recon[x-bpp] is linear mod 256), and Average/Paeth walk
+    the row (their left-neighbor dependency is inherently serial).
+    16-bit depth and interlacing raise with a documented swap point."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (size,) = _struct.unpack_from(">I", payload, pos)
+        cid = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", body)
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG payload missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"invalid PNG compression/filter method ({comp}/{filt})")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG supported (depth={depth}, "
+            f"interlace={interlace}); 16-bit/Adam7 would slot in here"
+        )
+    channels = _PNG_CHANNELS.get(ctype)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    bpp = channels  # bytes per pixel at 8-bit depth
+    recon = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 1:  # Sub: cumsum per channel-offset lane, mod 256
+            cur = (np.cumsum(line.reshape(w, bpp), axis=0) & 255).ravel()
+        elif ft == 2:  # Up
+            cur = (line + prev) & 255
+        elif ft == 3:  # Average
+            cur = np.empty(stride, np.int64)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + ((left + prev[x]) >> 1)) & 255
+        elif ft == 4:  # Paeth
+            cur = np.empty(stride, np.int64)
+            for x in range(stride):
+                a_ = cur[x - bpp] if x >= bpp else 0
+                b_ = prev[x]
+                c_ = prev[x - bpp] if x >= bpp else 0
+                p = a_ + b_ - c_
+                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+                cur[x] = (line[x] + pred) & 255
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        recon[y] = cur.astype(np.uint8)
+        prev = cur
+    px = recon.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        px = plte[px[..., 0]]
+    return {"width": w, "height": h, "maxval": 255, "pixels": px}
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal valid PNG writer (8-bit, non-interlaced, filter 0 rows,
+    correct CRCs): gray / gray+alpha / RGB / RGBA from the channel
+    count.  The re-encode half of the resize lane and the fixture
+    factory for the decode tests."""
+    import zlib
+
+    px = np.ascontiguousarray(np.asarray(pixels, np.uint8))
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(body))
+            + cid
+            + body
+            + _struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _is_image(payload: bytes) -> bool:
+    return payload[:2] in (b"P5", b"P6") or payload[:8] == _PNG_MAGIC
+
+
+def decode_image(payload: bytes) -> dict:
+    """Magic-byte image router: Netpbm (P5/P6) or PNG — one dict shape
+    (width, height, maxval, pixels) either way, so every image operator
+    downstream (features, aHash, resize) is format-agnostic."""
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_ppm(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
+    raise ValueError("not a decodable image payload (PPM/PGM/PNG)")
+
+
 def decode_wav(payload: bytes) -> dict:
     """PCM WAV: RIFF/WAVE chunk walk, fmt (PCM only) + data chunks.
     Returns sample_rate, n_channels and an (n_frames, n_channels)
@@ -109,8 +251,8 @@ def media_features(payload: bytes) -> list[float] | None:
     WAV: [sample_rate, channels, duration_s, rms, peak, zero-cross
     rate, mean, dynamic range]. Returns None for unrecognized bytes.
     """
-    if payload[:2] in (b"P5", b"P6"):
-        img = decode_ppm(payload)
+    if _is_image(payload):
+        img = decode_image(payload)
         norm = img["pixels"].astype(np.float64) / img["maxval"]
         return [
             float(img["width"]),
@@ -201,12 +343,24 @@ def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
     formats through."""
     img = decode_ppm(payload)
     px = img["pixels"]
-    ys = (np.arange(out_h) * img["height"] // out_h).astype(np.intp)
-    xs = (np.arange(out_w) * img["width"] // out_w).astype(np.intp)
-    resized = px[ys][:, xs]
+    resized = _resize_pixels(img, out_w, out_h)
     magic = b"P6" if px.shape[2] == 3 else b"P5"
     header = magic + f"\n{out_w} {out_h}\n{img['maxval']}\n".encode()
     return header + resized.tobytes()
+
+
+def _resize_pixels(img: dict, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of a decoded image dict via a numpy index
+    map (two gathers, no Python pixel loop)."""
+    ys = (np.arange(out_h) * img["height"] // out_h).astype(np.intp)
+    xs = (np.arange(out_w) * img["width"] // out_w).astype(np.intp)
+    return img["pixels"][ys][:, xs]
+
+
+def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL image resize for PNG payloads — same nearest-neighbor index
+    map as :func:`resize_ppm`, re-encoded PNG (filter-0 rows)."""
+    return encode_png(_resize_pixels(decode_png(payload), out_w, out_h))
 
 
 RESIZED_SCHEMA = (
@@ -230,6 +384,8 @@ def resize_media(
         payload = bytes(p)
         if payload[:2] in (b"P5", b"P6"):
             return resize_ppm(payload, out_w, out_h)
+        if payload[:8] == _PNG_MAGIC:
+            return resize_png(payload, out_w, out_h)
         if not decode_stub:
             raise NotImplementedError(
                 "payload format needs codec libraries not in this container"
@@ -419,17 +575,21 @@ AHASH_GRID = 8  # 8x8 cells -> 64-bit average hash
 AHASH_SCHEMA = "media_id long, ahash long"
 
 
-def ahash_ppm(payload: bytes, grid: int = AHASH_GRID) -> int:
-    """Average hash (aHash) of a PPM/PGM payload: grayscale -> grid x
-    grid block means -> one bit per cell (cell >= global cell mean),
-    packed row-major MSB-first.  Returns the UNSIGNED 64-bit value;
-    :func:`media_ahash` converts to Spark's signed LongType.
+def ahash_image(payload: bytes, grid: int = AHASH_GRID) -> int:
+    """Average hash (aHash) of any decodable image payload (PPM/PGM or
+    PNG — magic-routed): grayscale -> grid x grid block means -> one bit
+    per cell (cell >= global cell mean), packed row-major MSB-first.
+    Returns the UNSIGNED 64-bit value; :func:`media_ahash` converts to
+    Spark's signed LongType.
 
-    aHash is brightness-shift invariant by construction (adding a
-    constant to every pixel shifts every cell mean and the threshold by
-    the same amount), which is exactly the near-duplicate class
-    re-encoded/re-exposed images fall into."""
-    img = decode_ppm(payload)
+    Format-agnostic by construction: the SAME pixels encoded as PPM and
+    as PNG hash identically (pinned in tests), which is what lets
+    `image_phash_dedup` find cross-format re-encodes.  aHash is
+    brightness-shift invariant (adding a constant to every pixel shifts
+    every cell mean and the threshold by the same amount), which is
+    exactly the near-duplicate class re-encoded/re-exposed images fall
+    into."""
+    img = decode_image(payload)
     px = img["pixels"].astype(np.float64).mean(axis=2)
     h, w = px.shape
     ys = (np.arange(grid + 1) * h) // grid
@@ -445,12 +605,17 @@ def ahash_ppm(payload: bytes, grid: int = AHASH_GRID) -> int:
     return val
 
 
+def ahash_ppm(payload: bytes, grid: int = AHASH_GRID) -> int:
+    """Back-compat alias: :func:`ahash_image` handles PPM/PGM and PNG."""
+    return ahash_image(payload, grid)
+
+
 def _ahash_signed(payload: bytes, decode_stub: bool = True) -> int:
     """64-bit aHash as a signed long (Spark LongType two's complement).
-    Non-Netpbm payloads fall back to a deterministic md5 pseudo-hash
+    Non-image payloads fall back to a deterministic md5 pseudo-hash
     (``decode_stub``) or raise where the codec call would sit."""
-    if payload[:2] in (b"P5", b"P6"):
-        v = ahash_ppm(payload)
+    if _is_image(payload):
+        v = ahash_image(payload)
     elif decode_stub:
         import hashlib
 

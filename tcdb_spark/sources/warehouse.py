@@ -191,15 +191,22 @@ class Warehouse:
         tables: ONE os.replace of the snapshot makes every entry visible
         together, then the per-table pointer caches follow (crash in
         between is benign — readers prefer the snapshot)."""
-        snap = self._read_snapshot()
-        if snap is None and len(versions) == 1:
-            # no snapshot yet and a single-table commit: the pointer swap
-            # alone is already atomic; don't force the overlay into being
-            ((table, v),) = versions.items()
-            self._write_pointer(table, v)
-            return
+        # Always commit under the snapshot lock (held only microseconds).
+        # A lock-free pointer-only fast path races with a concurrent
+        # transaction bootstrapping the first _SNAPSHOT.json: it could
+        # read the pre-commit pointer and seed the snapshot with the
+        # stale version, shadowing this commit (readers prefer the
+        # snapshot) and letting the next write reuse its v= directory.
         with self._snapshot_lock():
             snap = self._read_snapshot()
+            if snap is None and len(versions) == 1:
+                # no snapshot yet and a single-table commit: the pointer
+                # swap alone is atomic, and under the lock no concurrent
+                # bootstrap can interleave — don't force the overlay
+                # into being
+                ((table, v),) = versions.items()
+                self._write_pointer(table, v)
+                return
             if snap is None:
                 # bootstrap from every table's pointer so the first
                 # snapshot is a complete, consistent picture
@@ -892,7 +899,10 @@ class Warehouse:
             if hit:
                 keep.append(fname)
         if keep:
-            df = self.spark.read.parquet(*keep)
+            # basePath keeps partition discovery alive when reading leaf
+            # files, so partition_by columns stay in the schema (identical
+            # to read() and to the keep=[] fallback below)
+            df = self.spark.read.option("basePath", path).parquet(*keep)
         else:
             df = self.spark.read.parquet(path).limit(0)
         for col, (lo, hi) in filters.items():

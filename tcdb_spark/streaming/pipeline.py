@@ -587,7 +587,13 @@ def psi_bin_counts(
         F.greatest(F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
         F.lit(bins - 1),
     ).cast("int")
-    binned = df.select(cohort_col, b.alias("bin"))
+    # NULL values get no bin, so they must not count into n either —
+    # otherwise sum(c0..c{bins-1}) < n and every smoothed q_i is biased
+    # low for cohorts with NULLs (the batch ECDF lanes filter NULLs the
+    # same way)
+    binned = df.where(F.col(value_col).isNotNull()).select(
+        cohort_col, b.alias("bin")
+    )
     counts = [
         F.sum(F.when(F.col("bin") == i, 1).otherwise(0)).cast("double").alias(f"c{i}")
         for i in range(bins)
@@ -657,6 +663,48 @@ def stream_psi_drift(
         )
     )
     return writer.start()
+
+
+def stream_ks_drift(
+    spark: SparkSession,
+    docs_dir: str,
+    warehouse: Warehouse,
+    schema: T.StructType,
+    cohort_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 16,
+    table: str = "ks_state",
+    checkpoint_dir: str | None = None,
+):
+    """Continuous Kolmogorov-Smirnov drift monitoring — the streaming
+    twin of the `ks_drift_binned` batch lane.  The folded state is the
+    SAME mergeable (cohorts x bins) integer count matrix as
+    ``stream_psi_drift`` (one summary serves both monitors: PSI reads
+    it as smoothed bin probabilities, KS as a binned ECDF), so the fold
+    IS ``stream_psi_drift`` pointed at a KS-named table, epoch guard
+    included.  ``plans.queries_stats.ks_from_counts`` over the state at
+    any moment gives each cohort's leave-one-out binned KS D over
+    everything that has flowed through — pinned equal to the one-shot
+    batch computation in tests/test_syntracks_streaming.py.
+
+    Returns the started StreamingQuery (AvailableNow).
+    """
+    return stream_psi_drift(
+        spark,
+        docs_dir,
+        warehouse,
+        schema,
+        cohort_col,
+        value_col,
+        lo,
+        hi,
+        bins=bins,
+        table=table,
+        checkpoint_dir=checkpoint_dir
+        or f"{warehouse.root}/_checkpoints/ks_{table}",
+    )
 
 
 def stream_distinct_hll(

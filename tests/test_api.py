@@ -333,6 +333,16 @@ def test_engine_tokenize_diversify_winnow_facades(spark, tmp_path):
     got = {r.doc_id: list(r.tokens) for r in out.collect()}
     assert got == fold
 
+    # empty / whitespace-only docs: the encode route must produce the
+    # SAME empty array the bpe_segment fallback produces, never NULL
+    edge = spark.createDataFrame(
+        [(1, "low lower"), (2, ""), (3, "   ")], "doc_id int, text string"
+    )
+    got_e = {r.doc_id: r.tokens for r in eng.tokenize(edge, merges).collect()}
+    want_e = {r.doc_id: r.tokens for r in bpe_segment(edge, merges).collect()}
+    assert got_e == want_e
+    assert got_e[2] == [] and got_e[3] == []
+
     cands = spark.createDataFrame(
         [(1, v, 1.0 - v / 10.0, [float(v % 2), 1.0, float(v)]) for v in range(1, 6)],
         "q_id int, vec_id int, cos double, emb array<double>",

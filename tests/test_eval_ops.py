@@ -51,6 +51,38 @@ def test_retrieval_eval_no_relevant_in_topk(spark):
     assert row["n_rel"] == 1
 
 
+def test_retrieval_eval_degenerate_inputs(spark):
+    """Arbitrary ANN/hybrid output hits both degenerate shapes routinely:
+    a query with ZERO relevant candidates (IDCG = 0) must yield
+    nDCG = NULL — not a 0/0 DIVIDE_BY_ZERO crash under the ANSI default;
+    a query with FEWER than k candidates must coalesce the missing
+    rel_i slots to 0 so P@k and nDCG come back numeric, not NULL."""
+    from tcdb_spark.operators.evalmetrics import retrieval_eval
+
+    cands = spark.createDataFrame(
+        [
+            # q=1: no relevant candidates at all -> n_rel = 0
+            (1, 10, 0, 0.9),
+            (1, 11, 0, 0.8),
+            # q=2: only 2 candidates for k=3, first one relevant
+            (2, 20, 1, 0.9),
+            (2, 21, 0, 0.8),
+        ],
+        "q_id int, vec_id int, rel int, score double",
+    )
+    rows = {r["q_id"]: r for r in retrieval_eval(cands, k=3).collect()}
+    q1, q2 = rows[1], rows[2]
+    assert q1["n_rel"] == 0
+    assert q1["p_at_3"] == 0.0
+    assert q1["mrr"] == 0.0
+    assert q1["ndcg_at_3"] is None  # undefined, not a crash and not 0
+    assert q2["n_rel"] == 1
+    assert abs(q2["p_at_3"] - 1 / 3) < 1e-12
+    assert q2["mrr"] == 1.0
+    # DCG = 1/log2(2) from rank 1; IDCG = 1/log2(2) (n_rel = 1)
+    assert q2["ndcg_at_3"] == 1.0
+
+
 def test_calibration_bins_and_clamp(spark):
     """Counts/rates per bin, and out-of-range scores clamp to the edge
     bins instead of vanishing or binning negative."""

@@ -194,3 +194,186 @@ def test_map_in_arrow_twin_matches_pandas_lane(spark):
     b = {r["media_id"]: r.asDict() for r in extract_features_arrow(df).collect()}
     assert a == b
     assert a[1]["features"] is not None and a[4]["features"] is None
+
+
+# ------------------------------------------------------------- PNG decode
+
+
+def test_png_roundtrip_all_channel_counts():
+    """encode_png -> decode_png is the identity on pixels for gray,
+    gray+alpha, RGB, and RGBA (the four 8-bit channel layouts)."""
+    from tcdb_spark.sources.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(11, 13, c), dtype=np.uint8)
+        out = decode_png(encode_png(px))
+        assert out["width"] == 13 and out["height"] == 11
+        assert out["maxval"] == 255
+        np.testing.assert_array_equal(out["pixels"], px)
+
+
+def test_png_all_five_filters_inverted():
+    """Hand-filter known scanlines with each of the 5 PNG filter types
+    (applying the spec's forward transform) and check the decoder
+    reconstructs the original pixels exactly."""
+    import struct as _s
+    import zlib
+
+    from tcdb_spark.sources.multimodal import _PNG_MAGIC, decode_png
+
+    rng = np.random.default_rng(11)
+    w, h, bpp = 9, 5, 3
+    px = rng.integers(0, 256, size=(h, w, bpp), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = int(a) + int(b) - int(c)
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = np.zeros(w * bpp, np.int64)
+    for y, ft in zip(range(h), (0, 1, 2, 3, 4)):
+        line = px[y].ravel().astype(np.int64)
+        filt = np.empty(w * bpp, np.int64)
+        for x in range(w * bpp):
+            left = line[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = paeth(left, up, ul)
+            filt[x] = (line[x] - pred) & 255
+        raw += bytes([ft]) + bytes(filt.astype(np.uint8))
+        prev = line
+
+    def chunk(cid, body):
+        return _s.pack(">I", len(body)) + cid + body + _s.pack(
+            ">I", zlib.crc32(cid + body) & 0xFFFFFFFF
+        )
+
+    payload = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(payload)["pixels"], px)
+
+
+def test_png_palette_expands_to_rgb():
+    import struct as _s
+    import zlib
+
+    from tcdb_spark.sources.multimodal import _PNG_MAGIC, decode_png
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+
+    def chunk(cid, body):
+        return _s.pack(">I", len(body)) + cid + body + _s.pack(
+            ">I", zlib.crc32(cid + body) & 0xFFFFFFFF
+        )
+
+    payload = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(payload)["pixels"]
+    assert out.shape == (2, 3, 3)
+    assert tuple(out[0, 0]) == (255, 0, 0)
+    assert tuple(out[0, 2]) == (0, 0, 255)
+    assert tuple(out[1, 0]) == (0, 0, 255)
+
+
+def test_png_guards():
+    from tcdb_spark.sources.multimodal import decode_png, encode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+    # 16-bit depth: documented swap point, actionable error
+    import struct as _s
+    import zlib
+
+    from tcdb_spark.sources.multimodal import _PNG_MAGIC
+
+    def chunk(cid, body):
+        return _s.pack(">I", len(body)) + cid + body + _s.pack(
+            ">I", zlib.crc32(cid + body) & 0xFFFFFFFF
+        )
+
+    deep = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (2 * (2 * 3 * 2 + 1))))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="16-bit|8-bit"):
+        decode_png(deep)
+
+
+def test_png_feature_and_hash_parity_with_ppm():
+    """The SAME pixels as PPM and as PNG must produce identical features
+    and an identical aHash — cross-format re-encodes are exactly the
+    near-dup class the phash lane exists for."""
+    from tcdb_spark.sources.multimodal import (
+        ahash_image,
+        decode_ppm,
+        encode_png,
+        make_patterned_ppm,
+        make_test_ppm,
+        media_features,
+    )
+
+    ppm = make_test_ppm(16, 12)
+    png = encode_png(decode_ppm(ppm)["pixels"])
+    assert media_features(ppm) == media_features(png)
+    pat = make_patterned_ppm("pngpar")
+    pat_png = encode_png(decode_ppm(pat)["pixels"])
+    assert ahash_image(pat) == ahash_image(pat_png)
+
+
+def test_resize_png_closed_form():
+    from tcdb_spark.sources.multimodal import decode_png, encode_png, resize_png
+
+    px = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    out = decode_png(resize_png(encode_png(px), 4, 3))
+    assert out["width"] == 4 and out["height"] == 3
+    # nearest-neighbor index map: row y -> y*6//3, col x -> x*8//4
+    np.testing.assert_array_equal(out["pixels"], px[::2, ::2])
+
+
+def test_media_near_dup_mixed_ppm_png(spark):
+    """image_phash_dedup's operator chain on MIXED-format media: a PPM
+    and its PNG re-encode hash identically (hamming 0) and the banded
+    join finds the cross-format pair."""
+    from tcdb_spark.sources.multimodal import (
+        decode_ppm,
+        encode_png,
+        make_patterned_ppm,
+        media_ahash,
+        media_near_dup_pairs,
+    )
+
+    ppm = make_patterned_ppm("mix1")
+    png = encode_png(decode_ppm(ppm)["pixels"])
+    other = make_patterned_ppm("mix2")
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(png)), (3, bytearray(other))],
+        "media_id long, payload binary",
+    )
+    pairs = media_near_dup_pairs(media_ahash(media), 7, 8).collect()
+    assert [(p["media_id_a"], p["media_id_b"], p["hamming"]) for p in pairs] == [
+        (1, 2, 0)
+    ]

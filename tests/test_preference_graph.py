@@ -76,6 +76,73 @@ def test_common_neighbor_deg_cap_drops_hub_wedges(spark):
     assert common_neighbor_links(e, deg_cap=10, top_n=100).count() == 15
 
 
+def test_bt_distributed_equals_driver_solve(spark):
+    """The join-aggregate MM twin must reproduce the driver solve on a
+    leaderboard-sized duel matrix: same p=1 start, same zero-guards,
+    same 25 iterations, same round(6) normalized output."""
+    from tcdb_spark.plans.queries_stats import (
+        bt_ratings_distributed,
+        bt_ratings_from_wins,
+    )
+
+    wins = spark.createDataFrame(
+        [
+            ("A", "B", 7), ("B", "A", 3), ("A", "C", 9), ("C", "A", 1),
+            ("B", "C", 6), ("C", "B", 4), ("C", "D", 8), ("D", "C", 2),
+            ("A", "D", 5), ("E", "A", 2), ("A", "E", 8),
+            # F never wins -> rating exactly 0 on both paths
+            ("B", "F", 4),
+        ],
+        "winner string, loser string, n_wins bigint",
+    )
+    driver = {r["item"]: r for r in bt_ratings_from_wins(spark, wins, "item").collect()}
+    dist = {r["item"]: r for r in bt_ratings_distributed(wins, "item").collect()}
+    assert set(driver) == set(dist)
+    for item in driver:
+        assert driver[item]["n_wins"] == dist[item]["n_wins"]
+        # both sides round(6) a contraction fixed point; sum-order drift
+        # is below the rounding grain
+        assert dist[item]["rating"] == pytest.approx(
+            driver[item]["rating"], abs=2e-6
+        )
+    assert dist["F"]["rating"] == 0.0
+
+
+def test_cooccurrence_edges_cap_survives_megahub(spark):
+    """The edge-construction self-join is quadratic per co-occurrence
+    key: a planted megahub key (600 members -> ~180k candidate pairs
+    from ONE key) must be dropped by the (supp, wk)-style df-cap before
+    the join, while every edge from normal keys survives verbatim
+    (lossless-when-no-key-is-hot, the salted-equivalence convention)."""
+    from tcdb_spark.plans.queries_stats import cooccurrence_edges
+
+    rows = [(n, "hot", 1) for n in range(10_000, 10_600)]
+    rows += [(n, "k1", 1) for n in (1, 2, 3)]
+    rows += [(n, "k2", 2) for n in (2, 3, 4)]
+    co = spark.createDataFrame(rows, "cust bigint, supp string, wk bigint")
+
+    capped = {
+        (r["u"], r["v"])
+        for r in cooccurrence_edges(co, ["supp", "wk"], "cust", key_cap=64).collect()
+    }
+    # normal-key edges all present
+    assert capped == {(1, 2), (1, 3), (2, 3), (3, 4), (2, 4)}
+    # nothing from the megahub leaked through
+    assert not any(u >= 10_000 or v >= 10_000 for u, v in capped)
+
+    # without the planted hub the cap is a no-op (lossless)
+    small = spark.createDataFrame(rows[600:], "cust bigint, supp string, wk bigint")
+    uncapped = {
+        (r["u"], r["v"])
+        for r in cooccurrence_edges(small, ["supp", "wk"], "cust", key_cap=10**9).collect()
+    }
+    lossless = {
+        (r["u"], r["v"])
+        for r in cooccurrence_edges(small, ["supp", "wk"], "cust", key_cap=64).collect()
+    }
+    assert uncapped == lossless
+
+
 def test_engine_stats_facades(spark, tmp_path):
     from tcdb_spark.api import Engine
 

@@ -175,6 +175,39 @@ def test_file_skipping_prunes_and_stays_exact(spark, tmp_path):
     assert pruned2.count() == 1000
 
 
+def test_file_skipping_keeps_partition_columns(spark, tmp_path):
+    """read_skipping over a partition_by layout must return the SAME
+    schema as read(): reading pruned leaf files with basePath keeps
+    partition discovery alive, so partition columns survive and remain
+    filterable (without basePath they vanish and a filter on one raises
+    UNRESOLVED_COLUMN)."""
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whp"))
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("part")
+    )
+    wh.write("pt", df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+             partition_by=["part"])
+    wh.collect_stats("pt", ["k"])
+
+    pruned, info = wh.read_skipping("pt", {"k": (100, 199)})
+    assert 1 <= info["files_read"] < info["files_total"]
+    # schema parity with the plain read, partition column included
+    assert sorted(pruned.columns) == sorted(wh.read("pt").columns)
+    assert "part" in pruned.columns
+    # the partition column is real: filterable and correct
+    got = sorted(
+        (r["k"], r["part"]) for r in pruned.where(F.col("part") == 1).collect()
+    )
+    assert got == [(k, 1) for k in range(100, 200) if k % 4 == 1]
+    # the keep=[] fallback path has the identical schema too
+    empty, info0 = wh.read_skipping("pt", {"k": (10_000, 20_000)})
+    assert info0["files_read"] == 0
+    assert sorted(empty.columns) == sorted(pruned.columns)
+    assert empty.count() == 0
+
+
 def test_file_skipping_requires_stats(spark, tmp_path):
     import pytest
 

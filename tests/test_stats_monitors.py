@@ -64,6 +64,93 @@ def test_auc_direction_and_bounds(spark, drift_dir):
     assert 0.0 <= out["same_a"] < 0.5
 
 
+def test_binned_twins_equal_exact_on_discrete_fixture(spark):
+    """On a value column whose distinct values land one-per-bin (64
+    integer values under 64 data-derived bins), the binned production
+    twins ARE the exact lanes bit-for-bit: same D, same u2, same auc —
+    the lossless-when-discrete contract that lets them share the exact
+    oracle convention."""
+    from tcdb_spark.plans.queries_stats import (
+        binned_value_frame,
+        ks_by_cohort,
+        rank_shift_by_cohort,
+    )
+
+    rows = [("lo", float(v)) for v in range(0, 40)]
+    rows += [("hi", float(v)) for v in range(24, 64)]
+    rows += [("mid", float(v)) for v in range(12, 52)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    binned = binned_value_frame(df, "g", "v", bins=64)
+
+    exact_ks = {r["g"]: r for r in ks_by_cohort(df, "g", "v").collect()}
+    binned_ks = {r["g"]: r for r in ks_by_cohort(binned, "g", "value").collect()}
+    assert set(exact_ks) == set(binned_ks)
+    for g in exact_ks:
+        assert binned_ks[g]["n_cohort"] == exact_ks[g]["n_cohort"]
+        assert binned_ks[g]["ks_d"] == exact_ks[g]["ks_d"]  # exact equality
+
+    exact_rs = {r["g"]: r for r in rank_shift_by_cohort(df, "g", "v").collect()}
+    binned_rs = {r["g"]: r for r in rank_shift_by_cohort(binned, "g", "value").collect()}
+    for g in exact_rs:
+        assert binned_rs[g]["u2"] == exact_rs[g]["u2"]
+        assert binned_rs[g]["auc"] == exact_rs[g]["auc"]
+
+
+def test_binned_ks_bounded_error_on_continuous(spark, drift_dir):
+    """On continuous data the binned D under-reads the exact D by at
+    most the within-bin CDF spread — and still flags the planted shift
+    at full strength (disjoint support -> D = 1 in both)."""
+    from tcdb_spark.plans.queries_stats import ks_drift, ks_drift_binned
+
+    exact = {r["event_type"]: r["ks_d"] for r in ks_drift(spark, drift_dir).collect()}
+    binned = {r["event_type"]: r["ks_d"] for r in ks_drift_binned(spark, drift_dir).collect()}
+    assert binned["shifted"] == pytest.approx(1.0)
+    for g in exact:
+        assert binned[g] <= exact[g] + 1e-12  # binning never inflates D
+        assert exact[g] - binned[g] < 0.1  # 64 bins resolve this fixture
+
+
+def test_ks_from_counts_matches_binned_batch(spark):
+    """The streaming-state read-out (leave-one-out KS from a wide
+    (cohort, c0..c15, n) count matrix) equals the batch ECDF chain run
+    on the identical fixed-edge bin ids — the state and the batch lane
+    are the same statistic."""
+    from tcdb_spark.plans.queries_stats import ks_by_cohort, ks_from_counts
+    from tcdb_spark.streaming.pipeline import psi_bin_counts
+
+    rows = [("a", float(10 + (i * 7) % 90)) for i in range(120)]
+    rows += [("b", float(140 + (i * 11) % 100)) for i in range(80)]
+    rows += [("c", float((i * 13) % 250)) for i in range(100)]
+    df = spark.createDataFrame(rows, "cohort string, x double")
+    lo, hi, bins = 0.0, 256.0, 16
+
+    state = psi_bin_counts(df, "cohort", "x", lo, hi, bins)
+    got = {r["cohort"]: r for r in ks_from_counts(state, "cohort", bins).collect()}
+
+    width = (hi - lo) / bins
+    binned = df.select(
+        "cohort",
+        F.least(
+            F.greatest(F.floor((F.col("x") - lo) / width), F.lit(0)), F.lit(bins - 1)
+        ).cast("int").alias("value"),
+    )
+    want = {r["cohort"]: r for r in ks_by_cohort(binned, "cohort", "value").collect()}
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g]["n_cohort"] == want[g]["n_cohort"]
+        assert got[g]["ks_d"] == pytest.approx(want[g]["ks_d"], abs=1e-12)
+
+
+def test_ks_from_counts_single_cohort_is_null(spark):
+    from tcdb_spark.plans.queries_stats import ks_from_counts
+    from tcdb_spark.streaming.pipeline import psi_bin_counts
+
+    df = spark.createDataFrame([("only", 5.0), ("only", 9.0)], "cohort string, x double")
+    state = psi_bin_counts(df, "cohort", "x", 0.0, 16.0, 16)
+    row = ks_from_counts(state, "cohort", 16).collect()[0]
+    assert row["ks_d"] is None  # no comparison population, never a crash
+
+
 def test_cusum_finds_planted_mean_shift(spark, tmp_path):
     from tcdb_spark.plans.queries_stats import cusum_changepoint
 

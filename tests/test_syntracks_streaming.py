@@ -461,6 +461,73 @@ def test_stream_psi_drift_matches_batch(spark, tmp_path):
     assert abs(psi["s0"] - psi["s8"]) < 1e-12
 
 
+def test_stream_ks_drift_matches_batch(spark, tmp_path):
+    """Streaming KS monitor: bin counts fold across two file drops into
+    the shared PSI/KS state matrix; ks_from_counts over the folded state
+    equals the one-shot batch computation EXACTLY (integer state, shared
+    read-out expression) and separates the shifted cohort."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from tcdb_spark.plans.queries_stats import ks_from_counts
+    from tcdb_spark.sources.warehouse import Warehouse
+    from tcdb_spark.streaming.pipeline import psi_bin_counts, stream_ks_drift
+
+    schema = T.StructType(
+        [T.StructField("cohort", T.StringType()), T.StructField("x", T.DoubleType())]
+    )
+    d = tmp_path / "feed"
+    rows1 = [(f"s{k}", float(i % 100)) for k in range(4) for i in range(150)]
+    rows2 = [(f"s{k}", float(i % 100)) for k in range(4) for i in range(100)] + [
+        ("shifted", 200.0 + float(i % 50)) for i in range(80)
+    ]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(d))
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    args = dict(lo=0.0, hi=256.0, bins=16, checkpoint_dir=str(tmp_path / "ckpt"))
+    q = stream_ks_drift(spark, str(d), wh, schema, "cohort", "x", **args)
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(d), mode="append"
+    )
+    q2 = stream_ks_drift(spark, str(d), wh, schema, "cohort", "x", **args)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    state = wh.read("ks_state").drop("__epoch")
+    all_rows = spark.createDataFrame(rows1 + rows2, schema)
+    batch_state = psi_bin_counts(all_rows, "cohort", "x", 0.0, 256.0, 16)
+    got = {r["cohort"]: r for r in ks_from_counts(state, "cohort", 16).collect()}
+    want = {r["cohort"]: r for r in ks_from_counts(batch_state, "cohort", 16).collect()}
+    assert set(got) == set(want)
+    for cohort in want:
+        assert got[cohort]["n_cohort"] == want[cohort]["n_cohort"]
+        assert got[cohort]["ks_d"] == want[cohort]["ks_d"]  # exact integer state
+    # disjoint support -> D = 1 for the shifted cohort; healthy ~ equal
+    assert got["shifted"]["ks_d"] == pytest.approx(1.0)
+    assert got["s0"]["ks_d"] < 0.4
+
+
+def test_psi_bin_counts_excludes_nulls_from_n(spark):
+    """NULL values get no bin, so they must not count into n either —
+    sum(c0..c15) must equal n exactly, or every smoothed q_i is biased
+    low for cohorts with NULLs (the batch ECDF lanes filter NULLs; the
+    streaming state must match)."""
+    from tcdb_spark.streaming.pipeline import psi_bin_counts
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", None), ("a", 20.0), ("b", None), ("b", 5.0)],
+        "cohort string, x double",
+    )
+    rows = {r["cohort"]: r for r in psi_bin_counts(df, "cohort", "x", 0.0, 256.0, 16).collect()}
+    for cohort, n_want in (("a", 2.0), ("b", 1.0)):
+        r = rows[cohort]
+        assert r["n"] == n_want
+        assert sum(r[f"c{i}"] for i in range(16)) == r["n"]
+
+
 def test_stream_distinct_hll_replay_is_idempotent_without_epoch_guard(spark, tmp_path):
     """HLL state fold is a per-register max, so the torn-transaction
     replay that REQUIRES the epoch guard on additive folds is a no-op

@@ -66,9 +66,23 @@ SCALAR_CROSS_OK = {
     # (queries_stats.py); fan-out is |cohorts| x distinct frame, audited
     "ks_drift",
     "rank_sum_shift",
+    # binned production twins: 1-row (min,max) edge broadcast + the same
+    # |cohorts|-row dim cross, but over at most |bins| distinct values
+    "ks_drift_binned",
+    "rank_sum_binned",
     # 1-row per-arm-denominator broadcast cross (the z-test n_a/n_b)
     "ab_test_proportions",
+    # 1-row ratings-total normalization broadcast cross (MM twin)
+    "bradley_terry_distributed",
 }
+
+# Per-query wall-time ceiling at sf0.01 (seconds). The driver's 50-row
+# sample rotates, so a slow outlier anywhere in the catalog can surface
+# in CORRECTNESS_r{N}; the lint executes every query anyway, so it
+# enforces the budget in the same pass. Generous enough for the
+# iterative lanes (25-iteration MM chains), strict enough to catch a
+# runaway join before the driver does.
+QUERY_BUDGET_S = 120.0
 
 # Arrow-based Python ops are design choices documented per operator.
 ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
@@ -130,15 +144,24 @@ def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-lint")
     rows, violations = [], []
+    import time
+
     for name, fn in sorted(QUERIES.items()):
         try:
+            t0 = time.monotonic()
             df = fn(spark, sf)
             df.collect()
+            elapsed = time.monotonic() - t0
             plan = df._jdf.queryExecution().executedPlan().toString()
             plan = plan.split("== Initial Plan ==")[0]
         except Exception as e:  # noqa: BLE001
             violations.append(f"{name}: failed to execute ({e})")
             continue
+        if elapsed > QUERY_BUDGET_S:
+            violations.append(
+                f"{name}: {elapsed:.1f}s at sf0.01 exceeds the "
+                f"{QUERY_BUDGET_S:.0f}s catalog budget"
+            )
         # the driver's pandas canonicalizer sorts/hashes output values:
         # complex-typed columns are unhashable and crash it (round-2
         # embedding_pca finding) — catalog outputs must be scalar
@@ -159,7 +182,9 @@ def main() -> None:
         smj = plan.count("SortMergeJoin")
         pyrow = plan.count("BatchEvalPython")
         arrow = sum(plan.count(n) for n in ARROW_NODES)
-        rows.append((name, shuffles, bcasts, smj, bnlj, cart, pyrow, arrow))
+        rows.append(
+            (name, shuffles, bcasts, smj, bnlj, cart, pyrow, arrow, f"{elapsed:.2f}")
+        )
         if cart:
             violations.append(f"{name}: CartesianProduct in final plan")
         if bnlj and name not in SCALAR_CROSS_OK:
@@ -195,9 +220,11 @@ def main() -> None:
             "ops are the sanctioned Python path (counted, not flagged).\n"
             "Catalog outputs must be scalar-typed (the driver canonicalizer\n"
             "cannot hash array/map/struct columns), and the audit fails unless\n"
-            "it covers every catalog query.\n\n"
-            "| query | shuffles | broadcasts | SMJ | BNLJ | cartesian | pyUDF | arrow |\n"
-            "|---|---|---|---|---|---|---|---|\n"
+            "it covers every catalog query.  Each query also carries a\n"
+            f"{QUERY_BUDGET_S:.0f}s wall-time budget at sf0.01 (a slow outlier\n"
+            "anywhere in the catalog can rotate into the driver sample).\n\n"
+            "| query | shuffles | broadcasts | SMJ | BNLJ | cartesian | pyUDF | arrow | sec |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
         )
         for r in rows:
             f.write("| " + " | ".join(str(x) for x in r) + " |\n")
