@@ -2,12 +2,14 @@
 ``binary`` payloads with typed metadata, processed by Arrow-batched
 ``mapInPandas`` operators.
 
-Decoding is REAL for three pure-stdlib/numpy formats — binary PPM images
+Decoding is REAL for four pure-stdlib/numpy formats — binary PPM images
 (P5/P6), PNG (zlib inflate + the five scanline filters, 8-bit
-gray/RGB/palette/alpha), and PCM WAV audio (RIFF headers + 8/16-bit
-samples) — routed by magic bytes, so feature extraction computes from
-actual pixels and samples with no codec libraries.  Other formats
-(JPEG/MP4/...) would need PIL/ffmpeg, which are not in this container:
+gray/RGB/palette/alpha), baseline JPEG (marker walk, canonical Huffman,
+dequantize + 8x8 IDCT, chroma upsampling, JFIF YCbCr->RGB), and PCM WAV
+audio (RIFF headers + 8/16-bit samples) — routed by magic bytes, so
+feature extraction computes from actual pixels and samples with no codec
+libraries.  Remaining formats (progressive JPEG, FLAC, MP4/...) would
+need PIL/ffmpeg, which are not in this container:
 ``decode_stub=True`` routes
 them to a deterministic fake featureizer so the distributed path is
 still exercised end to end; ``decode_stub=False`` raises
@@ -195,19 +197,426 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+# --------------------------------------------------------------- JPEG codec
+#
+# Baseline JFIF (SOF0, Huffman, 8-bit) — the format real image corpora
+# actually contain — decoded with nothing but the stdlib and numpy:
+# marker walk, canonical Huffman from DHT bits/values, per-MCU entropy
+# decode with byte unstuffing and restart markers, dequantize, 8x8 IDCT
+# as two matrix multiplies, chroma upsampling, JFIF YCbCr->RGB.
+# Progressive (SOF2) and 12-bit raise with a documented swap point.
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.intp,
+)
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis T[u, x] = 0.5 c(u) cos((2x+1)u pi/16);
+    forward F = T f T^T, inverse f = T^T F T."""
+    x = np.arange(8)
+    t = 0.5 * np.cos((2 * x[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16)
+    t[0] *= 1 / np.sqrt(2)
+    return t
+
+
+_DCT_T = _dct_basis()
+
+
+class _HuffTable:
+    """Canonical Huffman decoder from DHT (bits[1..16], values):
+    (length, code) -> symbol, plus fast min/max code per length."""
+
+    def __init__(self, bits: list[int], values: bytes):
+        self.lut: dict[tuple[int, int], int] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lut[(length, code)] = values[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data: unstuffs
+    FF00, stops at any other marker (the caller handles RSTn)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos = buf, pos
+        self.bits, self.nbits = 0, 0
+
+    def _fill(self) -> None:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerHit(0xFF00 | nxt)
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.bits >> self.nbits) & ((1 << n) - 1)
+        self.bits &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: _HuffTable) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read(1)
+            length += 1
+            sym = table.lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def align(self) -> None:
+        self.bits, self.nbits = 0, 0
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline JFIF decode (pure stdlib + numpy): 8-bit sequential
+    SOF0, 1 or 3 components, any 1/2 sampling factors (4:4:4, 4:2:2,
+    4:2:0), restart intervals.  Returns the same dict shape as
+    :func:`decode_ppm` ((h, w, c) uint8 pixels, maxval 255).  SOF2
+    progressive / arithmetic / 12-bit raise NotImplementedError with the
+    swap point named."""
+    if payload[:3] != _JPEG_MAGIC:
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None
+    restart = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker sync at {pos}")
+        while payload[pos + 1] == 0xFF:  # fill bytes before a marker
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = _struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 15
+                b += 1
+                if pq:
+                    tbl = np.frombuffer(body, ">u2", 64, b).astype(np.float64)
+                    b += 128
+                else:
+                    tbl = np.frombuffer(body, np.uint8, 64, b).astype(np.float64)
+                    b += 64
+                qt[tq] = tbl  # zigzag order
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(-ish) sequential
+            prec, h, w, ncomp = body[0], *_struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential Huffman JPEG supported (SOF0/1); "
+                "progressive/arithmetic would slot in here"
+            )
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 15
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = bytes(body[b + 17 : b + 17 + n])
+                (huff_ac if tc else huff_dc)[th] = _HuffTable(bits, vals)
+                b += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart,) = _struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = {}
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan[cs] = (tt >> 4, tt & 15)
+            data_pos = pos + seglen
+            return _jpeg_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac, restart)
+        pos += seglen
+    raise ValueError("JPEG payload missing SOS")
+
+
+def _jpeg_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart) -> dict:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps
+    ]
+    reader = _BitReader(buf, pos)
+    pred = [0] * len(comps)
+    tt = _DCT_T.T
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_i and mcu_i % restart == 0:
+                reader.align()
+                # skip the RSTn marker
+                while buf[reader.pos] != 0xFF or not (0xD0 <= buf[reader.pos + 1] <= 0xD7):
+                    reader.pos += 1
+                reader.pos += 2
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t, ac_t = scan[c["id"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64)
+                        s = reader.huff(huff_dc[dc_t])
+                        diff = _extend(reader.read(s), s) if s else 0
+                        pred[ci] += diff
+                        coef[0] = pred[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(huff_ac[ac_t])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC coefficient overrun")
+                            coef[k] = _extend(reader.read(s), s) * q[k]
+                            k += 1
+                        blk = np.zeros(64)
+                        blk[_ZIGZAG] = coef
+                        spatial = tt @ blk.reshape(8, 8) @ _DCT_T + 128.0
+                        y0, x0 = (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_i += 1
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        px = np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)[..., None]
+    else:
+        y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+        rgb = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=2,
+        )
+        px = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return {"width": w, "height": h, "maxval": 255, "pixels": px}
+
+
+# fixture-encoder Huffman layout: every symbol at one canonical length
+# (12 DC size symbols at 4 bits; all 162 AC run/size symbols at 8 bits)
+# — a VALID if suboptimal table set, so the decoder exercises the same
+# canonical-table machinery real encoders use.
+_ENC_DC_SYMS = list(range(12))
+_ENC_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _enc_tables(syms: list[int], length: int):
+    """(bits, values, code_of_symbol) for an all-one-length canonical
+    table; all-ones code left unused (padding-safe per the spec)."""
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    codes = {sym: i for i, sym in enumerate(syms)}
+    return bits, bytes(syms), {s: (length, c) for s, c in codes.items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.nacc = 0, 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nacc += n
+        while self.nacc >= 8:
+            self.nacc -= 8
+            b = (self.acc >> self.nacc) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nacc) - 1
+
+    def flush(self) -> None:
+        if self.nacc:
+            self.write((1 << (8 - self.nacc)) - 1, 8 - self.nacc)
+
+
+def encode_jpeg(pixels: np.ndarray, quant: int = 1, subsample: int = 1) -> bytes:
+    """Minimal valid baseline JFIF writer for fixtures and the resize
+    lane: gray or RGB, flat quantization (``quant`` for every
+    coefficient — 1 keeps the round trip near-lossless so decode tests
+    have closed-form expectations), optional 4:2:0 (``subsample=2``,
+    chroma averaged over 2x2).  Emits real DQT/SOF0/DHT/SOS segments,
+    canonical Huffman tables, byte stuffing — everything the decoder's
+    marker walk has to parse on wild files."""
+    px = np.asarray(pixels, np.float64)
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, nc = px.shape
+    if nc == 3:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        chans = [y, cb, cr]
+        samp = [(subsample, subsample), (1, 1), (1, 1)]
+    else:
+        chans = [px[..., 0]]
+        samp = [(1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    planes = []
+    for ch, (sh, sv) in zip(chans, samp):
+        if (sh, sv) != (hmax, vmax):  # chroma downsample by block mean
+            fy, fx = vmax // sv, hmax // sh
+            ph = -(-h // fy) * fy
+            pw = -(-w // fx) * fx
+            pad = np.pad(ch, ((0, ph - h), (0, pw - w)), mode="edge")
+            ch = pad.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcus_y * sv * 8, mcus_x * sh * 8
+        planes.append(
+            np.pad(ch, ((0, th - ch.shape[0]), (0, tw - ch.shape[1])), mode="edge")
+        )
+
+    dc_bits, dc_vals, dc_code = _enc_tables(_ENC_DC_SYMS, 4)
+    ac_bits, ac_vals, ac_code = _enc_tables(_ENC_AC_SYMS, 8)
+    qtab = np.full(64, float(quant))
+
+    wtr = _BitWriter()
+    pred = [0] * len(chans)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (pl, (sh, sv)) in enumerate(zip(planes, samp)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                        f = pl[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = _DCT_T @ f @ _DCT_T.T
+                        zz = np.rint(coef.reshape(64)[_ZIGZAG] / qtab).astype(int)
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s = int(diff).bit_length() if diff else 0
+                        ln, code = dc_code[s]
+                        wtr.write(code, ln)
+                        if s:
+                            wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                        run = 0
+                        last_nz = max(np.nonzero(zz)[0]) if np.any(zz) else 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if k > last_nz:
+                                ln, code = ac_code[0x00]  # EOB
+                                wtr.write(code, ln)
+                                break
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, code = ac_code[0xF0]  # ZRL
+                                wtr.write(code, ln)
+                                run -= 16
+                            s = abs(v).bit_length()
+                            ln, code = ac_code[(run << 4) | s]
+                            wtr.write(code, ln)
+                            wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+                            run = 0
+    wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(q) for q in qtab))
+    sof_comps = b"".join(
+        bytes([i + 1, (sh << 4) | sv, 0]) for i, (sh, sv) in enumerate(samp)
+    )
+    sof = seg(0xC0, bytes([8]) + _struct.pack(">HH", h, w) + bytes([len(chans)]) + sof_comps)
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals) + seg(
+        0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals
+    )
+    sos = seg(
+        0xDA,
+        bytes([len(chans)])
+        + b"".join(bytes([i + 1, 0x00]) for i in range(len(chans)))
+        + bytes([0, 63, 0]),
+    )
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt
+        + sof
+        + dht
+        + sos
+        + bytes(wtr.out)
+        + b"\xff\xd9"
+    )
+
+
 def _is_image(payload: bytes) -> bool:
-    return payload[:2] in (b"P5", b"P6") or payload[:8] == _PNG_MAGIC
+    return (
+        payload[:2] in (b"P5", b"P6")
+        or payload[:8] == _PNG_MAGIC
+        or payload[:3] == _JPEG_MAGIC
+    )
 
 
 def decode_image(payload: bytes) -> dict:
-    """Magic-byte image router: Netpbm (P5/P6) or PNG — one dict shape
-    (width, height, maxval, pixels) either way, so every image operator
-    downstream (features, aHash, resize) is format-agnostic."""
+    """Magic-byte image router: Netpbm (P5/P6), PNG or baseline JPEG —
+    one dict shape (width, height, maxval, pixels) either way, so every
+    image operator downstream (features, aHash, resize) is
+    format-agnostic."""
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
-    raise ValueError("not a decodable image payload (PPM/PGM/PNG)")
+    if payload[:3] == _JPEG_MAGIC:
+        return decode_jpeg(payload)
+    raise ValueError("not a decodable image payload (PPM/PGM/PNG/JPEG)")
 
 
 def decode_wav(payload: bytes) -> dict:
@@ -363,6 +772,13 @@ def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
     return encode_png(_resize_pixels(decode_png(payload), out_w, out_h))
 
 
+def resize_jpeg(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL image resize for baseline JPEG payloads — decode, the same
+    nearest-neighbor index map, re-encode near-lossless (flat quant 1,
+    4:4:4) so repeated pipeline passes do not compound generation loss."""
+    return encode_jpeg(_resize_pixels(decode_jpeg(payload), out_w, out_h))
+
+
 RESIZED_SCHEMA = (
     "media_id long, media_type string, width int, height int, payload binary"
 )
@@ -386,6 +802,8 @@ def resize_media(
             return resize_ppm(payload, out_w, out_h)
         if payload[:8] == _PNG_MAGIC:
             return resize_png(payload, out_w, out_h)
+        if payload[:3] == _JPEG_MAGIC:
+            return resize_jpeg(payload, out_w, out_h)
         if not decode_stub:
             raise NotImplementedError(
                 "payload format needs codec libraries not in this container"

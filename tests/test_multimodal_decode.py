@@ -377,3 +377,91 @@ def test_media_near_dup_mixed_ppm_png(spark):
     assert [(p["media_id_a"], p["media_id_b"], p["hamming"]) for p in pairs] == [
         (1, 2, 0)
     ]
+
+
+# ------------------------------------------------------------ JPEG decode
+
+
+def test_jpeg_roundtrip_gray_and_rgb():
+    """Baseline JFIF round trip with flat quant 1: constant images are
+    exact; arbitrary content is within ±1 (float DCT rounding only);
+    non-multiple-of-8 dimensions crop correctly."""
+    from tcdb_spark.sources.multimodal import decode_jpeg, encode_jpeg
+
+    const = np.full((16, 24, 1), 130, np.uint8)
+    out = decode_jpeg(encode_jpeg(const))
+    np.testing.assert_array_equal(out["pixels"], const)
+    assert out["maxval"] == 255
+
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (17, 19, 1), np.uint8)  # crop path
+    out = decode_jpeg(encode_jpeg(noise))
+    assert out["pixels"].shape == (17, 19, 1)
+    assert np.abs(out["pixels"].astype(int) - noise.astype(int)).max() <= 1
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    rgb = np.stack([(xx * 7) % 256, (yy * 9) % 256, ((xx + yy) * 5) % 256],
+                   axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb))
+    assert out["width"] == 32 and out["height"] == 24
+    assert np.abs(out["pixels"].astype(int) - rgb.astype(int)).max() <= 1
+
+
+def test_jpeg_420_subsampling_and_quant():
+    """4:2:0 chroma subsampling decodes through the MCU/upsample path
+    within a small tolerance on smooth content; a coarser flat quant
+    stays bounded by the quantization step."""
+    from tcdb_spark.sources.multimodal import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    rgb = np.stack(
+        [np.clip(xx * 4, 0, 255), np.clip(yy * 4, 0, 255), np.full_like(xx, 90)],
+        axis=2,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb, quant=1, subsample=2))
+    assert out["pixels"].shape == (24, 32, 3)
+    assert np.abs(out["pixels"].astype(int) - rgb.astype(int)).max() <= 4
+    out8 = decode_jpeg(encode_jpeg(rgb, quant=8))
+    assert np.abs(out8["pixels"].astype(int) - rgb.astype(int)).max() <= 8
+
+
+def test_jpeg_guards_and_routing():
+    from tcdb_spark.sources.multimodal import (
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+        media_features,
+        resize_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG....")
+    # progressive SOF2 -> documented swap point
+    base = bytearray(encode_jpeg(np.full((8, 8, 1), 99, np.uint8)))
+    i = bytes(base).find(b"\xff\xc0")
+    prog = bytes(base[:i]) + b"\xff\xc2" + bytes(base[i + 2:])
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(prog)
+    # magic router + features treat JPEG as a first-class image
+    jpg = encode_jpeg(np.full((8, 16, 3), 200, np.uint8))
+    assert decode_image(jpg)["width"] == 16
+    feats = media_features(jpg)
+    assert feats is not None and feats[0] == 16.0 and feats[1] == 8.0
+    small = decode_jpeg(resize_jpeg(jpg, 8, 4))
+    assert small["width"] == 8 and small["height"] == 4
+
+
+def test_jpeg_ahash_parity_with_ppm():
+    """The SAME pixels as PPM and as near-lossless JPEG must land on the
+    same aHash — the patterned fixture's cells sit 95 gray levels from
+    the threshold, far beyond the ±1 codec error."""
+    from tcdb_spark.sources.multimodal import (
+        ahash_image,
+        decode_ppm,
+        encode_jpeg,
+        make_patterned_ppm,
+    )
+
+    pat = make_patterned_ppm("jpgpar")
+    jpg = encode_jpeg(decode_ppm(pat)["pixels"].repeat(3, axis=2))
+    assert ahash_image(pat) == ahash_image(jpg)

@@ -140,6 +140,23 @@ def test_ks_from_counts_matches_binned_batch(spark):
         assert got[g]["n_cohort"] == want[g]["n_cohort"]
         assert got[g]["ks_d"] == pytest.approx(want[g]["ks_d"], abs=1e-12)
 
+    # the SAME state also serves the rank-sum monitor: u2 (exact
+    # integer) and auc must equal the batch grouped-midrank chain
+    from tcdb_spark.plans.queries_stats import (
+        rank_shift_by_cohort,
+        rank_sum_from_counts,
+    )
+
+    got_rs = {
+        r["cohort"]: r for r in rank_sum_from_counts(state, "cohort", bins).collect()
+    }
+    want_rs = {
+        r["cohort"]: r for r in rank_shift_by_cohort(binned, "cohort", "value").collect()
+    }
+    for g in want_rs:
+        assert got_rs[g]["u2"] == want_rs[g]["u2"]
+        assert got_rs[g]["auc"] == pytest.approx(want_rs[g]["auc"], abs=1e-12)
+
 
 def test_ks_from_counts_single_cohort_is_null(spark):
     from tcdb_spark.plans.queries_stats import ks_from_counts
