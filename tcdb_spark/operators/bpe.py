@@ -245,8 +245,14 @@ def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]], text_col: str = 
     split -> char symbols -> the same greedy fold per merge, applied in
     learned order as literal expressions (codegen per step, no Python in
     the row path). Returns (doc columns..., tokens array<string>)."""
+    # filter empty words so an empty/whitespace-only doc tokenizes to []
+    # (zero tokens), matching the vocab-table bpe_encode route — split
+    # of "" yields [""], which would otherwise become one empty token
     out = docs.withColumn(
-        "__words", F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        "__words",
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
+        ),
     ).withColumn(
         "__syms", F.transform(F.col("__words"), lambda w: F.split(w, ""))
     )
