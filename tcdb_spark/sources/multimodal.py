@@ -484,12 +484,17 @@ class _BitWriter:
             self.write((1 << (8 - self.nacc)) - 1, 8 - self.nacc)
 
 
-def encode_jpeg(pixels: np.ndarray, quant: int = 1, subsample: int = 1) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray, quant: int = 1, subsample: int = 1, restart: int = 0
+) -> bytes:
     """Minimal valid baseline JFIF writer for fixtures and the resize
     lane: gray or RGB, flat quantization (``quant`` for every
     coefficient — 1 keeps the round trip near-lossless so decode tests
     have closed-form expectations), optional 4:2:0 (``subsample=2``,
-    chroma averaged over 2x2).  Emits real DQT/SOF0/DHT/SOS segments,
+    chroma averaged over 2x2), optional restart interval (``restart``
+    MCUs per interval: emits DRI + cycling RSTn markers with byte-
+    aligned padding and DC-predictor resets — the error-resilience
+    machinery wild files carry).  Emits real DQT/SOF0/DHT/SOS segments,
     canonical Huffman tables, byte stuffing — everything the decoder's
     marker walk has to parse on wild files."""
     px = np.asarray(pixels, np.float64)
@@ -530,8 +535,14 @@ def encode_jpeg(pixels: np.ndarray, quant: int = 1, subsample: int = 1) -> bytes
 
     wtr = _BitWriter()
     pred = [0] * len(chans)
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart and mcu_i and mcu_i % restart == 0:
+                wtr.flush()  # byte-align (1-padding) before the marker
+                wtr.out += bytes([0xFF, 0xD0 + ((mcu_i // restart - 1) % 8)])
+                pred = [0] * len(chans)
+            mcu_i += 1
             for ci, (pl, (sh, sv)) in enumerate(zip(planes, samp)):
                 for by in range(sv):
                     for bx in range(sh):
@@ -585,12 +596,14 @@ def encode_jpeg(pixels: np.ndarray, quant: int = 1, subsample: int = 1) -> bytes
         + b"".join(bytes([i + 1, 0x00]) for i in range(len(chans)))
         + bytes([0, 63, 0]),
     )
+    dri = seg(0xDD, _struct.pack(">H", restart)) if restart else b""
     return (
         b"\xff\xd8"
         + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + dqt
         + sof
         + dht
+        + dri
         + sos
         + bytes(wtr.out)
         + b"\xff\xd9"

@@ -451,6 +451,28 @@ def test_jpeg_guards_and_routing():
     assert small["width"] == 8 and small["height"] == 4
 
 
+def test_jpeg_restart_intervals():
+    """DRI + RSTn markers: byte-aligned padding, predictor resets, and
+    the decoder's marker-skip path — error-resilience machinery wild
+    baseline files routinely carry."""
+    from tcdb_spark.sources.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (32, 40, 1), np.uint8)  # 20 MCUs
+    payload = encode_jpeg(px, restart=3)
+    assert b"\xff\xdd" in payload  # DRI present
+    out = decode_jpeg(payload)
+    assert np.abs(out["pixels"].astype(int) - px.astype(int)).max() <= 1
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    rgb = np.stack(
+        [np.clip(xx * 5, 0, 255), np.clip(yy * 7, 0, 255), ((xx + yy) * 3) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb, subsample=2, restart=2))
+    assert np.abs(out["pixels"].astype(int) - rgb.astype(int)).max() <= 4
+
+
 def test_jpeg_ahash_parity_with_ppm():
     """The SAME pixels as PPM and as near-lossless JPEG must land on the
     same aHash — the patterned fixture's cells sit 95 gray levels from

@@ -447,3 +447,54 @@ def test_interval_overlap_matches_bruteforce(spark, ivs, bin_s):
         assert got == set()
     else:
         assert got == want
+
+
+# ---------------------------------------------------------- codec round-trips
+
+
+@given(
+    h=st.integers(min_value=1, max_value=21),
+    w=st.integers(min_value=1, max_value=21),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_roundtrip_property(h, w, c, seed):
+    """decode(encode(px)) == px for ANY 8-bit image shape/channel
+    layout — PNG is lossless by spec, so the property is exact."""
+    import numpy as np
+
+    from tcdb_spark.sources.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    out = decode_png(encode_png(px))
+    assert out["width"] == w and out["height"] == h
+    np.testing.assert_array_equal(out["pixels"], px)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    gray=st.booleans(),
+    restart=st.sampled_from([0, 1, 2, 5]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_roundtrip_property(h, w, gray, restart, seed):
+    """Flat-quant-1 baseline JPEG round trip is within ±1 of the input
+    for ANY shape (crop path), gray or RGB, with or without restart
+    markers (chroma conversion + float DCT rounding only; exact-integer
+    spec bound would be 0 if the DCT were exact)."""
+    import numpy as np
+
+    from tcdb_spark.sources.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    c = 1 if gray else 3
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quant=1, restart=restart))
+    assert out["pixels"].shape == (h, w, c)
+    err = np.abs(out["pixels"].astype(int) - px.astype(int)).max()
+    # gray is DCT-exact to ±1; RGB adds YCbCr forward/inverse rounding
+    assert err <= (1 if gray else 3)
