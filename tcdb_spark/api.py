@@ -748,10 +748,16 @@ class Engine:
         """Bradley-Terry at item scale: join-aggregate MM iterations
         (plans/queries_stats.bt_ratings_distributed) for duel matrices
         beyond the driver solve's 10k-cell guard — 10^6-item
-        per-document preference data."""
+        per-document preference data.  Round state lands in a scratch
+        area beside the warehouse, so it is on the same (shared)
+        filesystem the warehouse already requires — correct on a real
+        cluster, not just local mode."""
+        import uuid
+
         from tcdb_spark.plans.queries_stats import bt_ratings_distributed
 
-        return bt_ratings_distributed(wins, item_col)
+        scratch = f"{self.warehouse.root}/_scratch/bt_mm_{uuid.uuid4().hex[:8]}"
+        return bt_ratings_distributed(wins, item_col, work_dir=scratch)
 
     def predict_links(
         self, edges: DataFrame, src: str = "u", dst: str = "v",

@@ -25,11 +25,26 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Return (id, label) with label = min node id of the connected
     component. Only nodes that appear in ``edges`` are labelled
-    (isolated nodes are by definition their own singleton cluster)."""
+    (isolated nodes are by definition their own singleton cluster).
+
+    Label propagation runs O(diameter) rounds; every 8th round the
+    O(|V|) label table rides PARQUET instead of localCheckpoint to
+    reset Catalyst's size estimate — checkpointed LogicalRDDs preserve
+    origin stats and each round's join SQUARES them (DEVNOTES #48), so
+    an un-reset high-diameter run (a 24-node chain suffices) spends
+    unbounded driver time multiplying huge BigIntegers in join
+    selection long before max_iter.  ``work_dir`` must be a shared
+    filesystem path on a real cluster; the tempfile default is correct
+    in local mode."""
+    import tempfile
     # symmetrize with ONE pass over the (possibly expensive) edge
     # derivation: explode each edge into both directions instead of
     # self-unioning the plan, which would execute the upstream join
@@ -57,7 +72,9 @@ def connected_components(
     if prev_sum is None:  # no edges at all
         sym.unpersist()
         return labels
-    for _ in range(max_iter):
+    spark = edges.sparkSession
+    tmp = None
+    for it in range(max_iter):
         nbr_min = sym.join(labels, sym.nbr == labels.id).groupBy("node").agg(
             F.min("label").alias("nbr_label")
         )
@@ -71,6 +88,14 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        if (it + 1) % 8 == 0:
+            # stats reset (DEVNOTES #48): between resets the estimate
+            # grows at most 2^8x over a real file size — harmless
+            if tmp is None:
+                tmp = work_dir or tempfile.mkdtemp(prefix="cc_rounds_")
+            path = f"{tmp}/round_{it + 1}"
+            labels.write.mode("overwrite").parquet(path)
+            labels = spark.read.parquet(path)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break

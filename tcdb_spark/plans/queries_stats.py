@@ -671,9 +671,10 @@ def bradley_terry_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (10^6 items — per-document preference data, where k^2 cells is not
     "a leaderboard" any more).  Each MM update is ONE join-aggregate —
     pairs ⋈ ratings (on i) ⋈ ratings (on j) → per-item denominator sums
-    → wi/den — exactly the `pagerank` iteration shape: the pair matrix
-    persists once, ratings are O(|items|), lineage truncates per round
-    (localCheckpoint), fixed {_BT_ITERS} iterations keep it
+    → wi/den — the pair matrix persists once, ratings are O(|items|),
+    round state rides parquet (clean scan leaf per round — see
+    bt_ratings_distributed / DEVNOTES #48 for why checkpoint loops
+    compound), fixed {_BT_ITERS} iterations keep it
     SQL-expressible against the identical unrolled-CTE oracle.  Same
     p=1 start, same zero-guards, same round(6) normalized output as the
     driver solve — pinned equal to it in tests/test_preference_graph.py
@@ -683,7 +684,10 @@ def bradley_terry_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bt_ratings_distributed(
-    wins_df: DataFrame, item_col: str = "item", iters: int = _BT_ITERS
+    wins_df: DataFrame,
+    item_col: str = "item",
+    iters: int = _BT_ITERS,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """MM solve over any (winner, loser, n_wins) frame as join-aggregate
     iterations (facade twin of `bradley_terry_distributed`); use
@@ -701,10 +705,17 @@ def bt_ratings_distributed(
     30+ min inside BigInteger.multiplyToomCook3 before any task ran);
     cache-and-unpersist loops stall on recompute races.  Persisting each
     round to storage is the standard iterative-job discipline at cluster
-    scale anyway (it is what makes a 10^6-item run restartable)."""
+    scale anyway (it is what makes a 10^6-item run restartable).
+
+    ``work_dir``: where round state lands.  On a REAL cluster this must
+    be a shared filesystem path (S3/HDFS/NFS — e.g. a scratch area
+    beside the warehouse; Engine.rate_pairwise_distributed passes one
+    automatically); the tempfile default is driver-local and only
+    correct in local mode, where driver and executors share a disk."""
     import tempfile
 
     spark = wins_df.sparkSession
+    tmp = work_dir or tempfile.mkdtemp(prefix="bt_mm_rounds_")
     w = wins_df.select(
         F.col("winner").alias("i"), F.col("loser").alias("j"),
         F.col("n_wins").cast("bigint").alias("n"),
@@ -722,7 +733,6 @@ def bt_ratings_distributed(
         .select("i", F.coalesce(F.col("wn"), F.lit(0)).cast("double").alias("wi"))
         .persist()
     )
-    tmp = tempfile.mkdtemp(prefix="bt_mm_rounds_")
     p = wtot.select("i", F.lit(1.0).alias("p"))
     for k in range(iters):
         den = (

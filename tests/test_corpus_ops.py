@@ -32,6 +32,20 @@ def test_cc_long_chain_converges(spark):
     assert set(got.values()) == {0} and len(got) == n + 1
 
 
+def test_cc_high_diameter_chain_stats_reset(spark, tmp_path):
+    """A 24-node chain needs ~23 propagation rounds — past the 8-round
+    parquet stats reset twice.  Without the reset, each round's join
+    SQUARES the checkpointed size estimate (DEVNOTES #48) and the
+    driver drowns in BigInteger arithmetic around round ~20; with it,
+    the run stays round-linear and the labels are exact."""
+    n = 24
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    got = _labels(connected_components(edges, work_dir=str(tmp_path / "cc")))
+    assert set(got.values()) == {0} and len(got) == n
+
+
 def test_cc_empty_edges(spark):
     edges = spark.createDataFrame([], "src bigint, dst bigint")
     assert connected_components(edges).count() == 0

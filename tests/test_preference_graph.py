@@ -165,6 +165,16 @@ def test_engine_stats_facades(spark, tmp_path):
     )
     rated = {r["item"]: r["rating"] for r in eng.rate_pairwise(wins).collect()}
     assert rated["A"] > rated["B"] > 0
+    # the item-scale facade routes round state under the warehouse root
+    # (shared-filesystem scratch) and must agree with the driver solve
+    rated_d = {
+        r["item"]: r["rating"] for r in eng.rate_pairwise_distributed(wins).collect()
+    }
+    for k in rated:
+        assert rated_d[k] == pytest.approx(rated[k], abs=2e-6)
+    import os
+
+    assert os.path.isdir(str(tmp_path / "wh" / "_scratch"))
     scored = spark.createDataFrame(
         [("g1", 1, 5), ("g1", 2, 9), ("g1", 3, 1)], "grp string, id bigint, s bigint"
     )
