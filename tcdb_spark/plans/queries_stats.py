@@ -357,25 +357,27 @@ def rank_sum_from_counts(
     the third monitor served by the one mergeable streaming summary
     (PSI, KS, rank-sum).  Per cohort: 2R = sum_b a_b * (2*cc_b - c_b + 1)
     over pooled running counts, u2 = 2R - n(n+1), auc = u2 / (2 n m);
-    all counts stay integers (the state is integer-valued doubles), one
-    final division.  Single-cohort states return NULL auc."""
+    the state's integer-valued doubles are CAST back to BIGINT before
+    the rank arithmetic (double products lose exactness past 2^53 —
+    the batch lane is bigint end-to-end, so the read-out must be too),
+    one final division.  Single-cohort states return NULL auc."""
     tot = state.agg(
-        *[F.sum(f"c{i}").alias(f"t{i}") for i in range(bins)],
-        F.sum("n").alias("tn"),
+        *[F.sum(f"c{i}").cast("bigint").alias(f"t{i}") for i in range(bins)],
+        F.sum("n").cast("bigint").alias("tn"),
     )
     j = state.crossJoin(F.broadcast(tot))
-    cc = "0"  # pooled running count through bin i (cohort + rest)
+    cc = "CAST(0 AS BIGINT)"  # pooled running count through bin i
     terms = []
     for i in range(bins):
         cc = f"{cc} + t{i}"
-        terms.append(f"c{i} * (2 * ({cc}) - t{i} + 1)")
+        terms.append(f"CAST(c{i} AS BIGINT) * (2 * ({cc}) - t{i} + 1)")
     twice_r = " + ".join(terms)
-    u2 = f"(({twice_r}) - n * (n + 1))"
+    u2 = f"(({twice_r}) - CAST(n AS BIGINT) * (CAST(n AS BIGINT) + 1))"
     return j.selectExpr(
         f"{cohort_col}",
         f"CAST({u2} AS BIGINT) AS u2",
-        f"CASE WHEN tn = n THEN CAST(NULL AS DOUBLE) "
-        f"ELSE CAST({u2} AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tn - n AS DOUBLE) * 2.0) "
+        f"CASE WHEN tn = CAST(n AS BIGINT) THEN CAST(NULL AS DOUBLE) "
+        f"ELSE CAST({u2} AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tn - CAST(n AS BIGINT) AS DOUBLE) * 2.0) "
         f"END AS auc",
     )
 

@@ -429,6 +429,11 @@ def _jpeg_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart) -> dict:
             mcu_i += 1
     out = []
     for ci, c in enumerate(comps):
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                f"non-integer chroma upsampling ratio (h={c['h']}/{hmax}, "
+                f"v={c['v']}/{vmax}); fractional-ratio resampling would slot in here"
+            )
         p = planes[ci]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out.append(p[:h, :w])
@@ -497,6 +502,8 @@ def encode_jpeg(
     machinery wild files carry).  Emits real DQT/SOF0/DHT/SOS segments,
     canonical Huffman tables, byte stuffing — everything the decoder's
     marker walk has to parse on wild files."""
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be in [1, 255] (8-bit DQT entries)")
     px = np.asarray(pixels, np.float64)
     if px.ndim == 2:
         px = px[..., None]
