@@ -4,13 +4,14 @@
 
 Decoding is REAL for four pure-stdlib/numpy formats — binary PPM images
 (P5/P6), PNG (zlib inflate + the five scanline filters, 8-bit
-gray/RGB/palette/alpha), baseline JPEG (marker walk, canonical Huffman,
-dequantize + 8x8 IDCT, chroma upsampling, JFIF YCbCr->RGB), and PCM WAV
-audio (RIFF headers + 8/16-bit samples) — routed by magic bytes, so
-feature extraction computes from actual pixels and samples with no codec
-libraries.  Remaining formats (progressive JPEG, FLAC, MP4/...) would
-need PIL/ffmpeg, which are not in this container:
-``decode_stub=True`` routes
+gray/RGB/palette/alpha), JPEG — BOTH baseline AND progressive SOF2
+(marker walk, canonical Huffman, successive-approximation scans with EOB
+runs and AC refinement, dequantize + 8x8 IDCT, chroma upsampling, JFIF
+YCbCr->RGB) — and PCM WAV audio (RIFF headers + 8/16-bit samples) —
+routed by magic bytes, so feature extraction computes from actual pixels
+and samples with no codec libraries.  Remaining formats (lossless/
+arithmetic JPEG, FLAC, MP4/...) would need PIL/ffmpeg, which are not in
+this container: ``decode_stub=True`` routes
 them to a deterministic fake featureizer so the distributed path is
 still exercised end to end; ``decode_stub=False`` raises
 NotImplementedError where the codec call would sit in a real deployment.
@@ -298,13 +299,205 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+class _ProgState:
+    """Progressive-JPEG coefficient accumulator: per component, the
+    full (block_rows, block_cols, 64) int32 tensor of ZIGZAG-ordered
+    quantized coefficients, built up across scans and reconstructed at
+    EOI.  (Progressive decode inherently retains all coefficients —
+    unlike the baseline path, which streams block by block.)"""
+
+    def __init__(self, frame: dict):
+        comps = frame["comps"]
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.mcus_x = -(-frame["w"] // (8 * self.hmax))
+        self.mcus_y = -(-frame["h"] // (8 * self.vmax))
+        self.coefs = []
+        self.nblocks = []  # non-interleaved (cols, rows) per component
+        for c in comps:
+            bh, bw = self.mcus_y * c["v"], self.mcus_x * c["h"]
+            self.coefs.append(np.zeros((bh, bw, 64), np.int32))
+            cw = -(-frame["w"] * c["h"] // self.hmax)
+            ch = -(-frame["h"] * c["v"] // self.vmax)
+            self.nblocks.append((-(-cw // 8), -(-ch // 8)))
+
+
+def _next_marker_pos(buf: bytes, pos: int) -> int:
+    """First real marker at/after ``pos`` (skips stuffed FF00 and
+    fill bytes)."""
+    while pos + 1 < len(buf):
+        if buf[pos] == 0xFF and buf[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    return len(buf)
+
+
+def _prog_scan(
+    buf, pos, frame, scan_ids, scan_tables, ss, se, ah, al,
+    huff_dc, huff_ac, restart, state: _ProgState,
+) -> int:
+    """Decode ONE progressive scan into the coefficient state; returns
+    the buffer position of the next marker segment.  Implements the
+    four scan kinds of Annex G successive approximation: DC first
+    (Huffman diffs shifted by Al), DC refinement (one raw bit per
+    block), AC first (band run-length with EOB runs), AC refinement
+    (correction bits + new ±1<<Al coefficients)."""
+    comps = frame["comps"]
+    reader = _BitReader(buf, pos)
+    # units: interleaved MCUs for multi-component scans, the single
+    # component's own block grid otherwise
+    members = [i for i, c in enumerate(comps) if c["id"] in scan_ids]
+    interleaved = len(members) > 1
+    if interleaved:
+        units = state.mcus_x * state.mcus_y
+    else:
+        nbw, nbh = state.nblocks[members[0]]
+        units = nbw * nbh
+    preds = dict.fromkeys(members, 0)
+    eobrun = 0
+
+    def dc_block(ci: int, blk) -> None:
+        nonlocal preds
+        if ah == 0:
+            s = reader.huff(huff_dc[scan_tables[comps[ci]["id"]][0]])
+            diff = _extend(reader.read(s), s) if s else 0
+            preds[ci] += diff
+            blk[0] = preds[ci] << al
+        else:
+            blk[0] |= reader.read(1) << al
+
+    def ac_first(ci: int, blk) -> None:
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return
+        table = huff_ac[scan_tables[comps[ci]["id"]][1]]
+        k = ss
+        while k <= se:
+            rs = reader.huff(table)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("JPEG progressive AC band overrun")
+            blk[k] = _extend(reader.read(s), s) << al
+            k += 1
+
+    def ac_refine(ci: int, blk) -> None:
+        nonlocal eobrun
+        table = huff_ac[scan_tables[comps[ci]["id"]][1]]
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.huff(table)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read(r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG AC refinement size must be 1")
+                    val = p1 if reader.read(1) else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.read(1) and (int(blk[k]) & p1) == 0:
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read(1) and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+
+    unit_i = 0
+    for _u in range(units):
+        if restart and unit_i and unit_i % restart == 0:
+            reader.align()
+            p = reader.pos
+            while buf[p] != 0xFF or not (0xD0 <= buf[p + 1] <= 0xD7):
+                p += 1
+            reader.pos = p + 2
+            preds = dict.fromkeys(members, 0)
+            eobrun = 0
+        if interleaved:
+            if ss != 0 or se != 0:
+                raise ValueError("JPEG AC scans must be single-component")
+            my, mx = divmod(unit_i, state.mcus_x)
+            for ci in members:
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = state.coefs[ci][my * c["v"] + by][mx * c["h"] + bx]
+                        dc_block(ci, blk)  # multi-comp scans are DC-only
+        else:
+            ci = members[0]
+            nbw, _nbh = state.nblocks[ci]
+            by, bx = divmod(unit_i, nbw)
+            blk = state.coefs[ci][by][bx]
+            if ss == 0:
+                dc_block(ci, blk)
+                if se != 0:
+                    raise ValueError("JPEG scan mixing DC and AC bands")
+            elif ah == 0:
+                ac_first(ci, blk)
+            else:
+                ac_refine(ci, blk)
+        unit_i += 1
+    return _next_marker_pos(buf, reader.pos)
+
+
+def _prog_reconstruct(frame: dict, qt: dict, state: _ProgState) -> dict:
+    """Dequantize + IDCT the accumulated coefficient tensors and hand
+    off to the shared reconstruction tail."""
+    comps = frame["comps"]
+    tt = _DCT_T.T
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        coefs = state.coefs[ci]
+        bh, bw, _ = coefs.shape
+        plane = np.zeros((bh * 8, bw * 8))
+        for by in range(bh):
+            for bx in range(bw):
+                blk = np.zeros(64)
+                blk[_ZIGZAG] = coefs[by, bx] * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    tt @ blk.reshape(8, 8) @ _DCT_T + 128.0
+                )
+        planes.append(plane)
+    return _planes_to_pixels(frame, planes, state.hmax, state.vmax)
+
+
 def decode_jpeg(payload: bytes) -> dict:
-    """Baseline JFIF decode (pure stdlib + numpy): 8-bit sequential
-    SOF0, 1 or 3 components, any 1/2 sampling factors (4:4:4, 4:2:2,
-    4:2:0), restart intervals.  Returns the same dict shape as
-    :func:`decode_ppm` ((h, w, c) uint8 pixels, maxval 255).  SOF2
-    progressive / arithmetic / 12-bit raise NotImplementedError with the
-    swap point named."""
+    """JFIF decode (pure stdlib + numpy): 8-bit BASELINE (SOF0/1) and
+    PROGRESSIVE (SOF2 — spectral selection + successive approximation,
+    DC/AC first and refinement scans, EOB runs), 1 or 3 components, any
+    integer-ratio sampling factors (4:4:4, 4:2:2, 4:2:0), restart
+    intervals, tables redefined between scans.  Returns the same dict
+    shape as :func:`decode_ppm` ((h, w, c) uint8 pixels, maxval 255).
+    Lossless/hierarchical/arithmetic/12-bit raise NotImplementedError
+    with the swap point named."""
     if payload[:3] != _JPEG_MAGIC:
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -312,8 +505,10 @@ def decode_jpeg(payload: bytes) -> dict:
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
+    progressive = False
     restart = 0
-    while pos + 4 <= len(payload):
+    state = None  # progressive: per-component zigzag coefficient arrays
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker sync at {pos}")
         while payload[pos + 1] == 0xFF:  # fill bytes before a marker
@@ -322,6 +517,8 @@ def decode_jpeg(payload: bytes) -> dict:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI
+            break
         (seglen,) = _struct.unpack_from(">H", payload, pos)
         body = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
@@ -336,7 +533,7 @@ def decode_jpeg(payload: bytes) -> dict:
                     tbl = np.frombuffer(body, np.uint8, 64, b).astype(np.float64)
                     b += 64
                 qt[tq] = tbl  # zigzag order
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(-ish) sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, ncomp = body[0], *_struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -345,10 +542,13 @@ def decode_jpeg(payload: bytes) -> dict:
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+            if progressive:
+                state = _ProgState(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential Huffman JPEG supported (SOF0/1); "
-                "progressive/arithmetic would slot in here"
+                "only baseline (SOF0/1) and progressive (SOF2) Huffman JPEG "
+                "supported; lossless/hierarchical/arithmetic would slot in here"
             )
         elif marker == 0xC4:  # DHT
             b = 0
@@ -365,13 +565,24 @@ def decode_jpeg(payload: bytes) -> dict:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
-            scan = {}
+            scan_tables = {}
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
-                scan[cs] = (tt >> 4, tt & 15)
+                scan_tables[cs] = (tt >> 4, tt & 15)
             data_pos = pos + seglen
-            return _jpeg_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac, restart)
+            if not progressive:
+                return _jpeg_scan(
+                    payload, data_pos, frame, scan_tables, qt, huff_dc, huff_ac, restart
+                )
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            pos = _prog_scan(
+                payload, data_pos, frame, list(scan_tables), scan_tables,
+                ss, se, ahal >> 4, ahal & 15, huff_dc, huff_ac, restart, state,
+            )
+            continue
         pos += seglen
+    if progressive and state is not None:
+        return _prog_reconstruct(frame, qt, state)
     raise ValueError("JPEG payload missing SOS")
 
 
@@ -427,6 +638,14 @@ def _jpeg_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart) -> dict:
                         y0, x0 = (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_i += 1
+    return _planes_to_pixels(frame, planes, hmax, vmax)
+
+
+def _planes_to_pixels(frame: dict, planes: list, hmax: int, vmax: int) -> dict:
+    """Shared JPEG reconstruction tail: per-component upsample to full
+    resolution, crop the MCU padding, JFIF YCbCr->RGB for 3-component
+    frames."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
     out = []
     for ci, c in enumerate(comps):
         if hmax % c["h"] or vmax % c["v"]:
@@ -468,6 +687,154 @@ def _enc_tables(syms: list[int], length: int):
     return bits, bytes(syms), {s: (length, c) for s, c in codes.items()}
 
 
+def _emit_progressive_scans(
+    coefs, samp, mcus_x, mcus_y, w, h, hmax, vmax, dc_code, ac_code
+):
+    """Annex-G progressive scan emitter over the quantized coefficient
+    tensors: DC first (Al=1, interleaved), DC refinement (raw low bits),
+    then per component AC first (band 1-63 at Al=1, per-block EOBs) and
+    AC refinement (Al=0: new ±1 coefficients with their zero-HISTORY
+    runs, correction bits interleaved in exactly the order the
+    decoder's advance loop consumes them).  Returns
+    [(comp_ids, ss, se, ah, al, entropy_bytes), ...]."""
+    ncomp = len(coefs)
+    comp_ids_all = [i + 1 for i in range(ncomp)]
+    scans = []
+
+    def mag_shift(v: int, n: int) -> int:  # toward zero, per Annex G AC coding
+        return v >> n if v >= 0 else -((-v) >> n)
+
+    # scan 1: DC first at Al=1 — diffs of the FLOOR-shifted DC (the
+    # decoder reconstructs pred << 1; the refinement bit below ORs the
+    # low bit back in, exact for negatives in two's complement)
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(coefs[ci][my * sv + by, mx * sh + bx, 0]) >> 1
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        s = abs(diff).bit_length()
+                        ln, code = dc_code[s]
+                        wtr.write(code, ln)
+                        if s:
+                            wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    wtr.flush()
+    scans.append((comp_ids_all, 0, 0, 0, 1, bytes(wtr.out)))
+
+    # scan 2: DC refinement at Al=0 — one raw bit per block, same order
+    wtr = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        wtr.write(int(coefs[ci][my * sv + by, mx * sh + bx, 0]) & 1, 1)
+    wtr.flush()
+    scans.append((comp_ids_all, 0, 0, 1, 0, bytes(wtr.out)))
+
+    for ci, (sh, sv) in enumerate(samp):
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        nbw, nbh = -(-cw // 8), -(-ch // 8)
+
+        # AC first at Al=1 over the component's own block grid
+        wtr = _BitWriter()
+        for bi in range(nbw * nbh):
+            by, bx = divmod(bi, nbw)
+            zz = coefs[ci][by, bx]
+            t = [mag_shift(int(zz[k]), 1) for k in range(64)]
+            last = max((k for k in range(1, 64) if t[k]), default=0)
+            run = 0
+            for k in range(1, 64):
+                if k > last:
+                    ln, code = ac_code[0x00]  # EOB (run of exactly 1 block)
+                    wtr.write(code, ln)
+                    break
+                v = t[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_code[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                ln, code = ac_code[(run << 4) | s]
+                wtr.write(code, ln)
+                wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+        wtr.flush()
+        scans.append(([ci + 1], 1, 63, 0, 1, bytes(wtr.out)))
+
+        # AC refinement at Al=0: event walk per block —
+        #   'z'        zero-history position (counts toward the run)
+        #   ('c', bit) nonzero-history position's correction bit
+        #   ('n', sgn) newly visible coefficient (|v| == 1)
+        wtr = _BitWriter()
+        for bi in range(nbw * nbh):
+            by, bx = divmod(bi, nbw)
+            zz = coefs[ci][by, bx]
+            events = []
+            for k in range(1, 64):
+                v = int(zz[k])
+                hist = mag_shift(v, 1)
+                if hist != 0:
+                    events.append(("c", abs(v) & 1))
+                elif v != 0:
+                    events.append(("n", 1 if v > 0 else 0))
+                else:
+                    events.append(("z", 0))
+            i = 0
+            n_events = len(events)
+            while True:
+                # next new coefficient from i?
+                j = i
+                while j < n_events and events[j][0] != "n":
+                    j += 1
+                if j >= n_events:
+                    break
+                # zero-history count between i and j
+                r = sum(1 for e in events[i:j] if e[0] == "z")
+                while r > 15:
+                    # ZRL: consume exactly 16 zero-history positions,
+                    # emitting correction bits in encounter order
+                    ln, code = ac_code[0xF0]
+                    wtr.write(code, ln)
+                    zeros = 0
+                    while zeros < 16:
+                        kind, bit = events[i]
+                        i += 1
+                        if kind == "z":
+                            zeros += 1
+                        else:  # 'c'
+                            wtr.write(bit, 1)
+                    r -= 16
+                ln, code = ac_code[(r << 4) | 1]
+                wtr.write(code, ln)
+                wtr.write(events[j][1], 1)  # sign bit, read before the advance
+                while i < j:  # correction bits inside this symbol's span
+                    kind, bit = events[i]
+                    i += 1
+                    if kind == "c":
+                        wtr.write(bit, 1)
+                i = j + 1  # consume the new coefficient itself
+            if i < n_events:
+                # positions remain: EOB covers the rest of the band,
+                # whose nonzero-history bits follow immediately
+                ln, code = ac_code[0x00]
+                wtr.write(code, ln)
+                for kind, bit in events[i:]:
+                    if kind == "c":
+                        wtr.write(bit, 1)
+        wtr.flush()
+        scans.append(([ci + 1], 1, 63, 1, 0, bytes(wtr.out)))
+    return scans
+
+
 class _BitWriter:
     def __init__(self):
         self.out = bytearray()
@@ -490,20 +857,29 @@ class _BitWriter:
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quant: int = 1, subsample: int = 1, restart: int = 0
+    pixels: np.ndarray,
+    quant: int = 1,
+    subsample: int = 1,
+    restart: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Minimal valid baseline JFIF writer for fixtures and the resize
-    lane: gray or RGB, flat quantization (``quant`` for every
-    coefficient — 1 keeps the round trip near-lossless so decode tests
-    have closed-form expectations), optional 4:2:0 (``subsample=2``,
-    chroma averaged over 2x2), optional restart interval (``restart``
-    MCUs per interval: emits DRI + cycling RSTn markers with byte-
-    aligned padding and DC-predictor resets — the error-resilience
-    machinery wild files carry).  Emits real DQT/SOF0/DHT/SOS segments,
-    canonical Huffman tables, byte stuffing — everything the decoder's
-    marker walk has to parse on wild files."""
+    """Minimal valid JFIF writer for fixtures and the resize lane: gray
+    or RGB, flat quantization (``quant`` for every coefficient — 1
+    keeps the round trip near-lossless so decode tests have closed-form
+    expectations), optional 4:2:0 (``subsample=2``, chroma averaged
+    over 2x2), optional restart interval (``restart`` MCUs per
+    interval: DRI + cycling RSTn markers with byte-aligned padding and
+    DC-predictor resets), optional PROGRESSIVE mode (``progressive``:
+    SOF2 with the standard successive-approximation scan script — DC
+    first/refine at Al=1/0 interleaved, per-component AC first/refine
+    over band 1-63 — the multi-scan shape most wild web JPEGs use).
+    Emits real DQT/SOF/DHT/SOS segments, canonical Huffman tables, byte
+    stuffing — everything the decoder's marker walk has to parse on
+    wild files."""
     if not 1 <= quant <= 255:
         raise ValueError("quant must be in [1, 255] (8-bit DQT entries)")
+    if progressive and restart:
+        raise ValueError("restart intervals not supported in progressive mode")
     px = np.asarray(pixels, np.float64)
     if px.ndim == 2:
         px = px[..., None]
@@ -540,51 +916,68 @@ def encode_jpeg(
     ac_bits, ac_vals, ac_code = _enc_tables(_ENC_AC_SYMS, 8)
     qtab = np.full(64, float(quant))
 
-    wtr = _BitWriter()
-    pred = [0] * len(chans)
-    mcu_i = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and mcu_i and mcu_i % restart == 0:
-                wtr.flush()  # byte-align (1-padding) before the marker
-                wtr.out += bytes([0xFF, 0xD0 + ((mcu_i // restart - 1) % 8)])
-                pred = [0] * len(chans)
-            mcu_i += 1
-            for ci, (pl, (sh, sv)) in enumerate(zip(planes, samp)):
-                for by in range(sv):
-                    for bx in range(sh):
-                        y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
-                        f = pl[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        coef = _DCT_T @ f @ _DCT_T.T
-                        zz = np.rint(coef.reshape(64)[_ZIGZAG] / qtab).astype(int)
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
-                        s = int(diff).bit_length() if diff else 0
-                        ln, code = dc_code[s]
-                        wtr.write(code, ln)
-                        if s:
-                            wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-                        run = 0
-                        last_nz = max(np.nonzero(zz)[0]) if np.any(zz) else 0
-                        for k in range(1, 64):
-                            v = int(zz[k])
-                            if k > last_nz:
-                                ln, code = ac_code[0x00]  # EOB
-                                wtr.write(code, ln)
-                                break
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                ln, code = ac_code[0xF0]  # ZRL
-                                wtr.write(code, ln)
-                                run -= 16
-                            s = abs(v).bit_length()
-                            ln, code = ac_code[(run << 4) | s]
+    # quantized zigzag coefficient tensor per component — shared input
+    # of the baseline and progressive emitters
+    coefs = []
+    for pl, (sh, sv) in zip(planes, samp):
+        bh, bw = mcus_y * sv, mcus_x * sh
+        t = np.zeros((bh, bw, 64), np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                f = pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _DCT_T @ f @ _DCT_T.T
+                t[by, bx] = np.rint(coef.reshape(64)[_ZIGZAG] / qtab).astype(np.int32)
+        coefs.append(t)
+
+    if progressive:
+        scans = _emit_progressive_scans(
+            coefs, samp, mcus_x, mcus_y, w, h, hmax, vmax, dc_code, ac_code
+        )
+    else:
+        wtr = _BitWriter()
+        pred = [0] * len(chans)
+        mcu_i = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and mcu_i and mcu_i % restart == 0:
+                    wtr.flush()  # byte-align (1-padding) before the marker
+                    wtr.out += bytes([0xFF, 0xD0 + ((mcu_i // restart - 1) % 8)])
+                    pred = [0] * len(chans)
+                mcu_i += 1
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            zz = coefs[ci][my * sv + by, mx * sh + bx]
+                            diff = int(zz[0]) - pred[ci]
+                            pred[ci] = int(zz[0])
+                            s = abs(diff).bit_length()
+                            ln, code = dc_code[s]
                             wtr.write(code, ln)
-                            wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+                            if s:
+                                wtr.write(
+                                    diff if diff > 0 else diff + (1 << s) - 1, s
+                                )
                             run = 0
-    wtr.flush()
+                            last_nz = max(np.nonzero(zz)[0]) if np.any(zz) else 0
+                            for k in range(1, 64):
+                                v = int(zz[k])
+                                if k > last_nz:
+                                    ln, code = ac_code[0x00]  # EOB
+                                    wtr.write(code, ln)
+                                    break
+                                if v == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    ln, code = ac_code[0xF0]  # ZRL
+                                    wtr.write(code, ln)
+                                    run -= 16
+                                s = abs(v).bit_length()
+                                ln, code = ac_code[(run << 4) | s]
+                                wtr.write(code, ln)
+                                wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+                                run = 0
+        wtr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
@@ -593,28 +986,38 @@ def encode_jpeg(
     sof_comps = b"".join(
         bytes([i + 1, (sh << 4) | sv, 0]) for i, (sh, sv) in enumerate(samp)
     )
-    sof = seg(0xC0, bytes([8]) + _struct.pack(">HH", h, w) + bytes([len(chans)]) + sof_comps)
+    sof_marker = 0xC2 if progressive else 0xC0
+    sof = seg(
+        sof_marker,
+        bytes([8]) + _struct.pack(">HH", h, w) + bytes([len(chans)]) + sof_comps,
+    )
     dht = seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals) + seg(
         0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals
     )
+    head = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt
+        + sof
+        + dht
+    )
+    if progressive:
+        body = b""
+        for comp_ids, ss, se, ah, al_, data in scans:
+            hdr = bytes([len(comp_ids)])
+            for cid in comp_ids:
+                hdr += bytes([cid, 0x00])
+            hdr += bytes([ss, se, (ah << 4) | al_])
+            body += seg(0xDA, hdr) + data
+        return head + body + b"\xff\xd9"
+    dri = seg(0xDD, _struct.pack(">H", restart)) if restart else b""
     sos = seg(
         0xDA,
         bytes([len(chans)])
         + b"".join(bytes([i + 1, 0x00]) for i in range(len(chans)))
         + bytes([0, 63, 0]),
     )
-    dri = seg(0xDD, _struct.pack(">H", restart)) if restart else b""
-    return (
-        b"\xff\xd8"
-        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + dqt
-        + sof
-        + dht
-        + dri
-        + sos
-        + bytes(wtr.out)
-        + b"\xff\xd9"
-    )
+    return head + dri + sos + bytes(wtr.out) + b"\xff\xd9"
 
 
 def _is_image(payload: bytes) -> bool:

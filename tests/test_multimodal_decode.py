@@ -436,12 +436,13 @@ def test_jpeg_guards_and_routing():
 
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x89PNG....")
-    # progressive SOF2 -> documented swap point
+    # lossless SOF3 -> documented swap point (progressive SOF2 is now
+    # decoded for real — see test_jpeg_progressive_equals_baseline_decode)
     base = bytearray(encode_jpeg(np.full((8, 8, 1), 99, np.uint8)))
     i = bytes(base).find(b"\xff\xc0")
-    prog = bytes(base[:i]) + b"\xff\xc2" + bytes(base[i + 2:])
+    lossless = bytes(base[:i]) + b"\xff\xc3" + bytes(base[i + 2:])
     with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg(prog)
+        decode_jpeg(lossless)
     # magic router + features treat JPEG as a first-class image
     jpg = encode_jpeg(np.full((8, 16, 3), 200, np.uint8))
     assert decode_image(jpg)["width"] == 16
@@ -487,3 +488,43 @@ def test_jpeg_ahash_parity_with_ppm():
     pat = make_patterned_ppm("jpgpar")
     jpg = encode_jpeg(decode_ppm(pat)["pixels"].repeat(3, axis=2))
     assert ahash_image(pat) == ahash_image(jpg)
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """Progressive (SOF2) decode must reconstruct the IDENTICAL pixels
+    as baseline decode of the same quantized coefficients — the
+    coefficient streams differ (successive approximation, EOB runs,
+    AC refinement correction bits) but the decoded values may not.
+    Covers gray, RGB 4:4:4, RGB 4:2:0 and a coarse quant (dense
+    EOB/ZRL paths)."""
+    from tcdb_spark.sources.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    cases = [
+        (rng.integers(0, 256, (17, 19, 1), np.uint8), dict()),
+        (rng.integers(0, 256, (24, 32, 3), np.uint8), dict()),
+        (rng.integers(0, 256, (16, 16, 3), np.uint8), dict(quant=16)),
+    ]
+    yy, xx = np.mgrid[0:24, 0:32]
+    smooth = np.stack(
+        [np.clip(xx * 4, 0, 255), np.clip(yy * 4, 0, 255), np.full_like(xx, 90)],
+        axis=2,
+    ).astype(np.uint8)
+    cases.append((smooth, dict(subsample=2)))
+    for px, kw in cases:
+        base = decode_jpeg(encode_jpeg(px, **kw))["pixels"]
+        prog = decode_jpeg(encode_jpeg(px, progressive=True, **kw))["pixels"]
+        np.testing.assert_array_equal(prog, base)
+
+    const = np.full((16, 24, 1), 130, np.uint8)
+    out = decode_jpeg(encode_jpeg(const, progressive=True))
+    np.testing.assert_array_equal(out["pixels"], const)  # exact at q1
+
+
+def test_jpeg_progressive_is_sof2_and_multiscan():
+    from tcdb_spark.sources.multimodal import encode_jpeg
+
+    payload = encode_jpeg(np.full((8, 8, 3), 99, np.uint8), progressive=True)
+    assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+    # DC first + DC refine + (AC first + AC refine) x 3 components
+    assert payload.count(b"\xff\xda") == 8

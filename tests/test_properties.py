@@ -477,15 +477,16 @@ def test_png_roundtrip_property(h, w, c, seed):
     h=st.integers(min_value=1, max_value=20),
     w=st.integers(min_value=1, max_value=20),
     gray=st.booleans(),
-    restart=st.sampled_from([0, 1, 2, 5]),
+    mode=st.sampled_from(["plain", "rst1", "rst2", "rst5", "progressive"]),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
 @settings(max_examples=20, deadline=None)
-def test_jpeg_roundtrip_property(h, w, gray, restart, seed):
-    """Flat-quant-1 baseline JPEG round trip is within ±1 of the input
-    for ANY shape (crop path), gray or RGB, with or without restart
-    markers (chroma conversion + float DCT rounding only; exact-integer
-    spec bound would be 0 if the DCT were exact)."""
+def test_jpeg_roundtrip_property(h, w, gray, mode, seed):
+    """Flat-quant-1 JPEG round trip is within ±1 of the input for ANY
+    shape (crop path), gray or RGB, baseline with or without restart
+    markers AND progressive (chroma conversion + float DCT rounding
+    only); progressive decode must equal baseline decode EXACTLY (same
+    quantized coefficients, different entropy streams)."""
     import numpy as np
 
     from tcdb_spark.sources.multimodal import decode_jpeg, encode_jpeg
@@ -493,7 +494,13 @@ def test_jpeg_roundtrip_property(h, w, gray, restart, seed):
     rng = np.random.default_rng(seed)
     c = 1 if gray else 3
     px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
-    out = decode_jpeg(encode_jpeg(px, quant=1, restart=restart))
+    if mode == "progressive":
+        out = decode_jpeg(encode_jpeg(px, quant=1, progressive=True))
+        base = decode_jpeg(encode_jpeg(px, quant=1))
+        np.testing.assert_array_equal(out["pixels"], base["pixels"])
+    else:
+        restart = {"plain": 0, "rst1": 1, "rst2": 2, "rst5": 5}[mode]
+        out = decode_jpeg(encode_jpeg(px, quant=1, restart=restart))
     assert out["pixels"].shape == (h, w, c)
     err = np.abs(out["pixels"].astype(int) - px.astype(int)).max()
     # gray is DCT-exact to ±1; RGB adds YCbCr forward/inverse rounding
