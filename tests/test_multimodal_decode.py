@@ -528,3 +528,82 @@ def test_jpeg_progressive_is_sof2_and_multiscan():
     assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
     # DC first + DC refine + (AC first + AC refine) x 3 components
     assert payload.count(b"\xff\xda") == 8
+
+
+# ------------------------------------------------------------ FLAC decode
+
+
+def test_flac_roundtrip_all_subframe_types():
+    """FLAC is lossless: decode(encode(s)) must equal the quantized
+    input EXACTLY for every subframe type the decoder supports —
+    VERBATIM, CONSTANT, FIXED-order Rice, the Rice raw-bits ESCAPE,
+    LPC (order-1 coefficient stream), multi-frame streams."""
+    from tcdb_spark.sources.multimodal import decode_flac, encode_flac
+
+    rng = np.random.default_rng(13)
+    s = (rng.random(700) * 2 - 1)[:, None] * 0.8
+    want = np.rint(s * 32768).clip(-32768, 32767) / 32768.0
+    for mode in ("verbatim", "fixed2", "fixed2esc", "lpc1"):
+        out = decode_flac(encode_flac(s, mode=mode))
+        assert out["sample_rate"] == 8000 and out["n_channels"] == 1
+        np.testing.assert_array_equal(out["samples"], want)
+    # multiple frames (UTF-8 frame numbers, per-frame CRCs)
+    out = decode_flac(encode_flac(s, blocksize=128))
+    np.testing.assert_array_equal(out["samples"], want)
+    # constant mode: flat block -> CONSTANT subframe, varying -> verbatim
+    s2 = np.concatenate([np.full(256, 0.25), rng.random(300) - 0.5])[:, None]
+    want2 = np.rint(s2 * 32768).clip(-32768, 32767) / 32768.0
+    out = decode_flac(encode_flac(s2, mode="constant"))
+    np.testing.assert_array_equal(out["samples"], want2)
+
+
+def test_flac_stereo_and_mid_side():
+    from tcdb_spark.sources.multimodal import decode_flac, encode_flac
+
+    st = np.stack(
+        [np.sin(np.arange(500) / 7) * 0.5, np.cos(np.arange(500) / 11) * 0.4],
+        axis=1,
+    )
+    want = np.rint(st * 32768).clip(-32768, 32767) / 32768.0
+    for mode in ("verbatim", "ms"):  # independent and mid/side decorrelated
+        out = decode_flac(encode_flac(st, mode=mode))
+        assert out["n_channels"] == 2
+        np.testing.assert_array_equal(out["samples"], want)
+
+
+def test_flac_features_and_resample_routing(spark):
+    """FLAC payloads flow through the SAME feature and resample lanes
+    as WAV — and the features agree with the WAV encoding of the same
+    samples (shared _audio_features)."""
+    from tcdb_spark.sources.multimodal import (
+        decode_flac,
+        encode_flac,
+        make_test_wav,
+        media_features,
+        decode_wav,
+        resample_media,
+    )
+
+    wav_payload = make_test_wav(sample_rate=8000, n_frames=800)
+    samples = decode_wav(wav_payload)["samples"]
+    flac_payload = encode_flac(samples, sample_rate=8000)
+    assert media_features(flac_payload) == media_features(wav_payload)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(flac_payload))], "media_id long, payload binary"
+    )
+    out = resample_media(media, 2000).collect()[0]
+    dec = decode_flac(bytes(out["payload"]))
+    assert dec["sample_rate"] == 2000 and dec["samples"].shape[0] == 200
+
+
+def test_flac_guards():
+    from tcdb_spark.sources.multimodal import decode_flac, encode_flac
+
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"RIFF....WAVE")
+    # corrupted frame data must fail the CRC, not decode garbage
+    good = bytearray(encode_flac(np.linspace(-0.5, 0.5, 300)[:, None]))
+    good[-20] ^= 0x40  # flip a bit inside the last frame's payload
+    with pytest.raises(ValueError, match="CRC|sync|reserved|invalid"):
+        decode_flac(bytes(good))
