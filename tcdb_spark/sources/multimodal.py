@@ -1351,29 +1351,47 @@ class _FlacBitWriter:
 
 
 def _flac_write_residual(
-    w: _FlacBitWriter, res: list[int], escape: bool = False
+    w: _FlacBitWriter,
+    res: list[int],
+    escape: bool = False,
+    po: int = 0,
+    blocksize: int = 0,
+    order: int = 0,
 ) -> None:
-    """One-partition Rice residual with a parameter sized to the data;
-    ``escape`` forces the raw-bits escape code (param = all-ones) the
-    way real encoders do on incompressible blocks."""
+    """Rice residual; ``escape`` forces the raw-bits escape code (param
+    = all-ones) the way real encoders do on incompressible blocks;
+    ``po`` > 0 splits the block into 2^po partitions with independent
+    Rice parameters (requires blocksize divisible by 2^po and the first
+    partition longer than the predictor order)."""
     w.write(0, 2)  # method 0: 4-bit rice params
-    w.write(0, 4)  # partition order 0
+    w.write(po, 4)
     if escape:
         w.write(15, 4)
         w.write(20, 5)  # raw width: covers order-2 residuals of 16-bit pcm
         for e in res:
             w.write(e & ((1 << 20) - 1), 20)
         return
-    zz = [(abs(e) << 1) - (e < 0) for e in res]
-    param = 0
-    while param < 14 and zz and max(zz) >> param > 31:  # keep quotients short
-        param += 1
-    w.write(param, 4)
-    for u in zz:
-        q = u >> param
-        w.write(1, q + 1)  # q zeros then the 1 terminator
-        if param:
-            w.write(u & ((1 << param) - 1), param)
+
+    def one_partition(part: list[int]) -> None:
+        zz = [(abs(e) << 1) - (e < 0) for e in part]
+        param = 0
+        while param < 14 and zz and max(zz) >> param > 31:
+            param += 1
+        w.write(param, 4)
+        for u in zz:
+            q = u >> param
+            w.write(1, q + 1)  # q zeros then the 1 terminator
+            if param:
+                w.write(u & ((1 << param) - 1), param)
+
+    if po == 0:
+        one_partition(res)
+        return
+    i = 0
+    for p in range(1 << po):
+        n = (blocksize >> po) - (order if p == 0 else 0)
+        one_partition(res[i : i + n])
+        i += n
 
 
 def encode_flac(
@@ -1423,7 +1441,7 @@ def encode_flac(
             w.write(0, 1)
             for v in ch:
                 w.write(v & ((1 << sub_bps) - 1), sub_bps)
-        elif smode in ("fixed2", "fixed2esc"):
+        elif smode in ("fixed2", "fixed2esc", "fixed2po2"):
             order = min(2, len(ch) - 1) if len(ch) > 1 else 0
             w.write(8 + order, 6)
             w.write(0, 1)
@@ -1434,7 +1452,11 @@ def encode_flac(
                 ch[i] - sum(c * ch[i - j - 1] for j, c in enumerate(coefs))
                 for i in range(order, len(ch))
             ]
-            _flac_write_residual(w, res, escape=smode == "fixed2esc")
+            po = 2 if smode == "fixed2po2" and len(ch) % 4 == 0 and len(ch) // 4 > order else 0
+            _flac_write_residual(
+                w, res, escape=smode == "fixed2esc",
+                po=po, blocksize=len(ch), order=order,
+            )
         elif smode == "lpc1":
             w.write(32, 6)  # LPC order 1
             w.write(0, 1)
@@ -1483,7 +1505,7 @@ def encode_flac(
                 smode = mode
                 if mode == "constant":
                     smode = "constant" if len(set(ch)) == 1 else "verbatim"
-                if mode in ("fixed2", "fixed2esc", "lpc1") and bs < 3:
+                if mode in ("fixed2", "fixed2esc", "fixed2po2", "lpc1") and bs < 3:
                     smode = "verbatim"
                 subframe(w, ch, bps, smode)
         w.align()

@@ -550,6 +550,12 @@ def test_flac_roundtrip_all_subframe_types():
     # multiple frames (UTF-8 frame numbers, per-frame CRCs)
     out = decode_flac(encode_flac(s, blocksize=128))
     np.testing.assert_array_equal(out["samples"], want)
+    # partition order > 0: 2^2 Rice partitions with independent params
+    # (the first partition short by the predictor order)
+    s3 = (rng.random(768) * 2 - 1)[:, None] * 0.8
+    want3 = np.rint(s3 * 32768).clip(-32768, 32767) / 32768.0
+    out = decode_flac(encode_flac(s3, mode="fixed2po2", blocksize=256))
+    np.testing.assert_array_equal(out["samples"], want3)
     # constant mode: flat block -> CONSTANT subframe, varying -> verbatim
     s2 = np.concatenate([np.full(256, 0.25), rng.random(300) - 0.5])[:, None]
     want2 = np.rint(s2 * 32768).clip(-32768, 32767) / 32768.0
