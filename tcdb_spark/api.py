@@ -659,6 +659,33 @@ class Engine:
             media_ahash(media), max_hamming=max_hamming, bands=bands
         )
 
+    def media_features(self, media: DataFrame, decode_stub: bool = True) -> DataFrame:
+        """Fixed-dim feature vectors from binary media payloads — REAL
+        decode for PPM/PGM, PNG, JPEG (baseline + progressive), PCM WAV
+        and FLAC, Arrow-batched, riding the scan with no shuffle
+        (sources/multimodal.extract_features)."""
+        from tcdb_spark.sources.multimodal import extract_features
+
+        return extract_features(media, decode_stub=decode_stub)
+
+    def media_resize(
+        self, media: DataFrame, out_w: int, out_h: int, decode_stub: bool = True
+    ) -> DataFrame:
+        """Distributed image resize over the binary column (PPM/PNG/JPEG
+        decoded for real; sources/multimodal.resize_media)."""
+        from tcdb_spark.sources.multimodal import resize_media
+
+        return resize_media(media, out_w, out_h, decode_stub=decode_stub)
+
+    def media_resample(
+        self, media: DataFrame, out_rate: int, decode_stub: bool = True
+    ) -> DataFrame:
+        """Distributed audio resample over the binary column (WAV/FLAC
+        decoded for real; sources/multimodal.resample_media)."""
+        from tcdb_spark.sources.multimodal import resample_media
+
+        return resample_media(media, out_rate, decode_stub=decode_stub)
+
     # --- statistical monitoring / preference learning ---------------------
 
     def ks_drift(self, df: DataFrame, cohort_col: str, value_col: str) -> DataFrame:

@@ -178,3 +178,30 @@ def test_engine_eval_facades(spark, tmp_path):
     )
     pairs = eng.media_near_dup(media).collect()
     assert [(p["media_id_a"], p["media_id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+    # decode/resize/resample facades route by magic bytes across formats
+    from tcdb_spark.sources.multimodal import (
+        decode_flac,
+        decode_png,
+        decode_ppm,
+        encode_flac,
+        encode_png,
+        make_test_wav,
+    )
+    import numpy as np
+
+    png = encode_png(decode_ppm(make_patterned_ppm("eng1"))["pixels"])
+    flac = encode_flac(np.linspace(-0.5, 0.5, 400)[:, None])
+    mixed = spark.createDataFrame(
+        [(1, bytearray(png), "image"), (2, bytearray(make_test_wav()), "audio"),
+         (3, bytearray(flac), "audio")],
+        "media_id long, payload binary, media_type string",
+    )
+    feats = {r["media_id"]: r["features"] for r in eng.media_features(mixed).collect()}
+    assert feats[1][0] == 32.0  # real PNG width
+    assert feats[2][0] == 8000.0 and feats[3][0] == 8000.0  # WAV + FLAC rates
+    small = eng.media_resize(mixed, 8, 6).collect()
+    png_small = [r for r in small if r["media_id"] == 1][0]
+    assert decode_png(bytes(png_small["payload"]))["width"] == 8
+    res = {r["media_id"]: r for r in eng.media_resample(mixed, 4000).collect()}
+    assert decode_flac(bytes(res[3]["payload"]))["sample_rate"] == 4000
