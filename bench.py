@@ -95,9 +95,15 @@ def main() -> None:
     # are noisy (GC, page cache, box contention); min is the stable
     # estimator and three samples bound the round-over-round drift that a
     # single unlucky pass introduces (round-2 recorded a 12% phantom
-    # regression from exactly this)
+    # regression from exactly this).  The heavyweight graph lane runs
+    # LAST so its multi-second burst never warms/perturbs a neighbor's
+    # sample (VERDICT r5 item 7).
+    load_before = os.getloadavg()[0]
+    run_order = [n for n in HEADLINE if n != "graph_common_neighbors"]
+    if "graph_common_neighbors" in HEADLINE:
+        run_order.append("graph_common_neighbors")
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in run_order:
         fn = impls[name]
         best = float("inf")
         for _ in range(3):
@@ -105,10 +111,38 @@ def main() -> None:
             run_once(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    timings = {n: timings[n] for n in HEADLINE}  # stable key order
+    load_after = os.getloadavg()[0]
+
+    # data-density diagnostic for the graph lane: wedge candidates are a
+    # property of the FIXTURE, wall time of the PLAN — recording both
+    # lets a future regression be attributed to the right one
+    from tcdb_spark.operators.graph import wedge_candidate_count
+    from tcdb_spark.plans.queries_stats import _CN_DEG_CAP, _CO_KEY_CAP
+    from tcdb_spark.plans.queries_stats import cooccurrence_edges
+    from tcdb_spark.plans.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    co = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+            F.floor(F.unix_timestamp("o_orderdate") / 604800)
+            .cast("bigint")
+            .alias("wk"),
+        )
+        .distinct()
+    )
+    edges = cooccurrence_edges(co, ["supp", "wk"], "cust", key_cap=_CO_KEY_CAP)
+    wedges = wedge_candidate_count(edges, deg_cap=_CN_DEG_CAP)
 
     total = round(sum(timings.values()), 3)
     core20 = round(sum(t for n, t in timings.items() if n in HEADLINE[:20]), 3)
     core25 = round(sum(t for n, t in timings.items() if n in HEADLINE[:25]), 3)
+    core31 = round(sum(t for n, t in timings.items() if n in HEADLINE[:31]), 3)
     print(
         json.dumps(
             {
@@ -122,6 +156,17 @@ def main() -> None:
                 # the round-4 25-lane subtotal — comparable to BENCH_r04's
                 # headline total (12.012 s)
                 "core25_total": core25,
+                # the round-5 31-lane subtotal — comparable to BENCH_r05's
+                # headline total
+                "core31_total": core31,
+                # box-contention context: 1-min load average at start/end
+                # of the timing loop.  On an idle 32-cpu box expect < 32;
+                # well above that means the recording ran under external
+                # load and is inflated vs an idle-box run (the r5 driver
+                # recording's uniform ~1.3x inflation, VERDICT r5).
+                "loadavg_before": round(load_before, 2),
+                "loadavg_after": round(load_after, 2),
+                "graph_wedge_candidates": wedges,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

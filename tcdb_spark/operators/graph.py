@@ -328,13 +328,20 @@ def common_neighbor_links(
     NON-adjacent pairs ranked by |N(u) ∩ N(v)| / |N(u) ∪ N(v)|.
 
     ``edges`` is an undirected edge list (one row per edge, ``src`` <
-    ``dst``).  The wedge join goes through MIDDLE vertices only: a hub
-    of degree d contributes d^2 candidate pairs, so middles above
-    ``deg_cap`` are excluded from CONNECTING (true degrees still feed
-    the Jaccard denominator) — megahubs are near-zero link evidence and
-    the quadratic hazard at once, the same df-cap discipline as the
-    n-gram dedup inverted index.  Counts stay integer; Jaccard is one
-    final division; the top-n is orderBy+limit (TakeOrderedAndProject).
+    ``dst``).  Wedges go through MIDDLE vertices only: a hub of degree
+    d contributes C(d, 2) candidate pairs, so middles above ``deg_cap``
+    are excluded from CONNECTING (true degrees still feed the Jaccard
+    denominator) — megahubs are near-zero link evidence and the
+    quadratic hazard at once, the same df-cap discipline as the n-gram
+    dedup inverted index.  Enumeration is per-middle sorted-neighbor
+    pair generation (``collect_list`` + nested ``transform``, all
+    JVM-side): each middle's adjacency is bounded by ``deg_cap`` so the
+    collected list is small by construction, and each wedge is emitted
+    exactly ONCE as an ordered (u < v) pair — half the candidates the
+    equivalent self-join materializes before its ``ma.x < mb.x`` filter,
+    and one shuffle (groupBy middle) instead of the self-join's two-
+    sided exchange.  Counts stay integer; Jaccard is one final
+    division; the top-n is orderBy+limit (TakeOrderedAndProject).
     Reference analogue: tcdb has no graph operators — this extends the
     entity-resolution family (SURVEY.md §2.4) to graph context.
     """
@@ -345,12 +352,20 @@ def common_neighbor_links(
     deg = adj.groupBy("x").agg(F.count("*").alias("d"))
     capped = deg.where(F.col("d") <= deg_cap).select(F.col("x").alias("cx"))
     mid = adj.join(capped, adj["y"] == capped["cx"], "left_semi")
-    ma, mb = mid.alias("ma"), mid.alias("mb")
-    cn = (
-        ma.join(mb, (F.col("ma.y") == F.col("mb.y")) & (F.col("ma.x") < F.col("mb.x")))
-        .groupBy(F.col("ma.x").alias("u"), F.col("mb.x").alias("v"))
-        .agg(F.count("*").alias("cn"))
-    )
+    # per-middle sorted neighbor list (<= deg_cap elements), then every
+    # i < j pair via nested transform — slice() truncates at the array
+    # end, so the length arg can safely be the full size
+    nbrs = mid.groupBy("y").agg(F.sort_array(F.collect_list("x")).alias("ns"))
+    pairs = nbrs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (a, i) -> "
+                "transform(slice(ns, i + 2, size(ns)), "
+                "b -> named_struct('u', a, 'v', b))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    cn = pairs.groupBy("u", "v").agg(F.count("*").alias("cn"))
     ne = cn.join(e, ["u", "v"], "left_anti")
     j = ne.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u").join(
         deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v"
@@ -366,3 +381,23 @@ def common_neighbor_links(
         .orderBy(F.col("jaccard").desc(), "u", "v")
         .limit(top_n)
     )
+
+
+def wedge_candidate_count(
+    edges: DataFrame, src: str = "u", dst: str = "v", deg_cap: int = 96
+) -> int:
+    """Diagnostic: the number of wedge candidate pairs
+    ``common_neighbor_links`` enumerates for this edge set — the sum of
+    C(d, 2) over middles with degree <= ``deg_cap``.  Benchmarks record
+    it so a runtime regression on the graph lane can be attributed to a
+    plan change vs a denser fixture (the candidate count is a property
+    of the DATA, the wall time of the PLAN)."""
+    adj = (
+        edges.select(F.col(src).alias("x"))
+        .unionAll(edges.select(F.col(dst).alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+        .where(F.col("d") <= deg_cap)
+        .agg(F.coalesce(F.sum(F.expr("d * (d - 1) / 2")), F.lit(0)).alias("w"))
+    )
+    return int(adj.first()["w"])

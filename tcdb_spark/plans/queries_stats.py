@@ -773,8 +773,6 @@ def bt_ratings_distributed(
     return out
 
 
-from tcdb_spark.plans.queries_training import _TRI_EDGES_SQL  # noqa: E402
-
 _CN_DEG_CAP = 96
 # co-occurrence-key cap for the edge-construction self-join: max buyers
 # per (supplier, week) before the key is dropped as a hub (testdata max
@@ -782,12 +780,30 @@ _CN_DEG_CAP = 96
 # megahub to <= cap^2 pairs)
 _CO_KEY_CAP = 64
 
+# Edge construction with the (supp, wk) hot-key cap MIRRORED in SQL —
+# the engine df-caps via drop_hot_keys(> _CO_KEY_CAP) before the
+# self-join, so the oracle must exclude the same hot keys or the two
+# silently diverge on any dataset with a co-occurrence key over the cap
+# (graph_triangles' shared _TRI_EDGES_SQL stays uncapped because its
+# engine twin builds edges uncapped).
+_CN_EDGES_SQL = f"""
+    co AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s,
+                  CAST(floor(epoch(o.o_orderdate) / 604800) AS BIGINT) AS wk
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    hot AS (SELECT s, wk FROM co GROUP BY 1, 2 HAVING count(*) > {_CO_KEY_CAP}),
+    cok AS (SELECT co.c, co.s, co.wk FROM co
+            LEFT JOIN hot ON co.s = hot.s AND co.wk = hot.wk
+            WHERE hot.s IS NULL),
+    e AS (SELECT a.c AS u, b.c AS v FROM cok a JOIN cok b
+          ON a.s = b.s AND a.wk = b.wk AND a.c < b.c GROUP BY 1, 2)
+"""
+
 
 @register(
     "graph_common_neighbors",
     oracle=(
         "WITH "
-        + _TRI_EDGES_SQL
+        + _CN_EDGES_SQL
         + f""",
     adj AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
     deg AS (SELECT x, count(*) AS d FROM adj GROUP BY 1),
