@@ -42,9 +42,9 @@ def connected_components(
     an un-reset high-diameter run (a 24-node chain suffices) spends
     unbounded driver time multiplying huge BigIntegers in join
     selection long before max_iter.  ``work_dir`` must be a shared
-    filesystem path on a real cluster; the tempfile default is correct
-    in local mode."""
-    import tempfile
+    filesystem path on a real cluster; when unset,
+    `session.scratch_dir` resolves it (``tcdb.scratch.dir`` conf →
+    local-mode tempdir → hard error on a real cluster)."""
     # symmetrize with ONE pass over the (possibly expensive) edge
     # derivation: explode each edge into both directions instead of
     # self-unioning the plan, which would execute the upstream join
@@ -92,7 +92,9 @@ def connected_components(
             # stats reset (DEVNOTES #48): between resets the estimate
             # grows at most 2^8x over a real file size — harmless
             if tmp is None:
-                tmp = work_dir or tempfile.mkdtemp(prefix="cc_rounds_")
+                from tcdb_spark.session import scratch_dir
+
+                tmp = work_dir or scratch_dir(spark, "cc_rounds_")
             path = f"{tmp}/round_{it + 1}"
             labels.write.mode("overwrite").parquet(path)
             labels = spark.read.parquet(path)

@@ -712,12 +712,14 @@ def bt_ratings_distributed(
     ``work_dir``: where round state lands.  On a REAL cluster this must
     be a shared filesystem path (S3/HDFS/NFS — e.g. a scratch area
     beside the warehouse; Engine.rate_pairwise_distributed passes one
-    automatically); the tempfile default is driver-local and only
-    correct in local mode, where driver and executors share a disk."""
-    import tempfile
+    automatically).  When unset, `session.scratch_dir` resolves it: the
+    ``tcdb.scratch.dir`` session conf if configured, a driver-local
+    tempdir in local mode, and a hard error otherwise (a driver-local
+    path is NOT shared with cluster executors)."""
+    from tcdb_spark.session import scratch_dir
 
     spark = wins_df.sparkSession
-    tmp = work_dir or tempfile.mkdtemp(prefix="bt_mm_rounds_")
+    tmp = work_dir or scratch_dir(spark, "bt_mm_rounds_")
     w = wins_df.select(
         F.col("winner").alias("i"), F.col("loser").alias("j"),
         F.col("n_wins").cast("bigint").alias("n"),

@@ -56,3 +56,40 @@ def get_spark(
 
 def sf_dir(default: str = "/root/testdata/sf0.1") -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def scratch_dir(spark: SparkSession, prefix: str) -> str:
+    """Resolve a scratch directory for iterative round state
+    (bt_ratings_distributed, connected_components, ...): a path BOTH the
+    driver and every executor can read and write.
+
+    Resolution order:
+
+    1. ``tcdb.scratch.dir`` session conf — a shared-filesystem root
+       (S3/HDFS/NFS, e.g. a scratch area beside the warehouse).  Each
+       call gets a unique subdirectory so concurrent jobs never collide.
+    2. In local mode only, a driver-local tempfile directory — correct
+       there because driver and executors share one disk.
+
+    Outside local mode with no configured scratch root this RAISES
+    instead of silently handing out a driver-local path: executors on a
+    real cluster would write round state to a directory that exists
+    only on their own disks, and the next round's read would see
+    missing/partial data.  (ADVICE r5: the catalog entry points never
+    passed work_dir, so only the Engine facade was cluster-correct.)
+    """
+    import uuid
+
+    root = spark.conf.get("tcdb.scratch.dir", None)
+    if root:
+        return f"{root.rstrip('/')}/{prefix}{uuid.uuid4().hex}"
+    master = spark.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        raise ValueError(
+            "iterative round state needs a shared-filesystem scratch dir on "
+            f"a real cluster (master={master!r}): set the 'tcdb.scratch.dir' "
+            "session conf to an S3/HDFS/NFS path, or pass work_dir= explicitly"
+        )
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix)

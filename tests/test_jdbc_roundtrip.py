@@ -11,6 +11,10 @@ DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
 def test_jdbc_roundtrip_partitioned(spark, tmp_path):
+    # Derby writes derby.log into the JVM's CWD (the repo root under
+    # pytest) unless told otherwise; it reads this property at engine
+    # boot, i.e. at the first connection below
+    spark._jvm.System.setProperty("derby.stream.error.file", str(tmp_path / "derby.log"))
     url = f"jdbc:derby:{tmp_path}/db;create=true"
     df = spark.range(0, 1000).select(
         F.col("id").cast("long").alias("obs_id"),
