@@ -142,21 +142,33 @@ def decode_png(payload: bytes) -> dict:
             cur = (np.cumsum(line.reshape(w, bpp), axis=0) & 255).ravel()
         elif ft == 2:  # Up
             cur = (line + prev) & 255
+        # Average/Paeth have a serial left-dependency per row, so they
+        # cannot vectorize along x; the loops run over plain Python
+        # lists because scalar-indexing numpy arrays in a tight loop is
+        # ~10x slower than list indexing (ADVICE r5).  This is still an
+        # O(h*stride) interpreted path — the real-corpus answer is the
+        # native-decoder swap documented at the top of this module; the
+        # stdlib path's measured throughput ceiling is in
+        # SCALE_SMOKE.md.
         elif ft == 3:  # Average
-            cur = np.empty(stride, np.int64)
+            lin, pv, out = line.tolist(), prev.tolist(), [0] * stride
             for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (line[x] + ((left + prev[x]) >> 1)) & 255
+                left = out[x - bpp] if x >= bpp else 0
+                out[x] = (lin[x] + ((left + pv[x]) >> 1)) & 255
+            cur = np.asarray(out, np.int64)
         elif ft == 4:  # Paeth
-            cur = np.empty(stride, np.int64)
+            lin, pv, out = line.tolist(), prev.tolist(), [0] * stride
             for x in range(stride):
-                a_ = cur[x - bpp] if x >= bpp else 0
-                b_ = prev[x]
-                c_ = prev[x - bpp] if x >= bpp else 0
+                a_ = out[x - bpp] if x >= bpp else 0
+                b_ = pv[x]
+                c_ = pv[x - bpp] if x >= bpp else 0
                 p = a_ + b_ - c_
-                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                pa = p - a_ if p >= a_ else a_ - p
+                pb = p - b_ if p >= b_ else b_ - p
+                pc = p - c_ if p >= c_ else c_ - p
                 pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
-                cur[x] = (line[x] + pred) & 255
+                out[x] = (lin[x] + pred) & 255
+            cur = np.asarray(out, np.int64)
         else:
             raise ValueError(f"invalid PNG filter type {ft}")
         recon[y] = cur.astype(np.uint8)
@@ -258,8 +270,14 @@ class _BitReader:
         self.bits, self.nbits = 0, 0
 
     def _fill(self) -> None:
+        # one bad/short record must fail as a diagnosable ValueError,
+        # not a raw IndexError from deep in the bit loop (ADVICE r5)
+        if self.pos >= len(self.buf):
+            raise ValueError("truncated JPEG entropy data")
         b = self.buf[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("truncated JPEG entropy data")
             nxt = self.buf[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -295,6 +313,17 @@ class _BitReader:
 class _MarkerHit(Exception):
     def __init__(self, marker: int):
         self.marker = marker
+
+
+def _req(tables: dict, key, what: str):
+    """Table lookup that fails as ValueError, not KeyError: a scan
+    referencing a DQT/DHT id that never arrived is a corrupt payload,
+    and the error must be catchable alongside the codec's other
+    validation paths (ADVICE r5)."""
+    try:
+        return tables[key]
+    except KeyError:
+        raise ValueError(f"JPEG scan references missing {what} {key}") from None
 
 
 def _extend(v: int, size: int) -> int:
@@ -361,7 +390,7 @@ def _prog_scan(
     def dc_block(ci: int, blk) -> None:
         nonlocal preds
         if ah == 0:
-            s = reader.huff(huff_dc[scan_tables[comps[ci]["id"]][0]])
+            s = reader.huff(_req(huff_dc, _req(scan_tables, comps[ci]["id"], "scan component")[0], "DC Huffman table"))
             diff = _extend(reader.read(s), s) if s else 0
             preds[ci] += diff
             blk[0] = preds[ci] << al
@@ -373,7 +402,7 @@ def _prog_scan(
         if eobrun:
             eobrun -= 1
             return
-        table = huff_ac[scan_tables[comps[ci]["id"]][1]]
+        table = _req(huff_ac, _req(scan_tables, comps[ci]["id"], "scan component")[1], "AC Huffman table")
         k = ss
         while k <= se:
             rs = reader.huff(table)
@@ -394,7 +423,7 @@ def _prog_scan(
 
     def ac_refine(ci: int, blk) -> None:
         nonlocal eobrun
-        table = huff_ac[scan_tables[comps[ci]["id"]][1]]
+        table = _req(huff_ac, _req(scan_tables, comps[ci]["id"], "scan component")[1], "AC Huffman table")
         p1, m1 = 1 << al, -(1 << al)
         k = ss
         if eobrun == 0:
@@ -476,7 +505,7 @@ def _prog_reconstruct(frame: dict, qt: dict, state: _ProgState) -> dict:
     tt = _DCT_T.T
     planes = []
     for ci, c in enumerate(comps):
-        q = qt[c["tq"]]
+        q = _req(qt, c["tq"], "DQT quantization table")
         coefs = state.coefs[ci]
         bh, bw, _ = coefs.shape
         plane = np.zeros((bh * 8, bw * 8))
@@ -608,21 +637,23 @@ def _jpeg_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart) -> dict:
                 # skip the RSTn marker
                 while buf[reader.pos] != 0xFF or not (0xD0 <= buf[reader.pos + 1] <= 0xD7):
                     reader.pos += 1
+                    if reader.pos + 1 >= len(buf):
+                        raise ValueError("truncated JPEG entropy data (missing RST marker)")
                 reader.pos += 2
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
-                dc_t, ac_t = scan[c["id"]]
-                q = qt[c["tq"]]
+                dc_t, ac_t = _req(scan, c["id"], "scan component")
+                q = _req(qt, c["tq"], "DQT quantization table")
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         coef = np.zeros(64)
-                        s = reader.huff(huff_dc[dc_t])
+                        s = reader.huff(_req(huff_dc, dc_t, "DC Huffman table"))
                         diff = _extend(reader.read(s), s) if s else 0
                         pred[ci] += diff
                         coef[0] = pred[ci] * q[0]
                         k = 1
                         while k < 64:
-                            rs = reader.huff(huff_ac[ac_t])
+                            rs = reader.huff(_req(huff_ac, ac_t, "AC Huffman table"))
                             r, s = rs >> 4, rs & 15
                             if s == 0:
                                 if r == 15:
@@ -1121,6 +1152,8 @@ class _FlacBitReader:
         self.buf, self.bitpos = buf, pos * 8
 
     def read(self, n: int) -> int:
+        if self.bitpos + n > len(self.buf) * 8:
+            raise ValueError("truncated FLAC stream")
         v = 0
         for _ in range(n):
             byte = self.buf[self.bitpos >> 3]

@@ -613,3 +613,42 @@ def test_flac_guards():
     good[-20] ^= 0x40  # flip a bit inside the last frame's payload
     with pytest.raises(ValueError, match="CRC|sync|reserved|invalid"):
         decode_flac(bytes(good))
+
+
+def test_malformed_jpeg_flac_raise_value_error():
+    """Truncated/corrupt payloads must fail as diagnosable ValueError —
+    never raw IndexError/KeyError from deep in the bit readers — so one
+    bad record in extract_features is catchable alongside the codecs'
+    other validation paths (ADVICE r5)."""
+    from tcdb_spark.sources.multimodal import (
+        decode_flac,
+        decode_jpeg,
+        encode_flac,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    jp = encode_jpeg(px)
+
+    # entropy data cut mid-stream -> truncated, not IndexError
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        decode_jpeg(jp[: len(jp) // 2])
+
+    # DHT segment stripped -> the scan references a table that never
+    # arrived; must say so, not KeyError
+    i = jp.find(b"\xff\xc4")
+    seg_len = struct.unpack(">H", jp[i + 2 : i + 4])[0]
+    with pytest.raises(ValueError, match="missing DC Huffman"):
+        decode_jpeg(jp[:i] + jp[i + 2 + seg_len :])
+
+    # DQT segment stripped likewise
+    j = jp.find(b"\xff\xdb")
+    q_len = struct.unpack(">H", jp[j + 2 : j + 4])[0]
+    with pytest.raises(ValueError, match="missing DQT|missing DC Huffman"):
+        decode_jpeg(jp[:j] + jp[j + 2 + q_len :])
+
+    # FLAC cut mid-frame -> truncated, not IndexError
+    fl = encode_flac(np.linspace(-0.4, 0.4, 600)[:, None])
+    with pytest.raises(ValueError, match="truncated FLAC|CRC"):
+        decode_flac(fl[: len(fl) - 7])
