@@ -221,6 +221,119 @@ def asof_join(
     return out
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    bucket_hours: float = 24.0,
+    tolerance_hours: float | None = None,
+) -> DataFrame:
+    """Skew-resistant BACKWARD as-of join — identical results to
+    ``asof_join(direction='backward')``, different partitioning.
+
+    `asof_join` windows over the raw key, so ONE task sorts a hot
+    entity's entire history — and AQE's skew handling cannot split a
+    window partition the way it splits an oversized join partition.
+    This variant splits each key's timeline into ``bucket_hours``
+    buckets and runs the window over (key, bucket): a key with 10^8
+    rows spread over 10^4 buckets becomes 10^4 independent partitions.
+
+    Mechanics: (1) per (key, bucket) reduce the right side to its last
+    row (max_by on ts — map-side combinable); (2) carry that value
+    forward over the per-key BUCKET sequence (a window over one row per
+    bucket, not per event — bounded by the time span, not the row
+    count) to get "value as of bucket start"; (3) inject the carried
+    boundary as a phantom right row sorting before everything in the
+    bucket and run the usual union + last-over-window INSIDE each
+    (key, bucket) partition.  Tie semantics match `asof_join`: right
+    rows sort before left rows at equal ts.  Worst-case residual skew
+    is a hot key whose rows share one bucket — shrink ``bucket_hours``;
+    a fully degenerate single-instant key has no order to exploit in
+    any as-of algorithm.  Planted-hot-key rescue measured in
+    tools/scale_smoke_skew.py; equivalence pinned in
+    tests/test_asof_bucketed.py.
+    """
+    bucket_s = int(bucket_hours * 3600)
+    carried = [f"__r_{c}" for c in right_cols]
+
+    rt = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(a) for c, a in zip(right_cols, carried)],
+        F.col(right_ts).alias("__r_ts"),
+    ).withColumn("__bkt", F.floor(F.col("__ts").cast("double") / bucket_s).cast("long"))
+    lt = left.withColumn(
+        "__bkt", F.floor(F.col(left_ts).cast("double") / bucket_s).cast("long")
+    )
+
+    # (1) last right row per (key, bucket): max_by over the packed row
+    pack = F.struct(*carried, "__r_ts")
+    bucket_last = rt.groupBy(*on, "__bkt").agg(
+        F.max_by(pack, F.col("__ts")).alias("__pack")
+    )
+
+    # (2) bucket universe from BOTH sides; carry last-seen pack over
+    # strictly-earlier buckets -> "as of bucket start"
+    universe = (
+        lt.select(*on, "__bkt")
+        .distinct()
+        .unionByName(bucket_last.select(*on, "__bkt"))
+        .distinct()
+    )
+    ub = universe.join(bucket_last, [*on, "__bkt"], "left")
+    w_carry = (
+        W.partitionBy(*on).orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    )
+    boundary = ub.select(
+        *on,
+        "__bkt",
+        F.last("__pack", ignorenulls=True).over(w_carry).alias("__boundary"),
+    ).where(F.col("__boundary").isNotNull())
+
+    # (3) phantom right rows at bucket start (__side = -1 sorts first),
+    # union with real rows, window inside (key, bucket)
+    phantom = boundary.select(
+        *on,
+        "__bkt",
+        F.lit(-1).alias("__side"),
+        F.lit(None).cast(rt.schema["__ts"].dataType).alias("__ts"),
+        *[F.col("__boundary")[a].alias(a) for a in carried],
+        F.col("__boundary")["__r_ts"].alias("__r_ts"),
+    )
+    rt2 = rt.select(*on, "__bkt", F.lit(0).alias("__side"), "__ts", *carried, "__r_ts")
+    lt2 = lt.select(
+        *lt.columns,
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__ts"),
+        *[F.lit(None).cast(rt.schema[a].dataType).alias(a) for a in carried],
+        F.lit(None).cast(rt.schema["__r_ts"].dataType).alias("__r_ts"),
+    )
+    u = lt2.unionByName(rt2, allowMissingColumns=True).unionByName(
+        phantom, allowMissingColumns=True
+    )
+    order = [F.col("__ts").asc_nulls_first(), F.col("__side").asc()]
+    w_back = (
+        W.partitionBy(*on, "__bkt").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    )
+    for a in [*carried, "__r_ts"]:
+        u = u.withColumn(a, F.last(F.col(a), ignorenulls=True).over(w_back))
+    out = u.where(F.col("__side") == 1)
+    if tolerance_hours is not None:
+        tol_s = int(tolerance_hours * 3600)
+        within = (
+            F.abs(F.col("__ts").cast("long") - F.col("__r_ts").cast("long")) <= tol_s
+        )
+        for a in carried:
+            out = out.withColumn(a, F.when(within, F.col(a)))
+    out = out.drop("__side", "__ts", "__r_ts", "__bkt")
+    for c, a in zip(right_cols, carried):
+        out = out.withColumnRenamed(a, c)
+    return out
+
+
 def exists_gate(incoming: DataFrame, existing: DataFrame, keys: list[str]) -> tuple[DataFrame, DataFrame]:
     """Split incoming rows into (new, already_present) by natural key —
     the set-based form of the reference's per-row ``one_or_none`` gates

@@ -96,6 +96,7 @@ def main():
 
     qs, oracles = E.queries(), E.oracle_sql()
     passed, failed, weak = [], [], []
+    rows: list[tuple[str, str, int, float]] = []  # (name, status, n, sec)
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -104,30 +105,65 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
             failed.append(name)
+            rows.append((name, "FAIL", -1, time.time() - t0))
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             continue
         if name not in oracles:
             weak.append(name)
+            rows.append((name, "WEAK", len(sdf), time.time() - t0))
             print(f"WEAK {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception:
             failed.append(name)
+            rows.append((name, "FAIL", len(sdf), time.time() - t0))
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             continue
         problems = compare(name, sdf, ddf)
         if problems:
             failed.append(name)
+            rows.append((name, "FAIL", len(sdf), time.time() - t0))
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             passed.append(name)
+            rows.append((name, "PASS", len(sdf), time.time() - t0))
             print(f"PASS {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(passed)} passed, {len(failed)} failed, {len(weak)} weak (rows-only)")
+    if not only:
+        # full-matrix runs commit the evidence as a first-class artifact:
+        # the driver samples only ~50 lanes per round, so this file is the
+        # correctness record for the other ~150 (VERDICT r5 #4).  Gated
+        # for freshness by tools/refresh_artifacts.py.
+        write_artifact(sf_dir, rows, len(passed), len(failed), len(weak))
     if failed:
         print("failed:", ", ".join(failed))
         sys.exit(1)
+
+
+def write_artifact(sf_dir, rows, n_pass, n_fail, n_weak):
+    lines = [
+        "# ORACLE_SUPERSET — full-catalog correctness evidence",
+        "",
+        f"Every registered query run against its DuckDB oracle at `{sf_dir}`",
+        "(exact value equality after column-name sort + row sort — stricter",
+        "than the driver's hash compare). Regenerated by",
+        "`python tools/check_oracle.py <sf_dir>` and freshness-gated by",
+        "`tools/refresh_artifacts.py`; WEAK = registered without an oracle",
+        "(rows-only by nature).",
+        "",
+        f"**{len(rows)} queries audited: {n_pass} passed, {n_fail} failed, "
+        f"{n_weak} weak (rows-only).**",
+        "",
+        "| query | status | rows | sec |",
+        "|---|---|---|---|",
+    ]
+    for name, status, n, sec in rows:
+        lines.append(f"| {name} | {status} | {n} | {sec:.1f} |")
+    with open("/root/repo/ORACLE_SUPERSET.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote ORACLE_SUPERSET.md ({len(rows)} rows)")
 
 
 if __name__ == "__main__":

@@ -30,7 +30,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 REPO = "/root/repo"
-ARTIFACTS = ["PLAN_LINT.md", "EXPLAINS.md", "SHUFFLE_PROFILE.md"]
+ARTIFACTS = ["PLAN_LINT.md", "EXPLAINS.md", "SHUFFLE_PROFILE.md", "ORACLE_SUPERSET.md"]
 
 
 def newest_source_mtime() -> float:
@@ -51,6 +51,9 @@ def main() -> None:
         ([sys.executable, "tools/plan_lint.py", lint_sf], "plan_lint"),
         ([sys.executable, "tools/explain_report.py", lint_sf], "explain_report"),
         ([sys.executable, "tools/shuffle_profile.py", prof_sf], "shuffle_profile"),
+        # full-matrix oracle run writes ORACLE_SUPERSET.md — the
+        # correctness record for the ~150 lanes the driver never samples
+        ([sys.executable, "tools/check_oracle.py", lint_sf], "check_oracle"),
     ]
     for cmd, label in steps:
         print(f"==> {label} ({' '.join(cmd[2:])})", flush=True)
@@ -69,6 +72,16 @@ def main() -> None:
             f"PLAN_LINT.md audited {audited} queries but the catalog has "
             f"{len(QUERIES)} — artifact lags HEAD"
         )
+
+    sup_path = os.path.join(REPO, "ORACLE_SUPERSET.md")
+    if os.path.exists(sup_path):
+        m = re.search(r"\*\*(\d+) queries audited", open(sup_path).read())
+        sup_n = int(m.group(1)) if m else -1
+        if sup_n != len(QUERIES):
+            failures.append(
+                f"ORACLE_SUPERSET.md audited {sup_n} queries but the catalog "
+                f"has {len(QUERIES)} — artifact lags HEAD"
+            )
 
     src_mtime = newest_source_mtime()
     for a in ARTIFACTS:
