@@ -611,6 +611,36 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_bucketed",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-resistant twin of `join_asof` — identical semantics and
+    oracle, but the window runs per (user, 24h bucket) with a carried
+    boundary instead of per raw user, so a megahot entity splits across
+    time buckets instead of owning one reducer (asof_join_bucketed,
+    operators/joins.py; 20.5 s -> 7.4 s on the planted-90%-one-key
+    smoke, SCALE_SMOKE.md round 6)."""
+    from tcdb_spark.operators.joins import asof_join_bucketed
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    purchases = e.where(F.col("event_type") == "purchase")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = asof_join_bucketed(
+        purchases, clicks, ["user_id"], "ts", "click_ts", ["click_ts"],
+        bucket_hours=24.0,
+    )
+    return out.select("event_id", "user_id", "ts", "click_ts")
+
+
+@register(
     "join_entity_resolution",
     oracle="""
     WITH cand AS (
