@@ -55,6 +55,9 @@ HEADLINE = [
     "image_phash_dedup",
     "graph_common_neighbors",
     "winnow_fingerprint",
+    # round-6 widening: the skew-resistant as-of twin joins the frozen
+    # set (positions 1-31 stay comparable via core*_total subtotals)
+    "join_asof_bucketed",
 ]
 
 
