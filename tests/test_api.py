@@ -418,3 +418,29 @@ def test_engine_verify_forecasts_facade(spark, tmp_path):
     assert 5 < by[("OFCL", 0)] < 12
     assert ("OFCL", 24) not in by
     assert len(by) == 6
+
+
+def test_engine_asof_facade(spark, tmp_path):
+    import pytest
+
+    from tcdb_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_asof"))
+    left = spark.createDataFrame(
+        [(1, 1000), (1, 2000), (2, 500)], "k long, lts long"
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, 900, 7.0), (1, 1500, 9.0)], "k long, rts long, rval double"
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    plain = eng.asof(left, right, ["k"], "lts", "rts", ["rval"])
+    skewr = eng.asof(
+        left, right, ["k"], "lts", "rts", ["rval"], skew_resistant=True,
+        bucket_hours=0.1,
+    )
+    want = {(1, 1000): 7.0, (1, 2000): 9.0, (2, 500): None}
+    for out in (plain, skewr):
+        got = {(r["k"], int(r["lts"].timestamp())): r["rval"] for r in out.collect()}
+        assert got == want
+    with pytest.raises(ValueError, match="backward"):
+        eng.asof(left, right, ["k"], "lts", "rts", ["rval"],
+                 direction="nearest", skew_resistant=True)

@@ -40,7 +40,11 @@ def _mk(spark, n_left=400, n_right=150, n_keys=7, seed=3):
         rng.normal(size=n_right),
     ):
         rows.append((int(k), int(base + t), float(v)))
-    rows += [(int(r[0]), int(r[1]), float(r[2]) + 100.0) for r in rows[:10]]
+    # duplicate some (key, ts) rows VALUE-IDENTICALLY: exact-ts ties are
+    # exercised, but the winner among equal-ts right rows is a window
+    # tie neither implementation (nor DuckDB ASOF) defines — same-value
+    # duplicates keep the comparison deterministic
+    rows += [(int(r[0]), int(r[1]), float(r[2])) for r in rows[:10]]
     right = spark.createDataFrame(rows, "k long, rts long, rval double").withColumn(
         "rts", F.col("rts").cast("timestamp")
     )
