@@ -91,8 +91,14 @@ def main() -> None:
 
     impls = headline_impls()
 
-    # warm up the JVM/codegen/file-listing paths once
-    run_once(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    # Warm up with one UNTIMED pass of every lane: a single q1 warmup
+    # leaves the first timed lanes paying JIT/codegen compilation —
+    # measured r6: the first ~6 lanes in run order read 1.3-1.6x their
+    # steady-state cost while the median lane sat at 1.0x vs r5.  A
+    # full untimed pass makes the recorded numbers measure PLAN cost,
+    # not JVM warmup, and makes them order-independent.
+    for name in HEADLINE:
+        run_once(impls[name](spark, sf_dir))
 
     # best of three runs per query: one-shot timings on a shared local JVM
     # are noisy (GC, page cache, box contention); min is the stable
