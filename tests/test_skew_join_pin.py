@@ -1,0 +1,92 @@
+"""Pins the two skew answers of the fact-fact time-join family
+(VERDICT r5 #5):
+
+1. interval_join's equi-join key is (entity, time-bucket), so a hot
+   ENTITY spread over time is pre-split by construction — no skewed
+   partition even exists (verified: no skew=true marker for the
+   time-spread hot key).
+2. When the hot entity ALSO concentrates in one bucket (hot key + hot
+   hour), the partition IS skewed — and AQE's skew-join provably splits
+   it on our plan shape (SortMergeJoin(skew=true) in the final adaptive
+   plan).  Gotcha pinned along the way: the skew marker only appears in
+   the DataFrame's OWN query execution after a collect(); a noop write
+   runs a separate execution and shows the non-final plan.
+
+asof_join has no such AQE backstop (window partitions are unsplittable)
+— its answer is asof_join_bucketed (tests/test_asof_bucketed.py).
+"""
+
+from pyspark.sql import functions as F
+
+from tcdb_spark.operators.joins import interval_join
+
+_SKEW_CONFS = {
+    # shrink the thresholds so a tests-sized hot partition qualifies;
+    # production uses the defaults (256MB/5x) — the POINT is that the
+    # mechanism applies to this plan shape at all
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.join.preferSortMergeJoin": "true",
+}
+
+
+def _frames(spark, hot_hour: bool):
+    base = 1_600_000_000
+    span = 40 * 86400
+    hot_ts = (
+        F.lit(base) + F.pmod(F.xxhash64("id", F.lit(5)), F.lit(3600))
+        if hot_hour
+        else F.lit(base) + F.pmod(F.xxhash64("id", F.lit(5)), F.lit(span))
+    )
+    left = spark.range(400_000).select(
+        F.when(F.pmod(F.xxhash64("id"), F.lit(10)) < 9, F.lit(1))
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(3)), F.lit(500)) + 2)
+        .alias("k"),
+        F.when(F.pmod(F.xxhash64("id"), F.lit(10)) < 9, hot_ts)
+        .otherwise(F.lit(base) + F.pmod(F.xxhash64("id", F.lit(5)), F.lit(span)))
+        .cast("timestamp")
+        .alias("lts"),
+    )
+    right = spark.range(5_000).select(
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(500)).alias("k"),
+        (F.lit(base) + F.pmod(F.xxhash64("id", F.lit(11)), F.lit(span)))
+        .cast("timestamp")
+        .alias("rts"),
+    )
+    return left, right
+
+
+def _final_plan_skew(spark, hot_hour: bool) -> bool:
+    left, right = _frames(spark, hot_hour)
+    j = interval_join(left, right, ["k"], "lts", "rts", tolerance_hours=1.0)
+    j.collect()  # AQE finalizes on the df's own execution, not a write's
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in plan
+    return "skew=true" in plan
+
+
+def test_interval_join_skew_split_and_pre_split(spark):
+    saved = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    try:
+        for k, v in _SKEW_CONFS.items():
+            spark.conf.set(k, v)
+        # hot key + hot hour: one (entity, bucket) partition is huge ->
+        # AQE must split it
+        assert _final_plan_skew(spark, hot_hour=True), (
+            "AQE skew-join did not fire on the concentrated hot partition"
+        )
+        # hot key spread over time: the bucket inside the join key
+        # pre-splits the entity — nothing is skewed, nothing to fix
+        assert not _final_plan_skew(spark, hot_hour=False), (
+            "time-spread hot key produced a skewed partition — the "
+            "(entity, bucket) key should have pre-split it"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
