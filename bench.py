@@ -91,6 +91,11 @@ def main() -> None:
 
     impls = headline_impls()
 
+    # external-contention sample BEFORE the warmup: the warmup itself
+    # saturates a 32-cpu box's 1-min load average, so sampling after it
+    # would make a contended recording indistinguishable from an idle one
+    load_before = os.getloadavg()[0]
+
     # Warm up with one UNTIMED pass of every lane: a single q1 warmup
     # leaves the first timed lanes paying JIT/codegen compilation —
     # measured r6: the first ~6 lanes in run order read 1.3-1.6x their
@@ -107,7 +112,6 @@ def main() -> None:
     # regression from exactly this).  The heavyweight graph lane runs
     # LAST so its multi-second burst never warms/perturbs a neighbor's
     # sample (VERDICT r5 item 7).
-    load_before = os.getloadavg()[0]
     run_order = [n for n in HEADLINE if n != "graph_common_neighbors"]
     if "graph_common_neighbors" in HEADLINE:
         run_order.append("graph_common_neighbors")
@@ -127,26 +131,11 @@ def main() -> None:
     # property of the FIXTURE, wall time of the PLAN — recording both
     # lets a future regression be attributed to the right one
     from tcdb_spark.operators.graph import wedge_candidate_count
-    from tcdb_spark.plans.queries_stats import _CN_DEG_CAP, _CO_KEY_CAP
-    from tcdb_spark.plans.queries_stats import cooccurrence_edges
-    from tcdb_spark.plans.catalog import load_tables
-    from pyspark.sql import functions as F
+    from tcdb_spark.plans.queries_stats import _CN_DEG_CAP, copurchase_edges
 
-    t = load_tables(spark, sf_dir, "orders", "lineitem")
-    co = (
-        t["orders"]
-        .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"),
-            F.col("l_suppkey").alias("supp"),
-            F.floor(F.unix_timestamp("o_orderdate") / 604800)
-            .cast("bigint")
-            .alias("wk"),
-        )
-        .distinct()
+    wedges = wedge_candidate_count(
+        copurchase_edges(spark, sf_dir), deg_cap=_CN_DEG_CAP
     )
-    edges = cooccurrence_edges(co, ["supp", "wk"], "cust", key_cap=_CO_KEY_CAP)
-    wedges = wedge_candidate_count(edges, deg_cap=_CN_DEG_CAP)
 
     total = round(sum(timings.values()), 3)
     core20 = round(sum(t for n, t in timings.items() if n in HEADLINE[:20]), 3)
@@ -168,11 +157,12 @@ def main() -> None:
                 # the round-5 31-lane subtotal — comparable to BENCH_r05's
                 # headline total
                 "core31_total": core31,
-                # box-contention context: 1-min load average at start/end
-                # of the timing loop.  On an idle 32-cpu box expect < 32;
-                # well above that means the recording ran under external
-                # load and is inflated vs an idle-box run (the r5 driver
-                # recording's uniform ~1.3x inflation, VERDICT r5).
+                # box-contention context: loadavg_before is sampled BEFORE
+                # the warmup pass (external load only — near 0 on an idle
+                # box); loadavg_after reflects the bench's own full-tilt
+                # tail.  A high loadavg_before means the recording ran
+                # under external load and is inflated vs an idle-box run
+                # (the r5 driver recording's uniform ~1.3x inflation).
                 "loadavg_before": round(load_before, 2),
                 "loadavg_after": round(load_after, 2),
                 "graph_wedge_candidates": wedges,

@@ -257,6 +257,15 @@ def asof_join_bucketed(
     tests/test_asof_bucketed.py.
     """
     bucket_s = int(bucket_hours * 3600)
+    if bucket_s <= 0:
+        # a zero-second bucket makes __ts / 0 NULL (non-ANSI), collapsing
+        # every row into one NULL bucket per key — results stay correct
+        # but the hot-key split this function exists for silently
+        # vanishes; fail loudly instead
+        raise ValueError(
+            f"bucket_hours={bucket_hours} resolves to a {bucket_s}s bucket; "
+            "must be >= 1 second"
+        )
     carried = [f"__r_{c}" for c in right_cols]
 
     rt = right.select(

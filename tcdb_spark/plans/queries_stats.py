@@ -849,9 +849,18 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject, never a global sort), tiebreak (u, v) per
     DEVNOTES #6.
     """
-    t = load_tables(spark, sf_dir, "orders", "lineitem")
     from tcdb_spark.operators.graph import common_neighbor_links
 
+    e = copurchase_edges(spark, sf_dir)
+    return common_neighbor_links(e, deg_cap=_CN_DEG_CAP, top_n=50)
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer co-purchase edge set `graph_common_neighbors` runs
+    on — ONE derivation shared with bench.py's `graph_wedge_candidates`
+    diagnostic, so the recorded candidate count can never silently
+    describe a different edge set than the lane being timed."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
     co = (
         t["orders"]
         .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
@@ -862,8 +871,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = cooccurrence_edges(co, ["supp", "wk"], "cust", key_cap=_CO_KEY_CAP)
-    return common_neighbor_links(e, deg_cap=_CN_DEG_CAP, top_n=50)
+    return cooccurrence_edges(co, ["supp", "wk"], "cust", key_cap=_CO_KEY_CAP)
 
 
 def cooccurrence_edges(

@@ -466,7 +466,11 @@ def _prog_scan(
         if restart and unit_i and unit_i % restart == 0:
             reader.align()
             p = reader.pos
-            while buf[p] != 0xFF or not (0xD0 <= buf[p + 1] <= 0xD7):
+            while True:
+                if p + 1 >= len(buf):
+                    raise ValueError("truncated JPEG entropy data (missing RST marker)")
+                if buf[p] == 0xFF and 0xD0 <= buf[p + 1] <= 0xD7:
+                    break
                 p += 1
             reader.pos = p + 2
             preds = dict.fromkeys(members, 0)
@@ -634,11 +638,15 @@ def _jpeg_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart) -> dict:
         for mx in range(mcus_x):
             if restart and mcu_i and mcu_i % restart == 0:
                 reader.align()
-                # skip the RSTn marker
-                while buf[reader.pos] != 0xFF or not (0xD0 <= buf[reader.pos + 1] <= 0xD7):
-                    reader.pos += 1
+                # skip the RSTn marker (bounds-checked BEFORE each read:
+                # truncation exactly at a restart boundary must be the
+                # catchable ValueError, not IndexError)
+                while True:
                     if reader.pos + 1 >= len(buf):
                         raise ValueError("truncated JPEG entropy data (missing RST marker)")
+                    if buf[reader.pos] == 0xFF and 0xD0 <= buf[reader.pos + 1] <= 0xD7:
+                        break
+                    reader.pos += 1
                 reader.pos += 2
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):

@@ -585,3 +585,34 @@ def test_flac_header_crc_actually_guards():
     payload[42 + 2] ^= 0x04  # inside the frame header region
     with pytest.raises(ValueError, match="CRC|sync|reserved|truncated"):
         decode_flac(bytes(payload))
+
+
+def test_jpeg_truncated_at_restart_boundary_raises_value_error():
+    """Cutting the stream exactly where the RST marker should be must
+    raise the catchable ValueError, not IndexError from the marker-scan
+    loop (review finding r6: the bounds check must run BEFORE each
+    read, and the progressive twin needs it too)."""
+    qtab = [16] + [i + 2 for i in range(63)]
+    dc_codes = _canon_codes(_K_DC_LUM_BITS, _K_DC_LUM_VALS)
+    ac_codes = _canon_codes(_K_AC_LUM_BITS, _K_AC_LUM_VALS)
+    dri = _seg(0xDD, struct.pack(">H", 1))
+    sof = _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0]))
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(qtab))
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_K_DC_LUM_BITS) + _K_DC_LUM_VALS
+        + bytes([0x10]) + bytes(_K_AC_LUM_BITS) + _K_AC_LUM_VALS,
+    )
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bits = _JpegBits()
+    s, mag = _mag_bits(8)
+    length, code = dc_codes[s]
+    bits.put(code, length)
+    bits.put(mag, s)
+    length, code = ac_codes[0x00]
+    bits.put(code, length)
+    bits.pad_align()
+    # first MCU only — the stream ends where RST0 should begin
+    payload = b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bits.bytes)
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        decode_jpeg(payload)
