@@ -90,3 +90,36 @@ def test_interval_join_skew_split_and_pre_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_topk_per_group_is_engine_skew_safe(spark):
+    """topk_per_group needs NO salted/bucketed twin: Spark plans a
+    PARTIAL WindowGroupLimit before the exchange for rank-like windows
+    filtered to <= k, which is the two-phase partial-top-k rewrite
+    built into the engine.  Measured r6: 40M rows with 90% in one group
+    ran the plain window in 2.9 s vs 3.6 s for a hand-salted two-phase
+    (the engine's partial pass beats the extra salt shuffle) — so the
+    hand-salted operator was deleted and THIS pin guards the premise.
+    If this test ever fails (an order-by/filter shape change defeating
+    the WindowGroupLimit match, or k above
+    spark.sql.window.group.limit.threshold), hot groups silently go
+    back to single-task sorts and the salted twin must come back."""
+    from tcdb_spark.operators.windows import topk_per_group
+
+    left = spark.range(1000).select(
+        F.pmod("id", F.lit(5)).alias("k"),
+        F.col("id").alias("t"),
+        (F.col("id") % 7).alias("v"),
+    )
+    df = topk_per_group(left, ["k"], [F.col("v").desc(), F.col("t").asc()], 10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    partial_seen = any(
+        "WindowGroupLimit" in line and "Partial" in line
+        for line in plan.splitlines()
+    )
+    assert partial_seen, (
+        "no Partial WindowGroupLimit in the executed plan — the engine "
+        "no longer pre-limits rank windows before the shuffle:\n" + plan
+    )
