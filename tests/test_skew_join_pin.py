@@ -2,9 +2,11 @@
 (VERDICT r5 #5):
 
 1. interval_join's equi-join key is (entity, time-bucket), so a hot
-   ENTITY spread over time is pre-split by construction — no skewed
-   partition even exists (verified: no skew=true marker for the
-   time-spread hot key).
+   ENTITY spread over time is pre-split by construction — pinned as
+   the data-level fact (the largest join-key group is a sliver of the
+   hot entity's row count; a plan-marker absence assertion was flaky
+   because hair-trigger test thresholds let AQE split mild residual
+   imbalance too, which is fine).
 2. When the hot entity ALSO concentrates in one bucket (hot key + hot
    hour), the partition IS skewed — and AQE's skew-join provably splits
    it on our plan shape (SortMergeJoin(skew=true) in the final adaptive
@@ -78,18 +80,33 @@ def test_interval_join_skew_split_and_pre_split(spark):
         assert _final_plan_skew(spark, hot_hour=True), (
             "AQE skew-join did not fire on the concentrated hot partition"
         )
-        # hot key spread over time: the bucket inside the join key
-        # pre-splits the entity — nothing is skewed, nothing to fix
-        assert not _final_plan_skew(spark, hot_hour=False), (
-            "time-spread hot key produced a skewed partition — the "
-            "(entity, bucket) key should have pre-split it"
-        )
     finally:
         for k, v in saved.items():
             if v is None:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+    # hot key spread over time: the bucket inside the join key
+    # pre-splits the entity BY CONSTRUCTION — pinned as the data-level
+    # fact (max join-key group is a sliver of the hot key's total), not
+    # as the absence of AQE skew markers: under the hair-trigger test
+    # thresholds AQE may legitimately split mild residual imbalance,
+    # which made a plan-marker assertion flaky across sessions
+    left, _ = _frames(spark, hot_hour=False)
+    groups = (
+        left.groupBy(
+            "k", F.floor(F.unix_timestamp("lts") / 3600).alias("b")
+        ).count()
+    )
+    row = groups.agg(
+        F.max("count").alias("mx"),
+        F.sum(F.when(F.col("k") == 1, F.col("count"))).alias("hot_total"),
+    ).first()
+    assert row["mx"] <= 0.02 * row["hot_total"], (
+        f"largest (entity, bucket) join-key group is {row['mx']} of "
+        f"{row['hot_total']} hot rows — the time bucket no longer pre-splits"
+    )
 
 
 def test_topk_per_group_is_engine_skew_safe(spark):
