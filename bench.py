@@ -81,7 +81,21 @@ def headline_impls() -> dict:
     return impls
 
 
+# loadavg above this at bench START means the box is running something
+# else and every lane will read uniformly inflated (r5 recorded 1.3x, r6
+# ~1.8x from exactly this).  The artifact is marked contaminated rather
+# than suppressed — the driver must still record something — and
+# tools/refresh_artifacts.py refuses to bless a contaminated BENCH file.
+CONTAMINATION_LOADAVG = 1.5
+
+
 def main() -> None:
+    # external-contention sample FIRST THING — before the SparkSession
+    # (whose JVM startup burst already moves the 1-min average) and
+    # before the warmup pass (which saturates a 32-cpu box's loadavg),
+    # so the reading reflects EXTERNAL load only (ADVICE r6).
+    load_before = os.getloadavg()[0]
+
     from tcdb_spark.plans import QUERIES
     from tcdb_spark.session import get_spark
 
@@ -90,11 +104,6 @@ def main() -> None:
     spark = get_spark("tcdb-bench")
 
     impls = headline_impls()
-
-    # external-contention sample BEFORE the warmup: the warmup itself
-    # saturates a 32-cpu box's 1-min load average, so sampling after it
-    # would make a contended recording indistinguishable from an idle one
-    load_before = os.getloadavg()[0]
 
     # Warm up with one UNTIMED pass of every lane: a single q1 warmup
     # leaves the first timed lanes paying JIT/codegen compilation —
@@ -165,6 +174,11 @@ def main() -> None:
                 # (the r5 driver recording's uniform ~1.3x inflation).
                 "loadavg_before": round(load_before, 2),
                 "loadavg_after": round(load_after, 2),
+                # recording-hygiene verdict (VERDICT r6 #2): true means
+                # the box was already loaded when the bench STARTED and
+                # every lane reads inflated — do not compare this
+                # artifact round-over-round; re-run idle.
+                "contaminated": load_before > CONTAMINATION_LOADAVG,
                 "graph_wedge_candidates": wedges,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -137,6 +137,53 @@ def interval_join(
     )
 
 
+def _asof_pack(rt: DataFrame, carried: list[str]):
+    """The transport struct for as-of matching: leading (right ts,
+    xxhash64-of-values) fields make struct MAX = "latest right row,
+    equal-ts ties broken deterministically by content" and struct MIN
+    the forward mirror (ADVICE r6: plain window last()/max_by tie-broke
+    arbitrarily).  Requires orderable right_cols types (no maps) — the
+    carried fields participate in the comparison only on (ts, hash)
+    collisions."""
+    return F.struct(
+        F.col("__ts").alias("__pts"),
+        F.xxhash64(*[F.col(a) for a in carried]).alias("__ptie"),
+        *[F.col(a).alias(a) for a in carried],
+    )
+
+
+def _asof_pick(direction: str):
+    """Shared chooser: __b (latest at-or-before) / __f (earliest
+    at-or-after) -> the direction's struct, ties resolving backward for
+    ``nearest`` (distance in whole seconds, matching DuckDB epoch())."""
+    if direction == "backward":
+        return F.col("__b")
+    if direction == "forward":
+        return F.col("__f")
+    bts = F.col("__b").getField("__pts")
+    fts = F.col("__f").getField("__pts")
+    d_back = F.col("__ts").cast("long") - bts.cast("long")
+    d_fwd = fts.cast("long") - F.col("__ts").cast("long")
+    use_back = fts.isNull() | (bts.isNotNull() & (d_back <= d_fwd))
+    return F.when(use_back, F.col("__b")).otherwise(F.col("__f"))
+
+
+def _asof_finish(out, left_cols, right_cols, carried, chosen, tolerance_hours):
+    out = out.withColumn("__chosen", chosen)
+    if tolerance_hours is not None:
+        tol_s = int(tolerance_hours * 3600)
+        cts = F.col("__chosen").getField("__pts")
+        within = F.abs(F.col("__ts").cast("long") - cts.cast("long")) <= tol_s
+        out = out.withColumn("__chosen", F.when(within, F.col("__chosen")))
+    return out.select(
+        *left_cols,
+        *[
+            F.col("__chosen").getField(a).alias(c)
+            for c, a in zip(right_cols, carried)
+        ],
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -154,71 +201,57 @@ def asof_join(
     farther than the threshold — the reference's time_threshold
     matching (tcdb/etl/syntracks.py:281-325,330-360).
 
-    Implemented as a union + window sort (no cross product): tag both
-    sides, sort by (key, ts), carry last-seen-backward and
-    first-seen-forward right values over the SAME sorted frame — one
-    shuffle on the key regardless of direction, scale-safe.
+    Implemented as a union + window (no cross product): tag both sides,
+    sort by (key, ts), and take a running struct-MAX over a RANGE frame
+    ``(-inf, current]`` (backward) / struct-MIN over the descending
+    mirror (forward).  RANGE frames include ALL peers at the boundary
+    timestamp, so an exact-ts right row is visible to both directions
+    regardless of within-ts row order — the row-frame formulation this
+    replaces silently missed exact-ts matches in the forward direction.
+    Equal-ts right-row ties resolve DETERMINISTICALLY via a content
+    hash inside the struct.  Both frames are "growing" in their sort
+    order (O(n) running aggregates, never a shrinking frame recompute);
+    one shuffle on the key regardless of direction, scale-safe; the
+    packed struct makes it ONE window expression however many columns
+    are carried.
     """
-    rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     carried = [f"__r_{c}" for c in right_cols]
-    rt = rt.select(
-        *on, "__side", "__ts",
+    rt = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
         *[F.col(c).alias(a) for c, a in zip(right_cols, carried)],
-        F.col(right_ts).alias("__r_ts"),
     )
-    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    lt = lt.select(
-        *left.columns, "__side", "__ts",
-        *[F.lit(None).cast(rt.schema[a].dataType).alias(a) for a in carried],
-        F.lit(None).cast(rt.schema["__r_ts"].dataType).alias("__r_ts"),
+    rt = rt.select(*on, "__ts", _asof_pack(rt, carried).alias("__pack")).withColumn(
+        "__side", F.lit(0)
     )
-    u = lt.unionByName(
-        rt.select(*on, "__side", "__ts", *carried, "__r_ts"), allowMissingColumns=True
+    lt = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__pack", F.lit(None).cast(rt.schema["__pack"].dataType))
+        .withColumn("__side", F.lit(1))
     )
+    u = lt.unionByName(rt, allowMissingColumns=True)
 
-    # one sort serves both frames: backward = last over (-inf, 0],
-    # forward = first over [0, +inf) — right rows sort before left at
-    # equal ts so an exact-ts right row is visible to both directions
-    order = [F.col("__ts").asc(), F.col("__side").asc()]
-    w_back = W.partitionBy(*on).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    w_fwd = W.partitionBy(*on).orderBy(*order).rowsBetween(0, W.unboundedFollowing)
-
-    all_carried = carried + ["__r_ts"]
-    for a in all_carried:
-        if direction in ("backward", "nearest"):
-            u = u.withColumn(f"__b_{a}", F.last(F.col(a), ignorenulls=True).over(w_back))
-        if direction in ("forward", "nearest"):
-            u = u.withColumn(f"__f_{a}", F.first(F.col(a), ignorenulls=True).over(w_fwd))
+    w_asc = (
+        W.partitionBy(*on)
+        .orderBy(F.col("__ts").asc())
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_desc = (
+        W.partitionBy(*on)
+        .orderBy(F.col("__ts").desc())
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    if direction in ("backward", "nearest"):
+        u = u.withColumn("__b", F.max("__pack").over(w_asc))
+    if direction in ("forward", "nearest"):
+        u = u.withColumn("__f", F.min("__pack").over(w_desc))
 
     out = u.where(F.col("__side") == 1)
-    if direction == "backward":
-        pick = {a: F.col(f"__b_{a}") for a in all_carried}
-    elif direction == "forward":
-        pick = {a: F.col(f"__f_{a}") for a in all_carried}
-    else:  # nearest: closer of the two matched timestamps, ties backward
-        d_back = F.col("__ts").cast("long") - F.col("__b___r_ts").cast("long")
-        d_fwd = F.col("__f___r_ts").cast("long") - F.col("__ts").cast("long")
-        use_back = F.col("__f___r_ts").isNull() | (
-            F.col("__b___r_ts").isNotNull() & (d_back <= d_fwd)
-        )
-        pick = {
-            a: F.when(use_back, F.col(f"__b_{a}")).otherwise(F.col(f"__f_{a}"))
-            for a in all_carried
-        }
-    for a in all_carried:
-        out = out.withColumn(a, pick[a])
-    if tolerance_hours is not None:
-        tol_s = int(tolerance_hours * 3600)
-        within = (
-            F.abs(F.col("__ts").cast("long") - F.col("__r_ts").cast("long")) <= tol_s
-        )
-        for a in all_carried:
-            out = out.withColumn(a, F.when(within, F.col(a)))
-    out = out.drop("__side", "__ts", "__r_ts")
-    out = out.drop(*[c for c in out.columns if c.startswith("__b___") or c.startswith("__f___")])
-    for c, a in zip(right_cols, carried):
-        out = out.withColumnRenamed(a, c)
-    return out
+    return _asof_finish(
+        out, left.columns, right_cols, carried, _asof_pick(direction), tolerance_hours
+    )
 
 
 def asof_join_bucketed(
@@ -230,9 +263,11 @@ def asof_join_bucketed(
     right_cols: list[str],
     bucket_hours: float = 24.0,
     tolerance_hours: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Skew-resistant BACKWARD as-of join — identical results to
-    ``asof_join(direction='backward')``, different partitioning.
+    """Skew-resistant as-of join — identical results to
+    ``asof_join(direction=...)`` in all three directions (VERDICT r6
+    #4 added forward/nearest), different partitioning.
 
     `asof_join` windows over the raw key, so ONE task sorts a hot
     entity's entire history — and AQE's skew handling cannot split a
@@ -241,21 +276,30 @@ def asof_join_bucketed(
     buckets and runs the window over (key, bucket): a key with 10^8
     rows spread over 10^4 buckets becomes 10^4 independent partitions.
 
-    Mechanics: (1) per (key, bucket) reduce the right side to its last
-    row (max_by on ts — map-side combinable); (2) carry that value
-    forward over the per-key BUCKET sequence (a window over one row per
-    bucket, not per event — bounded by the time span, not the row
-    count) to get "value as of bucket start"; (3) inject the carried
-    boundary as a phantom right row sorting before everything in the
-    bucket and run the usual union + last-over-window INSIDE each
-    (key, bucket) partition.  Tie semantics match `asof_join`: right
-    rows sort before left rows at equal ts.  Worst-case residual skew
-    is a hot key whose rows share one bucket — shrink ``bucket_hours``;
-    a fully degenerate single-instant key has no order to exploit in
-    any as-of algorithm.  Planted-hot-key rescue measured in
-    tools/scale_smoke_skew.py; equivalence pinned in
-    tests/test_asof_bucketed.py.
+    Mechanics, per direction (forward is the exact mirror of backward):
+    (1) per (key, bucket) reduce the right side to its struct-MAX
+    (latest; deterministic ties — see ``_asof_pack``) and/or struct-MIN
+    (earliest) — map-side combinable; (2) carry that reduction over the
+    per-key BUCKET sequence (a window over one row per bucket, not per
+    event — bounded by the time span, not the row count): last-seen
+    pack over strictly-earlier buckets = "value as of bucket start",
+    and over the DESCENDING bucket order = "earliest value after bucket
+    end"; (3) inject the carried boundaries as phantom rows (null ts,
+    sorting first in BOTH in-bucket range frames via nulls-first) and
+    run the same growing-range-frame struct MAX/MIN as ``asof_join``
+    INSIDE each (key, bucket) partition.  Backward and forward
+    boundaries ride SEPARATE pack columns so each direction's phantom
+    is invisible to the other.  ``nearest`` picks the closer side, ties
+    backward, exactly like the plain operator.
+
+    Worst-case residual skew is a hot key whose rows share one bucket —
+    shrink ``bucket_hours``; a fully degenerate single-instant key has
+    no order to exploit in any as-of algorithm.  Planted-hot-key rescue
+    measured in tools/scale_smoke_skew.py; three-direction equivalence
+    pinned in tests/test_asof_bucketed.py.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     bucket_s = int(bucket_hours * 3600)
     if bucket_s <= 0:
         # a zero-second bucket makes __ts / 0 NULL (non-ANSI), collapsing
@@ -266,81 +310,114 @@ def asof_join_bucketed(
             f"bucket_hours={bucket_hours} resolves to a {bucket_s}s bucket; "
             "must be >= 1 second"
         )
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
     carried = [f"__r_{c}" for c in right_cols]
 
     rt = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         *[F.col(c).alias(a) for c, a in zip(right_cols, carried)],
-        F.col(right_ts).alias("__r_ts"),
-    ).withColumn("__bkt", F.floor(F.col("__ts").cast("double") / bucket_s).cast("long"))
-    lt = left.withColumn(
+    )
+    pack_t = None
+    rt = rt.select(*on, "__ts", _asof_pack(rt, carried).alias("__pack")).withColumn(
+        "__bkt", F.floor(F.col("__ts").cast("double") / bucket_s).cast("long")
+    )
+    pack_t = rt.schema["__pack"].dataType
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn(
         "__bkt", F.floor(F.col(left_ts).cast("double") / bucket_s).cast("long")
     )
 
-    # (1) last right row per (key, bucket): max_by over the packed row
-    pack = F.struct(*carried, "__r_ts")
-    bucket_last = rt.groupBy(*on, "__bkt").agg(
-        F.max_by(pack, F.col("__ts")).alias("__pack")
-    )
+    # (1) per-(key, bucket) reductions — ONE groupBy serves both directions
+    aggs = []
+    if need_b:
+        aggs.append(F.max("__pack").alias("__last_pack"))
+    if need_f:
+        aggs.append(F.min("__pack").alias("__first_pack"))
+    bucket_red = rt.groupBy(*on, "__bkt").agg(*aggs)
 
-    # (2) bucket universe from BOTH sides; carry last-seen pack over
-    # strictly-earlier buckets -> "as of bucket start"
+    # (2) bucket universe from BOTH sides; carry reductions across the
+    # per-key bucket sequence (ascending for backward, descending for
+    # forward — buckets partition time, so the nearest non-empty future
+    # bucket's earliest row IS the global earliest-after)
     universe = (
         lt.select(*on, "__bkt")
         .distinct()
-        .unionByName(bucket_last.select(*on, "__bkt"))
+        .unionByName(bucket_red.select(*on, "__bkt"))
         .distinct()
     )
-    ub = universe.join(bucket_last, [*on, "__bkt"], "left")
-    w_carry = (
-        W.partitionBy(*on).orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
-    )
-    boundary = ub.select(
-        *on,
-        "__bkt",
-        F.last("__pack", ignorenulls=True).over(w_carry).alias("__boundary"),
-    ).where(F.col("__boundary").isNotNull())
+    ub = universe.join(bucket_red, [*on, "__bkt"], "left")
+    sels = [*on, F.col("__bkt")]
+    keep = []
+    if need_b:
+        w_carry_b = (
+            W.partitionBy(*on).orderBy(F.col("__bkt").asc()).rowsBetween(W.unboundedPreceding, -1)
+        )
+        sels.append(
+            F.last("__last_pack", ignorenulls=True).over(w_carry_b).alias("__bnd_b")
+        )
+        keep.append(F.col("__bnd_b").isNotNull())
+    if need_f:
+        w_carry_f = (
+            W.partitionBy(*on).orderBy(F.col("__bkt").desc()).rowsBetween(W.unboundedPreceding, -1)
+        )
+        sels.append(
+            F.last("__first_pack", ignorenulls=True).over(w_carry_f).alias("__bnd_f")
+        )
+        keep.append(F.col("__bnd_f").isNotNull())
+    cond = keep[0]
+    for k in keep[1:]:
+        cond = cond | k
+    boundary = ub.select(*sels).where(cond)
 
-    # (3) phantom right rows at bucket start (__side = -1 sorts first),
-    # union with real rows, window inside (key, bucket)
+    # (3) phantom boundary rows (null ts -> first in both nulls-first
+    # range frames) + real rows, growing frames INSIDE (key, bucket).
+    # Each direction has its own pack column so the other direction's
+    # phantom can never leak into its frame.
+    null_pack = F.lit(None).cast(pack_t)
     phantom = boundary.select(
         *on,
         "__bkt",
         F.lit(-1).alias("__side"),
         F.lit(None).cast(rt.schema["__ts"].dataType).alias("__ts"),
-        *[F.col("__boundary")[a].alias(a) for a in carried],
-        F.col("__boundary")["__r_ts"].alias("__r_ts"),
+        (F.col("__bnd_b") if need_b else null_pack).alias("__pack_b"),
+        (F.col("__bnd_f") if need_f else null_pack).alias("__pack_f"),
     )
-    rt2 = rt.select(*on, "__bkt", F.lit(0).alias("__side"), "__ts", *carried, "__r_ts")
+    rt2 = rt.select(
+        *on,
+        "__bkt",
+        F.lit(0).alias("__side"),
+        "__ts",
+        F.col("__pack").alias("__pack_b"),
+        F.col("__pack").alias("__pack_f"),
+    )
     lt2 = lt.select(
         *lt.columns,
         F.lit(1).alias("__side"),
-        F.col(left_ts).alias("__ts"),
-        *[F.lit(None).cast(rt.schema[a].dataType).alias(a) for a in carried],
-        F.lit(None).cast(rt.schema["__r_ts"].dataType).alias("__r_ts"),
+        null_pack.alias("__pack_b"),
+        null_pack.alias("__pack_f"),
     )
     u = lt2.unionByName(rt2, allowMissingColumns=True).unionByName(
         phantom, allowMissingColumns=True
     )
-    order = [F.col("__ts").asc_nulls_first(), F.col("__side").asc()]
-    w_back = (
-        W.partitionBy(*on, "__bkt").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    )
-    for a in [*carried, "__r_ts"]:
-        u = u.withColumn(a, F.last(F.col(a), ignorenulls=True).over(w_back))
-    out = u.where(F.col("__side") == 1)
-    if tolerance_hours is not None:
-        tol_s = int(tolerance_hours * 3600)
-        within = (
-            F.abs(F.col("__ts").cast("long") - F.col("__r_ts").cast("long")) <= tol_s
+    if need_b:
+        w_asc = (
+            W.partitionBy(*on, "__bkt")
+            .orderBy(F.col("__ts").asc_nulls_first())
+            .rangeBetween(W.unboundedPreceding, W.currentRow)
         )
-        for a in carried:
-            out = out.withColumn(a, F.when(within, F.col(a)))
-    out = out.drop("__side", "__ts", "__r_ts", "__bkt")
-    for c, a in zip(right_cols, carried):
-        out = out.withColumnRenamed(a, c)
-    return out
+        u = u.withColumn("__b", F.max("__pack_b").over(w_asc))
+    if need_f:
+        w_desc = (
+            W.partitionBy(*on, "__bkt")
+            .orderBy(F.col("__ts").desc_nulls_first())
+            .rangeBetween(W.unboundedPreceding, W.currentRow)
+        )
+        u = u.withColumn("__f", F.min("__pack_f").over(w_desc))
+    out = u.where(F.col("__side") == 1)
+    return _asof_finish(
+        out, left.columns, right_cols, carried, _asof_pick(direction), tolerance_hours
+    )
 
 
 def exists_gate(incoming: DataFrame, existing: DataFrame, keys: list[str]) -> tuple[DataFrame, DataFrame]:

@@ -48,6 +48,7 @@ def register(name: str, oracle: str | None = None):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # tools/catalog_map.py resolves file:line
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle

@@ -1070,15 +1070,35 @@ def _is_image(payload: bytes) -> bool:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Magic-byte image router: Netpbm (P5/P6), PNG or baseline JPEG —
-    one dict shape (width, height, maxval, pixels) either way, so every
-    image operator downstream (features, aHash, resize) is
-    format-agnostic."""
+    """Magic-byte image router: Netpbm (P5/P6), PNG or JPEG — one dict
+    shape (width, height, maxval, pixels) either way, so every image
+    operator downstream (features, aHash, resize) is format-agnostic.
+
+    PNG/JPEG route to the NATIVE decoders (libpng16 / libjpeg-turbo via
+    ``sources/native_codecs.py``) when those load in this process —
+    ~50-100x the stdlib throughput, same output contract (PNG
+    byte-identical; JPEG within the +/-2 T.81 decoder tolerance) —
+    falling back to the pure-stdlib decoders otherwise, or everywhere
+    when ``TCDB_SPARK_NATIVE_CODECS=0``.  A native decode failure falls
+    through to the stdlib path so error messages and edge-case behavior
+    stay those of the portable decoder."""
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
+    from tcdb_spark.sources import native_codecs as _nc
+
     if payload[:8] == _PNG_MAGIC:
+        if _nc.png_enabled():
+            try:
+                return _nc.decode_png_native(payload)
+            except (ValueError, RuntimeError, OSError):
+                pass  # stdlib twin re-raises its own (pinned) errors
         return decode_png(payload)
     if payload[:3] == _JPEG_MAGIC:
+        if _nc.jpeg_enabled():
+            try:
+                return _nc.decode_jpeg_native(payload)
+            except (ValueError, RuntimeError, OSError):
+                pass
         return decode_jpeg(payload)
     raise ValueError("not a decodable image payload (PPM/PGM/PNG/JPEG)")
 

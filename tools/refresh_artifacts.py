@@ -30,7 +30,13 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 REPO = "/root/repo"
-ARTIFACTS = ["PLAN_LINT.md", "EXPLAINS.md", "SHUFFLE_PROFILE.md", "ORACLE_SUPERSET.md"]
+ARTIFACTS = [
+    "PLAN_LINT.md",
+    "EXPLAINS.md",
+    "SHUFFLE_PROFILE.md",
+    "ORACLE_SUPERSET.md",
+    "CATALOG.md",
+]
 
 
 def newest_source_mtime() -> float:
@@ -54,6 +60,9 @@ def main() -> None:
         # full-matrix oracle run writes ORACLE_SUPERSET.md — the
         # correctness record for the ~150 lanes the driver never samples
         ([sys.executable, "tools/check_oracle.py", lint_sf], "check_oracle"),
+        # registry-derived lane index (VERDICT r6 #8) — regenerated here
+        # so it can never lag the catalog
+        ([sys.executable, "tools/catalog_map.py"], "catalog_map"),
     ]
     for cmd, label in steps:
         print(f"==> {label} ({' '.join(cmd[2:])})", flush=True)
@@ -90,6 +99,25 @@ def main() -> None:
             failures.append(f"{a} missing")
         elif os.path.getmtime(p) < src_mtime:
             failures.append(f"{a} older than the newest tcdb_spark/ source")
+
+    # bench-recording hygiene gate (VERDICT r6 #2): a BENCH artifact whose
+    # own loadavg_before shows external contention must not be blessed as
+    # the round's number — two consecutive rounds lost comparability to
+    # exactly this.  Older artifacts predate the flag and are skipped.
+    import glob
+    import json
+
+    for bench_path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        try:
+            rec = json.load(open(bench_path))
+        except (OSError, ValueError):
+            continue
+        if rec.get("contaminated"):
+            failures.append(
+                f"{os.path.basename(bench_path)} is marked contaminated "
+                f"(loadavg_before={rec.get('loadavg_before')}) — re-record "
+                "on an idle box before blessing the round"
+            )
 
     if failures:
         print("ARTIFACT GATE FAILED:")

@@ -93,7 +93,11 @@ def build_payloads() -> dict[str, bytes]:
     }
 
 
-def single_core(payloads: dict[str, bytes]) -> list[str]:
+def single_core(payloads: dict[str, bytes], path_label: str) -> list[str]:
+    """Per-format decode rate through media_features. ``path_label``
+    names the routing in effect (``stdlib`` = kill switch set, ``native``
+    = libjpeg/libpng where the format has one — WAV/FLAC/PPM always
+    take the pure-Python decoders)."""
     from tcdb_spark.sources.multimodal import media_features
 
     lines = []
@@ -108,17 +112,28 @@ def single_core(payloads: dict[str, bytes]) -> list[str]:
         mbs = len(payload) * n / dt / 1e6
         per = dt / n * 1000
         lines.append(
-            f"| {fmt} | {len(payload)} B | {per:.1f} ms | {mbs:.2f} MB/s |"
+            f"| {fmt} | {path_label} | {len(payload)} B | {per:.2f} ms | {mbs:.2f} MB/s |"
         )
         print(lines[-1], flush=True)
     return lines
 
 
-def distributed(payloads: dict[str, bytes], n_total: int) -> list[str]:
+def distributed(payloads: dict[str, bytes], n_total: int, path_label: str) -> list[str]:
+    """One SparkSession per routing path: the kill switch must reach the
+    PYTHON WORKERS, whose environment is fixed when the worker daemon
+    spawns — so it rides ``spark.executorEnv.*`` on a fresh context, not
+    a post-hoc driver ``os.environ`` write (which workers never see)."""
     from tcdb_spark.session import get_spark
     from tcdb_spark.sources.multimodal import extract_features, media_ahash
 
-    spark = get_spark("media-smoke")
+    spark = get_spark(
+        f"media-smoke-{path_label}",
+        extra_conf={
+            "spark.executorEnv.TCDB_SPARK_NATIVE_CODECS": (
+                "0" if path_label == "stdlib" else "1"
+            )
+        },
+    )
     fmts = list(payloads)
     rows = [
         (i, bytearray(payloads[fmts[i % len(fmts)]]), fmts[i % len(fmts)])
@@ -139,20 +154,32 @@ def distributed(payloads: dict[str, bytes], n_total: int) -> list[str]:
         fn().write.mode("overwrite").format("noop").save()
         dt = time.perf_counter() - t0
         lines.append(
-            f"| {name}: {n_total} mixed payloads ({total_mb:.1f} MB) "
-            f"on local[32] | {dt:.1f} s | {total_mb / dt:.1f} MB/s aggregate |"
+            f"| {name} [{path_label}]: {n_total} mixed payloads "
+            f"({total_mb:.1f} MB) on local[32] | {dt:.1f} s "
+            f"| {total_mb / dt:.1f} MB/s aggregate |"
         )
         print(lines[-1], flush=True)
+    media.unpersist()
+    spark.stop()
     return lines
 
 
 def main() -> None:
+    from tcdb_spark.sources import native_codecs
+
     n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
     payloads = build_payloads()
-    print("| format | payload | decode | throughput |")
-    print("|---|---|---|---|")
-    sc = single_core(payloads)
-    dist = distributed(payloads, n_total)
+    print("| format | path | payload | decode | throughput |")
+    print("|---|---|---|---|---|")
+    os.environ["TCDB_SPARK_NATIVE_CODECS"] = "0"
+    sc = single_core(payloads, "stdlib")
+    os.environ.pop("TCDB_SPARK_NATIVE_CODECS")
+    have_native = native_codecs.jpeg_available() or native_codecs.png_available()
+    if have_native:
+        sc += single_core(payloads, "native")
+    dist = distributed(payloads, n_total, "stdlib")
+    if have_native:
+        dist += distributed(payloads, n_total, "native")
     print("\nsingle-core rows:\n" + "\n".join(sc))
     print("\ndistributed rows:\n" + "\n".join(dist))
 
