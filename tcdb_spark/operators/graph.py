@@ -358,20 +358,59 @@ def common_neighbor_links(
     # i < j pair via nested transform — slice() truncates at the array
     # end, so the length arg can safely be the full size
     nbrs = mid.groupBy("y").agg(F.sort_array(F.collect_list("x")).alias("ns"))
-    pairs = nbrs.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ns, (a, i) -> "
-                "transform(slice(ns, i + 2, size(ns)), "
-                "b -> named_struct('u', a, 'v', b))))"
-            )
-        ).alias("p")
-    ).select("p.u", "p.v")
-    cn = pairs.groupBy("u", "v").agg(F.count("*").alias("cn"))
-    ne = cn.join(e, ["u", "v"], "left_anti")
-    j = ne.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u").join(
-        deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v"
-    )
+
+    # Pair-key packing (round 7, measured 8.6 s -> 6.7 s at sf0.1 —
+    # interleaved best-of-3, identical output): the pair-count exchange
+    # moves ~27M rows and is the lane's dominant cost, so the (u, v)
+    # pair rides ONE bigint (u << 32 | v) through the shuffle, the
+    # broadcast anti-join against the edge set, and the partial
+    # aggregation, unpacking only for the two degree joins at the
+    # 22.7M->top_n tail.  Guarded: only when both ids are integral and
+    # a one-job min/max probe over the (persisted) edge set proves they
+    # fit [0, 2^31) — anything else takes the struct path unchanged.
+    int_types = ("tinyint", "smallint", "int", "bigint")
+    packable = all(t in int_types for _, t in e.dtypes)
+    if packable:
+        mm = e.agg(
+            F.min(F.least("u", "v")).alias("lo"), F.max(F.greatest("u", "v")).alias("hi")
+        ).first()
+        packable = (
+            mm["lo"] is not None and mm["lo"] >= 0 and mm["hi"] < (1 << 31)
+        )
+    if packable:
+        pairs = nbrs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (a, i) -> "
+                    "transform(slice(ns, i + 2, size(ns)), "
+                    "b -> cast(a as bigint) * 4294967296 + b)))"
+                )
+            ).alias("pk")
+        )
+        cn = pairs.groupBy("pk").agg(F.count("*").alias("cn"))
+        epk = e.select(
+            (F.col("u").cast("bigint") * F.lit(4294967296) + F.col("v")).alias("pk")
+        )
+        ne = cn.join(F.broadcast(epk), "pk", "left_anti").select(
+            F.shiftright("pk", 32).cast(e.schema["u"].dataType).alias("u"),
+            (F.col("pk") % F.lit(4294967296)).cast(e.schema["v"].dataType).alias("v"),
+            "cn",
+        )
+    else:
+        pairs = nbrs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (a, i) -> "
+                    "transform(slice(ns, i + 2, size(ns)), "
+                    "b -> named_struct('u', a, 'v', b))))"
+                )
+            ).alias("p")
+        ).select("p.u", "p.v")
+        cn = pairs.groupBy("u", "v").agg(F.count("*").alias("cn"))
+        ne = cn.join(e, ["u", "v"], "left_anti")
+    j = ne.join(
+        F.broadcast(deg.select(F.col("x").alias("u"), F.col("d").alias("du"))), "u"
+    ).join(F.broadcast(deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))), "v")
     jac = F.col("cn").cast("double") / (F.col("du") + F.col("dv") - F.col("cn")).cast("double")
     return (
         j.select(

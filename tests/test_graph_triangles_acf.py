@@ -198,3 +198,41 @@ def test_tree_roots_cycle_raises(spark):
     )
     with pytest.raises(ValueError, match="cycle"):
         tree_roots(parents, max_depth=64).collect()
+
+
+def test_common_neighbor_links_packed_and_struct_paths_agree(spark):
+    """The packed-bigint pair-key fast path (r7) must be output-identical
+    to the struct path. Same graph twice: once with small int ids
+    (packed path fires), once with the ids shifted past 2^31 (the
+    min/max guard forces the struct fallback) — the link ranking must
+    match after shifting back."""
+    from tcdb_spark.operators.graph import common_neighbor_links
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (1, 5), (5, 6), (2, 6)]
+    small = spark.createDataFrame(edges, "u int, v int")
+    big_off = 1 << 32
+    big = spark.createDataFrame(
+        [(u + big_off, v + big_off) for u, v in edges], "u long, v long"
+    )
+    got_small = [
+        (r["u"], r["v"], r["common_neighbors"], round(r["jaccard"], 9))
+        for r in common_neighbor_links(small, top_n=10).collect()
+    ]
+    got_big = [
+        (r["u"] - big_off, r["v"] - big_off, r["common_neighbors"], round(r["jaccard"], 9))
+        for r in common_neighbor_links(big, top_n=10).collect()
+    ]
+    assert got_small == got_big
+    assert len(got_small) > 0
+
+
+def test_common_neighbor_links_string_ids_take_struct_path(spark):
+    """Non-integral node ids must keep working (struct path)."""
+    from tcdb_spark.operators.graph import common_neighbor_links
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")],
+        "u string, v string",
+    )
+    rows = common_neighbor_links(e, top_n=5).collect()
+    assert rows and {"u", "v", "common_neighbors", "jaccard"} <= set(rows[0].asDict())
