@@ -74,6 +74,7 @@ def connected_components(
         return labels
     spark = edges.sparkSession
     tmp = None
+    prev_round_path = None
     for it in range(max_iter):
         nbr_min = sym.join(labels, sym.nbr == labels.id).groupBy("node").agg(
             F.min("label").alias("nbr_label")
@@ -98,6 +99,14 @@ def connected_components(
             path = f"{tmp}/round_{it + 1}"
             labels.write.mode("overwrite").parquet(path)
             labels = spark.read.parquet(path)
+            # retention contract (session.remove_scratch): the PREVIOUS
+            # round's files are dead the moment this round lands; only
+            # the latest dir may back the returned frame
+            if prev_round_path is not None:
+                from tcdb_spark.session import remove_scratch
+
+                remove_scratch(spark, prev_round_path)
+            prev_round_path = path
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break

@@ -758,10 +758,17 @@ def bt_ratings_distributed(
             .alias("p"),
         )
         # alternate two round dirs; the FINAL round keeps its files (the
-        # returned DataFrame scans them lazily)
+        # returned DataFrame scans them lazily — retention contract in
+        # session.remove_scratch: final dir is the caller's to delete
+        # after materializing the result)
         path = f"{tmp}/round_{k % 2}" if k < iters - 1 else f"{tmp}/final"
         new_p.write.mode("overwrite").parquet(path)
         p = spark.read.parquet(path)
+        if k == iters - 1:
+            from tcdb_spark.session import remove_scratch
+
+            for dead in (f"{tmp}/round_0", f"{tmp}/round_1"):
+                remove_scratch(spark, dead)
     tot = p.agg(F.sum("p").alias("t"))
     out = (
         p.crossJoin(F.broadcast(tot))

@@ -77,6 +77,11 @@ def scratch_dir(spark: SparkSession, prefix: str) -> str:
     only on their own disks, and the next round's read would see
     missing/partial data.  (ADVICE r5: the catalog entry points never
     passed work_dir, so only the Engine facade was cluster-correct.)
+
+    Retention: see ``remove_scratch`` — iterative callers delete dead
+    intermediate round dirs as they go; the final round dir backs the
+    returned DataFrame and is the caller's to delete after
+    materializing the result.
     """
     import uuid
 
@@ -93,3 +98,28 @@ def scratch_dir(spark: SparkSession, prefix: str) -> str:
     import tempfile
 
     return tempfile.mkdtemp(prefix=prefix)
+
+
+def remove_scratch(spark: SparkSession, path: str) -> bool:
+    """Best-effort recursive delete of a scratch path through the Hadoop
+    FileSystem API — works for any scheme the cluster can write
+    (file://, hdfs://, s3a://...), unlike shutil.  Returns False instead
+    of raising: scratch cleanup must never fail the job that produced
+    the result.
+
+    Retention contract for iterative round state (ADVICE r6): callers
+    delete INTERMEDIATE round directories as soon as the next round
+    lands, but the FINAL round's files back the returned DataFrame
+    lazily and must outlive every scan of it — so the final directory
+    is the caller's to remove once the result is materialized
+    elsewhere.  Local-mode tempdirs live under the OS tmp reaper;
+    cluster deployments should additionally put a lifecycle/TTL policy
+    on the ``tcdb.scratch.dir`` prefix as a backstop."""
+    try:
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        return bool(fs.delete(hpath, True))
+    except Exception:  # noqa: BLE001 — cleanup is advisory by contract
+        return False

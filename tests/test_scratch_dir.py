@@ -52,3 +52,35 @@ def test_real_session_resolves(spark):
     # the real SparkSession path: local-mode fallback works end to end
     d = scratch_dir(spark, "probe_")
     assert "probe_" in d
+
+
+def test_remove_scratch_deletes_and_never_raises(spark, tmp_path):
+    from tcdb_spark.session import remove_scratch
+
+    d = tmp_path / "dead_rounds"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x")
+    assert remove_scratch(spark, str(d)) is True
+    assert not d.exists()
+    # advisory by contract: a missing path is False, not an exception
+    assert remove_scratch(spark, str(tmp_path / "never_existed")) is False
+
+
+def test_bt_distributed_cleans_intermediate_rounds(spark, tmp_path):
+    """ADVICE r6: iterative round state must not accumulate — after the
+    run only the final round dir (backing the returned DataFrame)
+    remains under the work dir."""
+    import os
+
+    from tcdb_spark.plans.queries_stats import bt_ratings_distributed
+
+    wins = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 2), ("a", "c", 4), ("c", "a", 1)],
+        "winner string, loser string, n_wins int",
+    )
+    work = str(tmp_path / "bt_rounds")
+    out = bt_ratings_distributed(wins, "item", work_dir=work, iters=4)
+    rows = out.collect()
+    assert len(rows) == 3
+    leftover = sorted(os.listdir(work))
+    assert leftover == ["final"], leftover
