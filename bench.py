@@ -58,6 +58,9 @@ HEADLINE = [
     # round-6 widening: the skew-resistant as-of twin joins the frozen
     # set (positions 1-31 stay comparable via core*_total subtotals)
     "join_asof_bucketed",
+    # round-7 widening: the nearest-direction skew-resistant as-of twin
+    # (positions 1-32 stay comparable via core32_total)
+    "join_asof_nearest_bucketed",
 ]
 
 
@@ -150,6 +153,7 @@ def main() -> None:
     core20 = round(sum(t for n, t in timings.items() if n in HEADLINE[:20]), 3)
     core25 = round(sum(t for n, t in timings.items() if n in HEADLINE[:25]), 3)
     core31 = round(sum(t for n, t in timings.items() if n in HEADLINE[:31]), 3)
+    core32 = round(sum(t for n, t in timings.items() if n in HEADLINE[:32]), 3)
     print(
         json.dumps(
             {
@@ -166,6 +170,9 @@ def main() -> None:
                 # the round-5 31-lane subtotal — comparable to BENCH_r05's
                 # headline total
                 "core31_total": core31,
+                # the round-6 32-lane subtotal — comparable to BENCH_r06's
+                # headline total
+                "core32_total": core32,
                 # box-contention context: loadavg_before is sampled BEFORE
                 # the warmup pass (external load only — near 0 on an idle
                 # box); loadavg_after reflects the bench's own full-tilt
