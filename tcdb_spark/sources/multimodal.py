@@ -11,9 +11,13 @@ YCbCr->RGB), PCM WAV audio (RIFF headers + 8/16-bit samples), and FLAC
 (STREAMINFO, CRC'd frames, CONSTANT/VERBATIM/FIXED/LPC subframes, Rice
 residuals with escapes, mid/side stereo) — routed by magic bytes, so
 feature extraction computes from actual pixels and samples with no codec
-libraries.  Remaining formats (lossless/arithmetic JPEG, MP3/MP4/...)
-would need PIL/ffmpeg, which are not in this container:
-``decode_stub=True`` routes
+libraries.  PNG and JPEG additionally route to the NATIVE system
+libraries when they load (``sources/native_codecs.py``: libpng16 via
+ctypes, libjpeg-turbo via a setjmp C shim — ~150x JPEG / ~13x
+PNG-Paeth throughput, same output contract within the T.81 fixed-point
+band, ``TCDB_SPARK_NATIVE_CODECS=0`` forces the stdlib twins).
+Remaining formats (MP3/MP4/...) would need ffmpeg, which is not in
+this container: ``decode_stub=True`` routes
 them to a deterministic fake featureizer so the distributed path is
 still exercised end to end; ``decode_stub=False`` raises
 NotImplementedError where the codec call would sit in a real deployment.
@@ -1704,15 +1708,19 @@ def _resize_pixels(img: dict, out_w: int, out_h: int) -> np.ndarray:
 
 def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
     """REAL image resize for PNG payloads — same nearest-neighbor index
-    map as :func:`resize_ppm`, re-encoded PNG (filter-0 rows)."""
-    return encode_png(_resize_pixels(decode_png(payload), out_w, out_h))
+    map as :func:`resize_ppm`, re-encoded PNG (filter-0 rows).  Decodes
+    through the router, so the native libpng path carries the hot loop
+    when present (PNG is lossless: identical output either way)."""
+    return encode_png(_resize_pixels(decode_image(payload), out_w, out_h))
 
 
 def resize_jpeg(payload: bytes, out_w: int, out_h: int) -> bytes:
-    """REAL image resize for baseline JPEG payloads — decode, the same
-    nearest-neighbor index map, re-encode near-lossless (flat quant 1,
-    4:4:4) so repeated pipeline passes do not compound generation loss."""
-    return encode_jpeg(_resize_pixels(decode_jpeg(payload), out_w, out_h))
+    """REAL image resize for JPEG payloads — decode (router: native
+    libjpeg when present, within the +/-2 T.81 band of the stdlib
+    twin), the same nearest-neighbor index map, re-encode near-lossless
+    (flat quant 1, 4:4:4) so repeated pipeline passes do not compound
+    generation loss."""
+    return encode_jpeg(_resize_pixels(decode_image(payload), out_w, out_h))
 
 
 RESIZED_SCHEMA = (
