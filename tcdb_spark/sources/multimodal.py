@@ -1605,8 +1605,24 @@ def media_features(payload: bytes) -> list[float] | None:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _audio_features(decode_wav(payload))
     if payload[:4] == b"fLaC":
-        return _audio_features(decode_flac(payload))
+        return _audio_features(decode_audio(payload))
     return None
+
+
+def decode_audio(payload: bytes) -> dict:
+    """FLAC router, mirroring :func:`decode_image`'s native-first
+    policy: the compiled FLAC shim (``native_codecs``, exact integer
+    parity — FLAC is lossless) when it loads, the stdlib decoder
+    otherwise or under ``TCDB_SPARK_NATIVE_CODECS=0``; native failures
+    fall through so error messages stay the stdlib twin's."""
+    from tcdb_spark.sources import native_codecs as _nc
+
+    if _nc.flac_enabled():
+        try:
+            return _nc.decode_flac_native(payload)
+        except (ValueError, RuntimeError, OSError):
+            pass
+    return decode_flac(payload)
 
 
 def _audio_features(wav: dict) -> list[float]:

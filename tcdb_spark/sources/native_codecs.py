@@ -1,8 +1,9 @@
-"""Native (C-library) image decode behind the ``decode_image`` routing
-seam — the fast path VERDICT r6 #1 asked for, retiring the stdlib
-codec throughput ceiling (JPEG 0.26 MB/s -> libjpeg-turbo, PNG-Paeth
-1.9 MB/s -> libpng16) while keeping the pure-Python decoders as the
-portable fallback and as the cross-check twin.
+"""Native image/audio decode behind the ``decode_image`` /
+``decode_audio`` routing seams — the fast path VERDICT r6 #1 asked
+for, retiring the stdlib codec throughput ceiling (JPEG 0.26 MB/s ->
+libjpeg-turbo, PNG-Paeth 1.9 MB/s -> libpng16, FLAC 0.4 MB/s -> a
+self-contained compiled shim) while keeping the pure-Python decoders
+as the portable fallback and as the cross-check twin.
 
 Everything here is capability-gated and degrades to the stdlib path:
 
@@ -200,6 +201,429 @@ def decode_png_native(payload: bytes) -> dict:
         "maxval": 255,
         "pixels": out.reshape(height, width, channels),
     }
+
+
+# ----------------------------------------------------------------- FLAC shim
+#
+# No system libFLAC exists in this image, but the format needs no
+# library at all — a self-contained ~300-line C translation of the
+# repo's own pure-Python decoder (multimodal.decode_flac: STREAMINFO,
+# CRC-8/16-verified frames, CONSTANT/VERBATIM/FIXED/LPC subframes, Rice
+# partitions with escapes, wasted bits, all three stereo decorrelation
+# modes), compiled with the same cached-gcc machinery as the JPEG shim.
+# FLAC is lossless, so parity with the stdlib twin is EXACT integer
+# equality — pinned by the conformance tests through both paths.
+
+_FLAC_SHIM_SOURCE = r"""
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* MSB-first bit reader with hard bounds: any overrun is error 1, never
+   a read past the buffer. */
+struct br { const unsigned char *buf; unsigned long nbits; unsigned long pos; };
+
+static int br_read(struct br *r, int n, uint64_t *out) {
+    uint64_t v = 0;
+    if (r->pos + (unsigned long) n > r->nbits) return 1;
+    while (n--) {
+        v = (v << 1) | ((r->buf[r->pos >> 3] >> (7 - (r->pos & 7))) & 1u);
+        r->pos++;
+    }
+    *out = v;
+    return 0;
+}
+
+static int br_read_signed(struct br *r, int n, int64_t *out) {
+    uint64_t v;
+    if (n == 0) { *out = 0; return 0; }
+    if (br_read(r, n, &v)) return 1;
+    *out = (v >> (n - 1)) ? (int64_t) v - ((int64_t) 1 << n) : (int64_t) v;
+    return 0;
+}
+
+static int br_unary(struct br *r, uint64_t *out) {
+    uint64_t q = 0, b;
+    for (;;) {
+        if (br_read(r, 1, &b)) return 1;
+        if (b) break;
+        q++;
+    }
+    *out = q;
+    return 0;
+}
+
+static uint8_t crc8(const unsigned char *d, unsigned long n) {
+    uint8_t c = 0;
+    while (n--) {
+        c ^= *d++;
+        for (int i = 0; i < 8; i++)
+            c = (c & 0x80) ? (uint8_t) ((c << 1) ^ 0x07) : (uint8_t) (c << 1);
+    }
+    return c;
+}
+
+static uint16_t crc16(const unsigned char *d, unsigned long n) {
+    uint16_t c = 0;
+    while (n--) {
+        c ^= (uint16_t) (*d++) << 8;
+        for (int i = 0; i < 8; i++)
+            c = (c & 0x8000) ? (uint16_t) ((c << 1) ^ 0x8005) : (uint16_t) (c << 1);
+    }
+    return c;
+}
+
+static int utf8_number(struct br *r) {
+    uint64_t b0, b;
+    if (br_read(r, 8, &b0)) return 1;
+    if (b0 < 0x80) return 0;
+    int n = 0;
+    while ((b0 << n) & 0x80) n++;
+    for (int i = 0; i < n - 1; i++)
+        if (br_read(r, 8, &b)) return 1;
+    return 0;
+}
+
+#define FAIL(msg) do { strncpy(errmsg, msg, 199); errmsg[199] = 0; goto fail; } while (0)
+
+static const int FIXED_ORDERS[5][4] = {
+    {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1},
+};
+
+/* residual into res[0..blocksize-order) ; returns 0 ok */
+static int residual(struct br *r, long blocksize, int order, int64_t *res) {
+    uint64_t method, po, param, bits, q, u;
+    long idx = 0;
+    if (br_read(r, 2, &method) || method > 1) return 1;
+    int plen = 4 + (int) method;
+    if (br_read(r, 4, &po)) return 1;
+    long nparts = 1L << po;
+    for (long p = 0; p < nparts; p++) {
+        long n = (blocksize >> po) - (p == 0 ? order : 0);
+        if (n < 0) return 1;
+        if (br_read(r, plen, &param)) return 1;
+        if (param == ((1u << plen) - 1)) {        /* escape: raw residuals */
+            if (br_read(r, 5, &bits)) return 1;
+            for (long i = 0; i < n; i++) {
+                int64_t v;
+                if (br_read_signed(r, (int) bits, &v)) return 1;
+                res[idx++] = v;
+            }
+        } else {
+            for (long i = 0; i < n; i++) {
+                if (br_unary(r, &q)) return 1;
+                u = (q << param);
+                if (param) {
+                    uint64_t low;
+                    if (br_read(r, (int) param, &low)) return 1;
+                    u |= low;
+                }
+                res[idx++] = (int64_t) (u >> 1) ^ -(int64_t) (u & 1); /* zigzag */
+            }
+        }
+    }
+    return 0;
+}
+
+/* one subframe into out[0..blocksize) */
+static int subframe(struct br *r, long blocksize, int bps, int64_t *out,
+                    int64_t *scratch) {
+    uint64_t pad, ftype, w;
+    int wasted = 0;
+    if (br_read(r, 1, &pad) || pad) return 1;
+    if (br_read(r, 6, &ftype)) return 1;
+    if (br_read(r, 1, &w)) return 1;
+    if (w) {
+        uint64_t q;
+        if (br_unary(r, &q)) return 1;
+        wasted = (int) q + 1;
+        bps -= wasted;
+        if (bps <= 0) return 1;
+    }
+    if (ftype == 0) {                               /* CONSTANT */
+        int64_t v;
+        if (br_read_signed(r, bps, &v)) return 1;
+        for (long i = 0; i < blocksize; i++) out[i] = v;
+    } else if (ftype == 1) {                        /* VERBATIM */
+        for (long i = 0; i < blocksize; i++)
+            if (br_read_signed(r, bps, &out[i])) return 1;
+    } else if (ftype >= 8 && ftype <= 12) {         /* FIXED 0-4 */
+        int order = (int) ftype - 8;
+        for (int i = 0; i < order; i++)
+            if (br_read_signed(r, bps, &out[i])) return 1;
+        if (residual(r, blocksize, order, scratch)) return 1;
+        const int *c = FIXED_ORDERS[order];
+        for (long i = order; i < blocksize; i++) {
+            int64_t pred = 0;
+            for (int k = 0; k < order; k++) pred += (int64_t) c[k] * out[i - 1 - k];
+            out[i] = pred + scratch[i - order];
+        }
+    } else if (ftype >= 32) {                       /* LPC, order 1-32 */
+        int order = (int) ftype - 31;
+        int64_t coefs[32];
+        uint64_t prec4;
+        int64_t shift;
+        for (int i = 0; i < order; i++)
+            if (br_read_signed(r, bps, &out[i])) return 1;
+        if (br_read(r, 4, &prec4)) return 1;
+        int prec = (int) prec4 + 1;
+        if (br_read_signed(r, 5, &shift)) return 1;
+        for (int i = 0; i < order; i++)
+            if (br_read_signed(r, prec, &coefs[i])) return 1;
+        if (residual(r, blocksize, order, scratch)) return 1;
+        for (long i = order; i < blocksize; i++) {
+            int64_t pred = 0;
+            for (int k = 0; k < order; k++) pred += coefs[k] * out[i - 1 - k];
+            pred >>= shift;
+            out[i] = pred + scratch[i - order];
+        }
+    } else {
+        return 1;                                   /* reserved type */
+    }
+    if (wasted)
+        for (long i = 0; i < blocksize; i++) out[i] <<= wasted;
+    return 0;
+}
+
+static const long BS_CODES[8] = {0, 192, 576, 1152, 2304, 4608, -1, -2};
+static const int BPS_CODES[8] = {0, 8, 12, 0, 16, 20, 24, 0};
+
+/* Decode everything after the metadata blocks.  out: interleaved
+   sample-major int32 (out[i*nch + c]), capacity total per channel.
+   Returns 0 ok, 1 decode error (errmsg). */
+int flacshim_decode(const unsigned char *buf, unsigned long len,
+                    unsigned long data_off, int nch, int stream_bps,
+                    long total, int32_t *out, char *errmsg) {
+    struct br r = {buf, len * 8, data_off * 8};
+    int64_t *chan[8] = {0};
+    int64_t *scratch = 0;
+    long max_bs = 0;
+    long written = 0;
+
+    if (nch < 1 || nch > 8) FAIL("unsupported FLAC channel count");
+    while (written < total) {
+        if (r.pos >= r.nbits) FAIL("truncated FLAC stream");
+        unsigned long hdr_start = r.pos >> 3;
+        uint64_t sync, v, bs_code, rate_code, chan_code, bps_code;
+        if (br_read(&r, 14, &sync) || sync != 0x3FFE) FAIL("bad FLAC frame sync");
+        if (br_read(&r, 2, &v)) FAIL("truncated FLAC stream");      /* rsvd+strategy */
+        if (br_read(&r, 4, &bs_code)) FAIL("truncated FLAC stream");
+        if (br_read(&r, 4, &rate_code)) FAIL("truncated FLAC stream");
+        if (br_read(&r, 4, &chan_code)) FAIL("truncated FLAC stream");
+        if (br_read(&r, 3, &bps_code)) FAIL("truncated FLAC stream");
+        if (br_read(&r, 1, &v)) FAIL("truncated FLAC stream");
+        if (utf8_number(&r)) FAIL("truncated FLAC stream");
+        long blocksize;
+        if (bs_code == 6) {
+            if (br_read(&r, 8, &v)) FAIL("truncated FLAC stream");
+            blocksize = (long) v + 1;
+        } else if (bs_code == 7) {
+            if (br_read(&r, 16, &v)) FAIL("truncated FLAC stream");
+            blocksize = (long) v + 1;
+        } else if (bs_code >= 1 && bs_code <= 5) {
+            blocksize = BS_CODES[bs_code];
+        } else if (bs_code >= 8) {
+            blocksize = 256L << (bs_code - 8);
+        } else {
+            FAIL("reserved FLAC blocksize code");
+        }
+        if (rate_code == 12) { if (br_read(&r, 8, &v)) FAIL("truncated FLAC stream"); }
+        else if (rate_code == 13 || rate_code == 14) {
+            if (br_read(&r, 16, &v)) FAIL("truncated FLAC stream");
+        }
+        int bps = stream_bps;
+        if (bps_code != 0 && BPS_CODES[bps_code]) bps = BPS_CODES[bps_code];
+        unsigned long hdr_end = r.pos >> 3;
+        if (br_read(&r, 8, &v)) FAIL("truncated FLAC stream");
+        if ((uint8_t) v != crc8(buf + hdr_start, hdr_end - hdr_start))
+            FAIL("FLAC frame header CRC mismatch");
+
+        if (blocksize > max_bs) {
+            for (int c = 0; c < 8; c++) { free(chan[c]); chan[c] = 0; }
+            free(scratch); scratch = 0;
+            max_bs = blocksize;
+            for (int c = 0; c < nch; c++) {
+                chan[c] = (int64_t *) malloc((size_t) max_bs * sizeof(int64_t));
+                if (!chan[c]) FAIL("FLAC decode allocation failed");
+            }
+            scratch = (int64_t *) malloc((size_t) max_bs * sizeof(int64_t));
+            if (!scratch) FAIL("FLAC decode allocation failed");
+        }
+
+        if (chan_code < 8) {
+            if ((int) chan_code + 1 != nch) FAIL("FLAC frame channel count mismatch");
+            for (int c = 0; c < nch; c++)
+                if (subframe(&r, blocksize, bps, chan[c], scratch))
+                    FAIL("invalid FLAC subframe");
+        } else if (chan_code <= 10) {
+            if (nch != 2) FAIL("FLAC frame channel count mismatch");
+            int extra_a = (chan_code == 9) ? 1 : 0;
+            int extra_b = (chan_code == 9) ? 0 : 1;
+            if (subframe(&r, blocksize, bps + extra_a, chan[0], scratch))
+                FAIL("invalid FLAC subframe");
+            if (subframe(&r, blocksize, bps + extra_b, chan[1], scratch))
+                FAIL("invalid FLAC subframe");
+            if (chan_code == 8) {                   /* left + side */
+                for (long i = 0; i < blocksize; i++)
+                    chan[1][i] = chan[0][i] - chan[1][i];
+            } else if (chan_code == 9) {            /* side + right */
+                for (long i = 0; i < blocksize; i++)
+                    chan[0][i] = chan[0][i] + chan[1][i];
+            } else {                                /* mid + side */
+                for (long i = 0; i < blocksize; i++) {
+                    int64_t m2 = (chan[0][i] << 1) | (chan[1][i] & 1);
+                    int64_t s = chan[1][i];
+                    chan[0][i] = (m2 + s) >> 1;
+                    chan[1][i] = (m2 - s) >> 1;
+                }
+            }
+        } else {
+            FAIL("reserved FLAC channel assignment");
+        }
+        r.pos = (r.pos + 7) & ~7UL;                 /* align */
+        unsigned long frame_end = r.pos >> 3;
+        if (br_read(&r, 16, &v)) FAIL("truncated FLAC stream");
+        if ((uint16_t) v != crc16(buf + hdr_start, frame_end - hdr_start))
+            FAIL("FLAC frame CRC-16 mismatch");
+
+        long take = blocksize;
+        if (written + take > total) take = total - written;
+        for (long i = 0; i < take; i++)
+            for (int c = 0; c < nch; c++)
+                out[(written + i) * nch + c] = (int32_t) chan[c][i];
+        written += take;
+    }
+    for (int c = 0; c < 8; c++) free(chan[c]);
+    free(scratch);
+    return 0;
+fail:
+    for (int c = 0; c < 8; c++) free(chan[c]);
+    free(scratch);
+    return 1;
+}
+"""
+
+
+def _flac_shim_path() -> str:
+    digest = hashlib.sha256(_FLAC_SHIM_SOURCE.encode()).hexdigest()[:16]
+    return os.path.join(_shim_cache_dir(), f"flacshim-{digest}.so")
+
+
+def _build_flac_shim() -> str | None:
+    so_path = _flac_shim_path()
+    if os.path.exists(so_path):
+        return so_path
+    gcc = shutil.which("gcc") or shutil.which("cc")
+    if gcc is None:
+        return None
+    try:
+        os.makedirs(_shim_cache_dir(), exist_ok=True)
+        with tempfile.TemporaryDirectory() as td:
+            src = os.path.join(td, "flacshim.c")
+            with open(src, "w") as f:
+                f.write(_FLAC_SHIM_SOURCE)
+            out = os.path.join(td, "flacshim.so")
+            proc = subprocess.run(
+                [gcc, "-O2", "-fPIC", "-shared", src, "-o", out],
+                capture_output=True,
+                timeout=120,
+            )
+            if proc.returncode != 0:
+                return None
+            tmp_dst = f"{so_path}.tmp.{os.getpid()}"
+            shutil.copy(out, tmp_dst)
+            os.replace(tmp_dst, so_path)
+        return so_path
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+_flac_handle: tuple[ctypes.CDLL | None] | None = None
+
+
+def _flac_shim() -> ctypes.CDLL | None:
+    global _flac_handle
+    if _flac_handle is None:
+        lib = None
+        path = _build_flac_shim()
+        if path is not None:
+            try:
+                cand = ctypes.CDLL(path)
+                cand.flacshim_decode.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_ulong,
+                    ctypes.c_ulong,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_long,
+                    ctypes.c_void_p,
+                    ctypes.c_char_p,
+                ]
+                cand.flacshim_decode.restype = ctypes.c_int
+                lib = cand
+            except OSError:
+                lib = None
+        _flac_handle = (lib,)
+    return _flac_handle[0]
+
+
+def flac_available() -> bool:
+    return _flac_shim() is not None
+
+
+def flac_enabled() -> bool:
+    return _env_enabled() and flac_available()
+
+
+def decode_flac_native(payload: bytes) -> dict:
+    """FLAC decode through the compiled shim — exact integer parity
+    with ``multimodal.decode_flac`` (FLAC is lossless; same CRC
+    verification, same stereo/Rice/wasted-bits semantics, translated
+    from the same spec).  Streams with unknown STREAMINFO total fall
+    back to the stdlib twin (the shim sizes its output from the
+    header).  Same dict contract: sample_rate, n_channels, (n, ch)
+    float64 samples scaled by the STREAMINFO bps."""
+    lib = _flac_shim()
+    if lib is None:
+        raise RuntimeError("FLAC shim not available (gcc missing)")
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    # STREAMINFO + metadata walk (header-only, cheap, pure struct math)
+    pos, info = 4, None
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + length]
+        if hdr & 0x7F == 0 and len(body) >= 18:  # STREAMINFO
+            rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            nch = ((body[12] >> 1) & 0x7) + 1
+            bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+            total = ((body[13] & 0xF) << 32) | int.from_bytes(body[14:18], "big")
+            info = (rate, nch, bps, total)
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+    if info is None:
+        raise ValueError("FLAC payload missing STREAMINFO")
+    rate, nch, bps, total = info
+    if total <= 0:
+        raise ValueError("FLAC STREAMINFO total_samples unknown — stdlib path")
+    out = np.empty(total * nch, np.int32)
+    err = ctypes.create_string_buffer(256)
+    rc = lib.flacshim_decode(
+        payload,
+        len(payload),
+        pos,
+        nch,
+        bps,
+        total,
+        out.ctypes.data_as(ctypes.c_void_p),
+        err,
+    )
+    if rc:
+        raise ValueError(err.value.decode("utf-8", "replace") or "FLAC decode failed")
+    samples = out.reshape(total, nch).astype(np.float64) / float(1 << (bps - 1))
+    return {"sample_rate": rate, "n_channels": nch, "samples": samples}
 
 
 # -------------------------------------------------------------------- libjpeg

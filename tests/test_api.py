@@ -441,6 +441,13 @@ def test_engine_asof_facade(spark, tmp_path):
     for out in (plain, skewr):
         got = {(r["k"], int(r["lts"].timestamp())): r["rval"] for r in out.collect()}
         assert got == want
-    with pytest.raises(ValueError, match="backward"):
-        eng.asof(left, right, ["k"], "lts", "rts", ["rval"],
-                 direction="nearest", skew_resistant=True)
+    # r7: skew_resistant covers ALL directions (the r6 backward-only
+    # guard is gone) — nearest through the bucketed path: 1@1000 takes
+    # 900 (d=100 back beats d=500 fwd), 1@2000 takes 1500 (only back),
+    # k=2 has no right rows at all
+    nearest = eng.asof(
+        left, right, ["k"], "lts", "rts", ["rval"],
+        direction="nearest", skew_resistant=True, bucket_hours=0.1,
+    )
+    got = {(r["k"], int(r["lts"].timestamp())): r["rval"] for r in nearest.collect()}
+    assert got == {(1, 1000): 7.0, (1, 2000): 9.0, (2, 500): None}

@@ -40,11 +40,12 @@ def _mk(spark, n_left=400, n_right=150, n_keys=7, seed=3):
         rng.normal(size=n_right),
     ):
         rows.append((int(k), int(base + t), float(v)))
-    # duplicate some (key, ts) rows VALUE-IDENTICALLY: exact-ts ties are
-    # exercised, but the winner among equal-ts right rows is a window
-    # tie neither implementation (nor DuckDB ASOF) defines — same-value
-    # duplicates keep the comparison deterministic
-    rows += [(int(r[0]), int(r[1]), float(r[2])) for r in rows[:10]]
+    # duplicate some (key, ts) rows with DIFFERENT values: since r7 both
+    # variants break equal-ts ties deterministically by content hash
+    # (_asof_pack), so value-divergent duplicates are a STRONGER pin —
+    # plain and bucketed must pick the same winner (r6 sidestepped this
+    # with value-identical duplicates; ADVICE r6 called it out)
+    rows += [(int(r[0]), int(r[1]), float(r[2]) + 17.5) for r in rows[:10]]
     right = spark.createDataFrame(rows, "k long, rts long, rval double").withColumn(
         "rts", F.col("rts").cast("timestamp")
     )

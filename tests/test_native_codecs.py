@@ -402,3 +402,105 @@ def test_extract_features_uses_native_decode_in_workers(spark):
     for i, p, _ in imgs:
         expected = mm.media_features(p)  # driver side, same routing
         assert np.allclose(rows[i], expected, atol=1e-12), i
+
+
+# --------------------------------------------------------------------------
+# FLAC: compiled shim vs the spec-derived conformance fixtures (lossless
+# -> exact equality) and vs the stdlib twin on encoder output
+# --------------------------------------------------------------------------
+
+flac_native = pytest.mark.skipif(
+    not nc.flac_available(), reason="FLAC shim unavailable (gcc missing)"
+)
+
+
+@flac_native
+def test_native_flac_constant_and_fixed_rice_conformance():
+    payload = cc._flac_streaminfo(16, 8000, 1, 16, 16) + cc._flac_frame(
+        0, 16, 0, [cc._sub_constant(-3)]
+    )
+    out = nc.decode_flac_native(payload)
+    assert out["sample_rate"] == 8000 and out["n_channels"] == 1
+    np.testing.assert_array_equal(out["samples"], np.full((16, 1), -3.0 / 32768.0))
+
+    want = [3, 5, 8, 10, 11, 13, 18, 20]
+    payload = cc._flac_streaminfo(8, 8000, 1, 16, 8) + cc._flac_frame(
+        0, 8, 0, [cc._sub_fixed2([3, 5], [1, -1, -1, 1, 3, -3], param=1)]
+    )
+    np.testing.assert_array_equal(
+        nc.decode_flac_native(payload)["samples"][:, 0], np.array(want) / 32768.0
+    )
+
+
+@flac_native
+def test_native_flac_stereo_decorrelation_conformance():
+    f0 = cc._flac_frame(
+        0, 4, 10,
+        [cc._sub_verbatim([70, 69, 69, 68], 16), cc._sub_verbatim([60, 63, 66, 69], 17)],
+    )
+    f1 = cc._flac_frame(
+        1, 2, 8,
+        [cc._sub_verbatim([50, 52], 16), cc._sub_verbatim([30, 33], 17)],
+    )
+    out = nc.decode_flac_native(cc._flac_streaminfo(4, 8000, 2, 16, 6) + f0 + f1)
+    np.testing.assert_array_equal(
+        out["samples"][:, 0], np.array([100, 101, 102, 103, 50, 52]) / 32768.0
+    )
+    np.testing.assert_array_equal(
+        out["samples"][:, 1], np.array([40, 38, 36, 34, 20, 19]) / 32768.0
+    )
+
+
+@flac_native
+def test_native_flac_rice_partitions_and_escape_conformance():
+    vals = [1, -2, 0, 3, -17, 25, -9, 14]
+
+    def sub(w):
+        w.put(0, 1)
+        w.put(8 + 0, 6)
+        w.put(0, 1)
+        w.put(0, 2)
+        w.put(1, 4)
+        w.put(0, 4)
+        cc._put_rice(w, vals[:4], 0)
+        w.put(15, 4)
+        w.put(6, 5)
+        for v in vals[4:]:
+            w.put(v & 0x3F, 6)
+
+    payload = cc._flac_streaminfo(8, 8000, 1, 16, 8) + cc._flac_frame(0, 8, 0, [sub])
+    np.testing.assert_array_equal(
+        nc.decode_flac_native(payload)["samples"][:, 0], np.array(vals) / 32768.0
+    )
+
+
+@flac_native
+def test_native_flac_crc_guards_and_truncation():
+    payload = bytearray(
+        cc._flac_streaminfo(16, 8000, 1, 16, 16)
+        + cc._flac_frame(0, 16, 0, [cc._sub_constant(-3)])
+    )
+    payload[42 + 2] ^= 0x04
+    with pytest.raises(ValueError, match="CRC|sync|reserved|truncated|subframe"):
+        nc.decode_flac_native(bytes(payload))
+    good = bytes(
+        cc._flac_streaminfo(16, 8000, 1, 16, 16)
+        + cc._flac_frame(0, 16, 0, [cc._sub_constant(-3)])
+    )
+    with pytest.raises(ValueError):
+        nc.decode_flac_native(good[:-3])
+
+
+@flac_native
+@pytest.mark.parametrize("mode", ["verbatim", "constant", "fixed2", "fixed2esc", "fixed2po2", "lpc1", "ms"])
+def test_native_flac_exact_parity_with_stdlib(mode):
+    rng = np.random.default_rng(hash(mode) % 2**32)
+    nchan = 2 if mode == "ms" else 1
+    s = np.cumsum(rng.normal(0, 0.01, (700, nchan)), axis=0).clip(-0.9, 0.9)
+    if mode == "constant":
+        s = np.full((700, nchan), 0.125)
+    payload = mm.encode_flac(s, sample_rate=8000, bps=16, blocksize=192, mode=mode)
+    a = mm.decode_flac(payload)
+    b = nc.decode_flac_native(payload)
+    assert a["sample_rate"] == b["sample_rate"] and a["n_channels"] == b["n_channels"]
+    assert (a["samples"] == b["samples"]).all()  # lossless: EXACT
