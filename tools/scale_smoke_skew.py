@@ -77,6 +77,21 @@ def main() -> None:
         "asof_join (window over raw key — one task owns the hot key)",
         asof_join(left, right, ["k"], "lts", "rts", ["rval"]),
     )
+    # r7: the nearest-direction bucketed variant carries BOTH boundary
+    # packs (backward + earliest-after) — measured so the new direction
+    # surface has its own planted-skew evidence, not just the backward
+    # rescue's
+    run(
+        "asof_join_bucketed direction=nearest (both boundary carries)",
+        asof_join_bucketed(
+            left, right, ["k"], "lts", "rts", ["rval"], bucket_hours=6.0,
+            direction="nearest",
+        ),
+    )
+    run(
+        "asof_join direction=nearest (raw-key window, both frames)",
+        asof_join(left, right, ["k"], "lts", "rts", ["rval"], direction="nearest"),
+    )
     run(
         "interval_join +-1h band (equi-join on (key, bucket): AQE-splittable)",
         interval_join(
