@@ -504,3 +504,38 @@ def test_native_flac_exact_parity_with_stdlib(mode):
     b = nc.decode_flac_native(payload)
     assert a["sample_rate"] == b["sample_rate"] and a["n_channels"] == b["n_channels"]
     assert (a["samples"] == b["samples"]).all()  # lossless: EXACT
+
+
+# --------------------------------------------------------------------------
+# shim build path: compile from the embedded C source into a COLD cache
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    not (os.path.exists("/usr/include/jpeglib.h")), reason="no jpeglib.h"
+)
+def test_shims_compile_from_source_into_cold_cache(tmp_path, monkeypatch):
+    """The cached .so is not the artifact under test — the embedded C
+    SOURCE is.  Point the cache at an empty dir, reset the memoized
+    handles, and decode through freshly-compiled shims; this catches
+    source bitrot that a warm cache would mask."""
+    monkeypatch.setenv("TCDB_SPARK_SHIM_DIR", str(tmp_path / "cold"))
+    monkeypatch.setattr(nc, "_jpeg_handle", None)
+    monkeypatch.setattr(nc, "_flac_handle", None)
+    try:
+        assert nc.jpeg_available(), "jpeg shim failed to compile from source"
+        assert nc.flac_available(), "flac shim failed to compile from source"
+        px = np.full((8, 8), 120, np.uint8)
+        out = nc.decode_jpeg_native(mm.encode_jpeg(px))
+        assert np.abs(out["pixels"].astype(int) - 120).max() <= 1
+        s = np.linspace(-0.5, 0.5, 300)[:, None]
+        flac = mm.encode_flac(s, blocksize=100, mode="fixed2")
+        assert (nc.decode_flac_native(flac)["samples"] == mm.decode_flac(flac)["samples"]).all()
+        built = sorted(os.listdir(tmp_path / "cold"))
+        assert any(f.startswith("jpegshim-") for f in built)
+        assert any(f.startswith("flacshim-") for f in built)
+    finally:
+        # restore process-wide memoization for later tests in this worker
+        monkeypatch.undo()
+        nc._jpeg_handle = None
+        nc._flac_handle = None
