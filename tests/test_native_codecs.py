@@ -539,3 +539,53 @@ def test_shims_compile_from_source_into_cold_cache(tmp_path, monkeypatch):
         monkeypatch.undo()
         nc._jpeg_handle = None
         nc._flac_handle = None
+
+
+@png_native
+def test_native_png_capability_upgrades_16bit_and_trns():
+    """Documented capability DELTAS are upgrades only: 16-bit files
+    (stdlib raises) come back 8-bit via libpng's linear->sRGB transfer,
+    and palette+tRNS gains the alpha channel the stdlib path ignores.
+    Pinned so a future routing change can't silently downgrade them."""
+    import struct
+    import zlib
+
+    def chunk(cid, body):
+        return (
+            struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    px16 = np.array([[1000, 2000, 3000], [40000, 50000, 60000]], ">u2")
+    raw = b"".join(b"\x00" + px16[y].tobytes() for y in range(2))
+    p16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        mm.decode_png(p16)
+    out = nc.decode_png_native(p16)
+    assert out["pixels"].shape == (2, 3, 1)
+    # libpng's 16-bit-linear -> 8-bit sRGB transfer, monotone + endpoints
+    vals = out["pixels"].ravel().tolist()
+    assert vals == sorted(vals) and vals[0] > 0 and vals[-1] <= 255
+    # decode_image routes a 16-bit PNG to the native path and SUCCEEDS
+    # where the stdlib-only router raised
+    assert mm.decode_image(p16)["pixels"].shape == (2, 3, 1)
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    pt = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"tRNS", bytes([255, 128, 0]))
+        + chunk(b"IDAT", zlib.compress(b"\x00" + bytes([0, 1, 2])))
+        + chunk(b"IEND", b"")
+    )
+    o = nc.decode_png_native(pt)
+    assert o["pixels"].shape == (1, 3, 4)
+    assert o["pixels"][0].tolist() == [
+        [255, 0, 0, 255], [0, 255, 0, 128], [0, 0, 255, 0],
+    ]
