@@ -136,19 +136,38 @@ def write_columnar(
     carries natively: parquet (the warehouse default), ORC (parity
     with Hive-side consumers — same predicate pushdown and column
     pruning as parquet, pinned in tests), and XML (rowTag documents,
-    the ATCF-adjacent feed format).  Avro needs the external
-    spark-avro module; absent here, the gate raises the same
-    actionable error as the JDBC driver gate."""
+    the ATCF-adjacent feed format).  Avro prefers the external
+    spark-avro module; absent (as in this image), flat scalar schemas
+    route to the pure-stdlib container writer
+    (sources/avro_fallback.py — spec-conformant Object Container Files
+    any stock Avro consumer reads); only the spark-avro-specific knobs
+    (partition_by, writer options, nested types) still raise the
+    actionable jar error."""
     if fmt == "avro":
         try:
             df.write.mode(mode).format("avro").save(path)
             return
         except Exception as exc:
-            raise NotImplementedError(
-                "spark-avro module not on the classpath; add "
-                "org.apache.spark:spark-avro via spark.jars.packages at "
-                f"deploy time. Underlying error: {exc}"
-            ) from exc
+            if partition_by or options:
+                raise NotImplementedError(
+                    "spark-avro module not on the classpath (and the "
+                    "stdlib Avro fallback does not take partition_by/"
+                    "options); add org.apache.spark:spark-avro via "
+                    "spark.jars.packages at deploy time. "
+                    f"Underlying error: {exc}"
+                ) from exc
+            from tcdb_spark.sources.avro_fallback import write_avro_files
+
+            if mode == "overwrite":
+                import shutil as _shutil
+
+                _shutil.rmtree(path, ignore_errors=True)
+            elif mode != "error":
+                raise NotImplementedError(
+                    f"avro fallback supports overwrite/error modes, not {mode}"
+                ) from exc
+            write_avro_files(df, path)
+            return
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
