@@ -181,7 +181,19 @@ def write_columnar(
 def read_columnar(spark, path: str, fmt: str = "parquet", schema=None, **options):
     """Reader twin of :func:`write_columnar` (schema-explicit where the
     format is schemaless on read, e.g. XML — never inferSchema in a
-    pipeline, SURVEY §2.9 check-type)."""
+    pipeline, SURVEY §2.9 check-type).  Avro mirrors the writer's
+    routing: spark-avro when the jar is present, else the stdlib
+    container reader (self-describing headers, no schema needed)."""
+    if fmt == "avro":
+        try:
+            r = spark.read
+            if schema is not None:
+                r = r.schema(schema)
+            return r.format("avro").load(path)
+        except Exception:
+            from tcdb_spark.sources.avro_fallback import read_avro_files
+
+            return read_avro_files(spark, path)
     r = spark.read
     if schema is not None:
         r = r.schema(schema)

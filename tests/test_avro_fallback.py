@@ -199,3 +199,13 @@ def test_corrupt_container_raises_value_error():
     tampered[-1] ^= 0xFF  # break the trailing sync marker
     with pytest.raises(ValueError, match="sync"):
         parse_avro_bytes(bytes(tampered))
+
+
+def test_read_columnar_avro_routes_to_fallback(spark, tmp_path):
+    from tcdb_spark.sources.sinks import read_columnar, write_columnar
+
+    df = spark.range(0, 20).select(F.col("id").alias("k"))
+    path = str(tmp_path / "avro_rc")
+    write_columnar(df, path, fmt="avro")
+    back = read_columnar(spark, path, fmt="avro")
+    assert sorted(r["k"] for r in back.collect()) == list(range(20))
