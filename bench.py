@@ -61,6 +61,14 @@ HEADLINE = [
     # round-7 widening: the nearest-direction skew-resistant as-of twin
     # (positions 1-32 stay comparable via core32_total)
     "join_asof_nearest_bucketed",
+    # round-7 session-2 widening: PQ ANN (timed in its pruned ADC
+    # config, like the other ANN lanes), frozen-centroid k-means
+    # assignment, and the two scan-fused text-quality lanes
+    # (positions 1-33 stay comparable via core33_total)
+    "sim_ann_pq",
+    "cluster_kmeans_assign",
+    "quality_gopher_rules",
+    "text_char_entropy",
 ]
 
 
@@ -78,9 +86,12 @@ def headline_impls() -> dict:
         sim_ann_lsh_pruned,
     )
 
+    from tcdb_spark.plans.queries_sim import sim_ann_pq_pruned
+
     impls = dict(QUERIES)
     impls["sim_ann_lsh"] = sim_ann_lsh_pruned
     impls["knn_join"] = hard_negative_mining_pruned
+    impls["sim_ann_pq"] = sim_ann_pq_pruned
     return impls
 
 
@@ -154,6 +165,7 @@ def main() -> None:
     core25 = round(sum(t for n, t in timings.items() if n in HEADLINE[:25]), 3)
     core31 = round(sum(t for n, t in timings.items() if n in HEADLINE[:31]), 3)
     core32 = round(sum(t for n, t in timings.items() if n in HEADLINE[:32]), 3)
+    core33 = round(sum(t for n, t in timings.items() if n in HEADLINE[:33]), 3)
     print(
         json.dumps(
             {
@@ -173,6 +185,9 @@ def main() -> None:
                 # the round-6 32-lane subtotal — comparable to BENCH_r06's
                 # headline total
                 "core32_total": core32,
+                # the round-7 33-lane subtotal — comparable to
+                # BENCH_r07_idle's headline total
+                "core33_total": core33,
                 # box-contention context: loadavg_before is sampled BEFORE
                 # the warmup pass (external load only — near 0 on an idle
                 # box); loadavg_after reflects the bench's own full-tilt

@@ -117,24 +117,7 @@ def ivf_build(
     import numpy as np
 
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    # Size the training sample WITHOUT a full count(): at 100 TB a
-    # count is a complete scan just to pick a sampling modulus. The
-    # limit(cap+1) probe stops as soon as cap+1 rows exist; if the
-    # collect came back within cap, the limit never bound, so the
-    # collected set IS the complete (modulus-filtered) set — still
-    # deterministic under any partitioning. Over cap, double the
-    # id-hash modulus and re-probe: log2(n/cap) early-stopping probes
-    # replace the full scan.
-    pdf = base.limit(train_cap + 1).toPandas()
-    if len(pdf) > train_cap:
-        m = 2
-        while True:
-            cand = base.where(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0)
-            pdf = cand.limit(train_cap + 1).toPandas()
-            if len(pdf) <= train_cap:
-                break
-            m *= 2
-    pdf = pdf.sort_values("vec_id")  # driver-side order pin
+    pdf = _bounded_train_sample(base, train_cap)
     X = np.stack(pdf["emb"].to_numpy())
     nrm = np.linalg.norm(X, axis=1, keepdims=True)
     X = X / np.where(nrm == 0, 1.0, nrm)
@@ -838,3 +821,161 @@ def mmr_reference(
         sel.append(scored[0][2])
         avail.remove(scored[0][2])
     return [ids[i] for i in sel]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale ANN path.
+# ---------------------------------------------------------------------------
+
+
+def _bounded_train_sample(base: DataFrame, train_cap: int):
+    """Deterministic bounded training sample (shared by the IVF and PQ
+    quantizer builds): a ``limit(cap+1)`` probe avoids a full count at
+    100 TB; over cap, double an id-hash modulus and re-probe —
+    log2(n/cap) early-stopping probes replace the full scan, and the
+    result is invariant to partitioning. Rows come back sorted by
+    vec_id so the driver-side k-means sees a pinned order."""
+    pdf = base.limit(train_cap + 1).toPandas()
+    if len(pdf) > train_cap:
+        m = 2
+        while True:
+            cand = base.where(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0)
+            pdf = cand.limit(train_cap + 1).toPandas()
+            if len(pdf) <= train_cap:
+                break
+            m *= 2
+    return pdf.sort_values("vec_id")
+
+
+def pq_build(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    train_cap: int = 100_000,
+):
+    """Train a product quantizer and encode every vector.
+
+    The d-dim space splits into ``m`` orthogonal subspaces of d/m dims;
+    each gets its own ``ksub``-centroid k-means codebook (driver-trained
+    on the bounded deterministic sample, like the IVF coarse quantizer).
+    A vector is stored as ``m`` small codes — at m=8, ksub=256 that is
+    8 bytes instead of 512 (float64×64), the difference between an
+    embedding index that fits executor memory at 100 TB and one that
+    doesn't. Codebooks quantize the RAW subvectors (ADC approximates the
+    raw inner product); exact norms ride along for the cosine
+    denominator and for the exact re-rank.
+
+    Returns (encoded df: vec_id, emb, nrm, codes array<int>; codebooks
+    list[m][ksub][d/m]).
+    """
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    pdf = _bounded_train_sample(base, train_cap)
+    X = np.stack(pdf["emb"].to_numpy())
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"pq_build: dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    codebooks = []
+    for s in range(m):
+        sub = np.ascontiguousarray(X[:, s * dsub : (s + 1) * dsub])
+        centers = _lloyd_kmeans(sub, ksub, seed + 7919 * s)
+        codebooks.append([c.tolist() for c in centers])
+    return pq_encode(base, codebooks), codebooks
+
+
+def pq_encode(base: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Encode (vec_id, emb) rows against FROZEN codebooks — the
+    incremental-maintenance twin of ``ivf_assign``: new batches encode
+    without retraining. One Arrow matmul per subspace per batch; ties
+    break to the smaller code id (np.argmin first-minimum)."""
+    from pyspark.sql.functions import pandas_udf
+
+    Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    n_sub = len(Cs)
+    dsub = Cs[0].shape[1]
+    c2s = [(C * C).sum(1) for C in Cs]
+
+    @pandas_udf("nrm double, codes array<int>")
+    def enc(e: pd.Series) -> pd.DataFrame:
+        X = np.stack(e.to_numpy())
+        nrm = np.linalg.norm(X, axis=1)
+        codes = np.empty((len(X), n_sub), dtype="int32")
+        for s in range(n_sub):
+            sub = X[:, s * dsub : (s + 1) * dsub]
+            codes[:, s] = (c2s[s][None, :] - 2.0 * (sub @ Cs[s].T)).argmin(1)
+        return pd.DataFrame({"nrm": nrm, "codes": list(codes)})
+
+    return base.withColumn("__e", enc(F.col("emb"))).select(
+        "vec_id",
+        "emb",
+        F.col("__e.nrm").alias("nrm"),
+        F.col("__e.codes").alias("codes"),
+    )
+
+
+def pq_search(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 64,
+    query_cap: int = 10_000,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) search: per query, the dot
+    products between its subvectors and every codebook entry form an
+    m×ksub lookup table; a candidate's approximate inner product is then
+    ``m`` table lookups instead of ``d`` multiplies — pure zip_with /
+    aggregate column expressions over the broadcast query side, no UDF
+    in the scan. The top-``shortlist`` by approximate cosine re-rank
+    EXACTLY (same fold order as sim_topk_cosine, so shortlist >= corpus
+    degenerates to brute force — the attestation mode).
+
+    CONTRACT: the query side is collected driver-side to build the ADC
+    tables (bounded by ``query_cap``, refuses instead of OOMing) — the
+    point-lookup path, same contract as ivf_search_persisted; bulk
+    search belongs to knn_join.
+    """
+    q_local = queries.select("q_id", "q_emb").limit(query_cap + 1).collect()
+    if len(q_local) > query_cap:
+        raise ValueError(
+            f"pq_search builds per-query ADC tables driver-side and got more "
+            f"than query_cap={query_cap} rows; use knn_join for bulk search "
+            "or raise query_cap if the driver can hold the query set"
+        )
+    Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    dsub = Cs[0].shape[1]
+    rows = []
+    for r in q_local:
+        q = np.asarray(r["q_emb"], dtype="float64")
+        adc = [(Cs[s] @ q[s * dsub : (s + 1) * dsub]).tolist() for s in range(len(Cs))]
+        rows.append((r["q_id"], [float(v) for v in q], adc))
+    spark = encoded.sparkSession
+    qdf = spark.createDataFrame(
+        rows, "q_id bigint, q_emb array<double>, adc array<array<double>>"
+    ).withColumn("q_nrm", _norm(F.col("q_emb")))
+
+    pairs = encoded.crossJoin(F.broadcast(qdf)).where(F.col("vec_id") != F.col("q_id"))
+    approx_dot = F.aggregate(
+        F.zip_with("adc", "codes", lambda t, c: F.element_at(t, c + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.withColumn("approx", approx_dot / (F.col("q_nrm") * F.col("nrm")))
+    w1 = W.partitionBy("q_id").orderBy(F.col("approx").desc(), F.col("vec_id").asc())
+    short = scored.withColumn("__r", F.row_number().over(w1)).where(
+        F.col("__r") <= shortlist
+    )
+    rer = short.select(
+        "q_id",
+        "vec_id",
+        (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+            "cos"
+        ),
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        rer.withColumn("rank_in_group", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank_in_group") <= k)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank_in_group")
+    )

@@ -569,3 +569,45 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — the memory-scale ANN path (operators/similarity.py
+# pq_build/pq_encode/pq_search). Same attestation layout as LSH/IVF: the
+# registered lane runs the full ADC machinery in its exact-mode degeneracy
+# (shortlist >= corpus, so the exact re-rank provably returns brute force
+# and hash-matches _BRUTE_ORACLE); the pruned production configuration is
+# recall@5-gated in tests/test_clustering.py.
+# ---------------------------------------------------------------------------
+
+
+def _pq_lane(spark: SparkSession, sf_dir: str, shortlist: int) -> DataFrame:
+    from tcdb_spark.operators.similarity import pq_build, pq_search
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    encoded, codebooks = pq_build(e, m=8, ksub=16, seed=42)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    return pq_search(encoded, codebooks, q, k=K, shortlist=shortlist)
+
+
+def sim_ann_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ configuration: 8 subspaces × 16 codes (8
+    codes/vector vs 64 float64 components — 64× smaller in the scan),
+    ADC shortlist of 48 by approximate cosine, exact re-rank on the
+    survivors only. The shortlist size is the recall/cost dial;
+    recall@5 is gated in tests/test_clustering.py."""
+    return _pq_lane(spark, sf_dir, shortlist=48)
+
+
+@register("sim_ann_pq", oracle=_BRUTE_ORACLE)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable exact mode of the PQ lane: the ADC tables are
+    built, every candidate is scored by code lookups, and the shortlist
+    window runs — but shortlist >= corpus, so the exact re-rank covers
+    every row and provably returns brute-force top-k, hash-matched
+    against the shared DuckDB oracle. Only the shortlist pruning is
+    skipped, and that is recall@5-gated over ``sim_ann_pq_pruned``."""
+    return _pq_lane(spark, sf_dir, shortlist=(1 << 31) - 1)

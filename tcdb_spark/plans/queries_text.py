@@ -463,3 +463,181 @@ def winnow_copy_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_fps") >= 2)
         .drop("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rule-based document quality (Gopher-style filter battery) and character
+# entropy — §2.12 text-analysis extensions. Both are pure higher-order
+# array expressions fused into the documents scan: zero shuffles, zero
+# UDFs, so at 100 TB they run at scan speed and Catalyst prunes to the
+# two columns they read.
+# ---------------------------------------------------------------------------
+
+_G_MIN_WORDS = 30
+_G_MAX_WORDS = 100_000
+_G_MIN_MEAN_LEN = 3.0
+_G_MAX_MEAN_LEN = 10.0
+_G_MAX_SYMBOL_FRAC = 0.10
+_G_MIN_ALPHA_FRAC = 0.80
+_G_MIN_STOPWORDS = 2
+_G_MAX_DUP_FRAC = 0.50
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), sig AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum') AS DOUBLE)
+                   / len(w) AS mean_len,
+               CAST(len(list_filter(w, t -> regexp_matches(t, '[^A-Za-z0-9]'))) AS DOUBLE)
+                   / len(w) AS symbol_frac,
+               CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                   / len(w) AS alpha_frac,
+               len(list_distinct(list_filter(w, t -> lower(t) IN ({_STOP_SQL}))))
+                   AS n_stop,
+               1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_frac
+        FROM toks
+    )
+    SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+           n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS} AS rule_word_count,
+           mean_len >= {_G_MIN_MEAN_LEN} AND mean_len <= {_G_MAX_MEAN_LEN}
+               AS rule_mean_word_len,
+           symbol_frac <= {_G_MAX_SYMBOL_FRAC} AS rule_symbol_ratio,
+           alpha_frac >= {_G_MIN_ALPHA_FRAC} AS rule_alpha_words,
+           n_stop >= {_G_MIN_STOPWORDS} AS rule_stopwords,
+           dup_frac <= {_G_MAX_DUP_FRAC} AS rule_repetition,
+           (n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS})
+             AND mean_len >= {_G_MIN_MEAN_LEN} AND mean_len <= {_G_MAX_MEAN_LEN}
+             AND symbol_frac <= {_G_MAX_SYMBOL_FRAC}
+             AND alpha_frac >= {_G_MIN_ALPHA_FRAC}
+             AND n_stop >= {_G_MIN_STOPWORDS}
+             AND dup_frac <= {_G_MAX_DUP_FRAC} AS passes
+    FROM sig
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule battery (Rae et al. 2021 §A1.1, adapted to the
+    corpus shape): word-count bounds, mean word length 3–10, symbol-word
+    fraction, alphabetic-word fraction, >=2 distinct stopwords,
+    duplicate-word fraction. Emits per-rule booleans plus the AND —
+    pipelines keep the flags so rejected docs are attributable by rule.
+    Every signal is an exact integer ratio (int sums / int counts), so
+    the rule comparisons are reproducible bit-for-bit across engines."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    sig = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        (
+            F.aggregate(
+                F.transform(w, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+            ).cast("double")
+            / F.size(w)
+        ).alias("mean_len"),
+        (
+            F.size(F.filter(w, lambda t: t.rlike("[^A-Za-z0-9]"))).cast("double")
+            / F.size(w)
+        ).alias("symbol_frac"),
+        (
+            F.size(F.filter(w, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+            / F.size(w)
+        ).alias("alpha_frac"),
+        F.size(
+            F.array_distinct(
+                F.filter(w, lambda t: F.array_contains(stop_arr, F.lower(t)))
+            )
+        ).alias("n_stop"),
+        (1.0 - F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias(
+            "dup_frac"
+        ),
+    )
+    rules = {
+        "rule_word_count": F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS),
+        "rule_mean_word_len": (F.col("mean_len") >= _G_MIN_MEAN_LEN)
+        & (F.col("mean_len") <= _G_MAX_MEAN_LEN),
+        "rule_symbol_ratio": F.col("symbol_frac") <= _G_MAX_SYMBOL_FRAC,
+        "rule_alpha_words": F.col("alpha_frac") >= _G_MIN_ALPHA_FRAC,
+        "rule_stopwords": F.col("n_stop") >= _G_MIN_STOPWORDS,
+        "rule_repetition": F.col("dup_frac") <= _G_MAX_DUP_FRAC,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return sig.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        *[c.alias(n) for n, c in rules.items()],
+        passes.alias("passes"),
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(regexp_replace(text, '\\s+', '', 'g')), '')
+                   AS cs
+        FROM documents WHERE length(trim(text)) > 0
+    ), sig AS (
+        SELECT doc_id, cs, len(cs) AS n,
+               list_transform(list_sort(list_distinct(cs)),
+                              c -> len(list_filter(cs, x -> x = c))) AS counts
+        FROM chars WHERE len(cs) > 0
+    )
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_chars_nospace,
+           CAST(len(counts) AS INTEGER) AS n_distinct_chars,
+           round(-list_aggregate(list_transform(counts,
+                 c -> (c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))), 'sum'),
+                 4) AS entropy,
+           round(CAST(list_max(counts) AS DOUBLE) / n, 6) AS top_char_frac
+    FROM sig
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-unigram entropy + top-character concentration — the
+    gibberish/keyboard-mash/low-diversity spam signal that complements
+    the word-level rules. Distinct chars are SORTED before the entropy
+    fold so the floating accumulation order is pinned across engines
+    (first-occurrence order would differ). O(distinct × len) comparisons
+    per row, all inside the scan — distinct is ~tens for real text."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    cs = F.array_remove(
+        F.split(F.lower(F.regexp_replace(F.col("text"), r"\s+", "")), ""), ""
+    )
+    sig = (
+        d.where(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", cs.alias("cs"))
+        .where(F.size("cs") > 0)
+        .select(
+            "doc_id",
+            F.size("cs").alias("n"),
+            F.transform(
+                F.array_sort(F.array_distinct("cs")),
+                lambda c: F.size(F.filter("cs", lambda x: x == c)),
+            ).alias("counts"),
+        )
+    )
+    n = F.col("n").cast("double")
+    return sig.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_chars_nospace"),
+        F.size("counts").cast("int").alias("n_distinct_chars"),
+        F.round(
+            -F.aggregate(
+                F.transform("counts", lambda c: (c / n) * F.log2(c / n)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("entropy"),
+        F.round(F.array_max("counts").cast("double") / n, 6).alias("top_char_frac"),
+    )
