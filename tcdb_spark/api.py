@@ -845,3 +845,45 @@ class Engine:
         from tcdb_spark.plans.queries_stats import bootstrap_ci
 
         return bootstrap_ci(df, cohort_col, id_col, value_col, reps=reps)
+
+    def kmeans(self, emb: DataFrame, k: int = 8, iters: int = 20, tol: float = 1e-9):
+        """Distributed Lloyd's k-means over an embedding column
+        (operators/clustering.kmeans_fit): matmul assignment per Arrow
+        batch, one map-side-combined aggregate per update, deterministic
+        first-k-by-id init. Returns (centroids, assigned, inertia_history)."""
+        from tcdb_spark.operators.clustering import kmeans_fit
+
+        return kmeans_fit(emb, k=k, iters=iters, tol=tol)
+
+    def cluster_assign(self, emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+        """Frozen-centroid nearest-cluster assignment (no retrain, no
+        shuffle) — the incremental twin of :meth:`kmeans` for new
+        batches, and the blocking key for cluster-balanced sampling."""
+        from tcdb_spark.operators.clustering import kmeans_assign
+
+        return kmeans_assign(emb, centroids)
+
+    def pq_index(self, emb: DataFrame, m: int = 8, ksub: int = 16, seed: int = 42):
+        """Product-quantization encode: m codes per vector against
+        driver-trained per-subspace codebooks (8 bytes vs 512 at
+        m=8/ksub=256) — the memory-scale ANN representation. Returns
+        (encoded frame, codebooks); re-encode new batches with
+        operators/similarity.pq_encode against the same codebooks."""
+        from tcdb_spark.operators.similarity import pq_build
+
+        return pq_build(emb, m=m, ksub=ksub, seed=seed)
+
+    def pq_search(
+        self,
+        encoded: DataFrame,
+        codebooks: list,
+        queries: DataFrame,
+        k: int = 5,
+        shortlist: int = 64,
+    ) -> DataFrame:
+        """ADC top-k over a PQ-encoded corpus: per-candidate scoring is
+        m table lookups (pure column expressions), the shortlist bounds
+        the exact re-rank. Point-lookup path (bounded query side)."""
+        from tcdb_spark.operators.similarity import pq_search
+
+        return pq_search(encoded, codebooks, queries, k=k, shortlist=shortlist)

@@ -62,3 +62,74 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = kmeans_assign(e, cents)
     return out.select("vec_id", "cluster", F.round("dist2", 6).alias("dist2"))
+
+
+_CBS_CAP = 32
+_ASSIGN_CTE = f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS c_id, emb AS c FROM base WHERE vec_id < {K_CLUSTERS}
+    ), pairs AS (
+        SELECT b.vec_id, c.c_id,
+               list_dot_product(b.emb, b.emb)
+                 - 2 * list_dot_product(b.emb, c.c)
+                 + list_dot_product(c.c, c.c) AS d2
+        FROM base b CROSS JOIN cents c
+    ), assigned AS (
+        SELECT vec_id, CAST(c_id AS INTEGER) AS cluster
+        FROM pairs
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) = 1
+    )
+"""
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=_ASSIGN_CTE
+    + f"""
+    SELECT vec_id, cluster, CAST(pick_rank AS INTEGER) AS pick_rank
+    FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (
+                   PARTITION BY cluster
+                   ORDER BY md5('cbs1:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS pick_rank
+        FROM assigned
+    )
+    WHERE pick_rank <= {_CBS_CAP}
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced curation draw: assign every vector to its
+    nearest frozen centroid, then take ``_CBS_CAP`` per cluster in
+    deterministic seeded-md5 order — the anti-mode-collapse subsample
+    (uniform over semantic clusters, not over raw rows; the same reason
+    pretraining mixes rebalance domains). rand() is not stable under
+    repartitioning, so the draw key is a content hash — both engines
+    order the identical hex text. Scale shape: one assignment scan
+    (no shuffle — centroid side is a literal) + one per-cluster window
+    whose partitions are cluster-sized; at 100 TB swap the window for
+    the TakeOrdered-per-group pattern if clusters are planet-sized."""
+    from pyspark.sql.window import Window as W
+
+    from tcdb_spark.operators.clustering import kmeans_assign
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = [
+        r["emb"]
+        for r in e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .where(F.col("vec_id") < K_CLUSTERS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    assigned = kmeans_assign(e, cents).select("vec_id", "cluster")
+    key = F.md5(F.concat(F.lit("cbs1:"), F.col("vec_id").cast("string")))
+    w = W.partitionBy("cluster").orderBy(key, F.col("vec_id"))
+    return (
+        assigned.withColumn("pick_rank", F.row_number().over(w))
+        .where(F.col("pick_rank") <= _CBS_CAP)
+        .select("vec_id", "cluster", F.col("pick_rank").cast("int").alias("pick_rank"))
+    )

@@ -581,8 +581,10 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pq_lane(spark: SparkSession, sf_dir: str, shortlist: int) -> DataFrame:
-    from tcdb_spark.operators.similarity import pq_build, pq_search
+def _pq_lane(
+    spark: SparkSession, sf_dir: str, shortlist: int, blocked: bool = False
+) -> DataFrame:
+    from tcdb_spark.operators.similarity import pq_build, pq_search, pq_search_blocked
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     encoded, codebooks = pq_build(e, m=8, ksub=16, seed=42)
@@ -590,16 +592,19 @@ def _pq_lane(spark: SparkSession, sf_dir: str, shortlist: int) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
     )
-    return pq_search(encoded, codebooks, q, k=K, shortlist=shortlist)
+    search = pq_search_blocked if blocked else pq_search
+    return search(encoded, codebooks, q, k=K, shortlist=shortlist)
 
 
 def sim_ann_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production PQ configuration: 8 subspaces × 16 codes (8
     codes/vector vs 64 float64 components — 64× smaller in the scan),
-    ADC shortlist of 48 by approximate cosine, exact re-rank on the
-    survivors only. The shortlist size is the recall/cost dial;
-    recall@5 is gated in tests/test_clustering.py."""
-    return _pq_lane(spark, sf_dir, shortlist=48)
+    ADC shortlist of 48 by approximate cosine via the Arrow-gather
+    blocked scorer (pq_search_blocked — measured 77 s -> ~2 s at 2M
+    rows vs the lambda-fold path), exact re-rank on the survivors
+    only. The shortlist size is the recall/cost dial; recall@5 is
+    gated in tests/test_clustering.py."""
+    return _pq_lane(spark, sf_dir, shortlist=48, blocked=True)
 
 
 @register("sim_ann_pq", oracle=_BRUTE_ORACLE)

@@ -211,3 +211,31 @@ def test_char_entropy_known_values(spark):
     assert out[1]["n_distinct_chars"] == 1
     assert out[2]["n_chars_nospace"] == 4 and out[2]["entropy"] == 1.0
     assert out[2]["top_char_frac"] == 0.5
+
+
+def test_pq_blocked_equals_fold_path(spark):
+    """The Arrow-gather blocked scorer and the column-expression fold
+    path must return the same (q_id, vec_id, rank) sets at equal
+    shortlist — per-partition shortlists are a superset of the global
+    one, so top-k survivors coincide; cosines agree to float tolerance
+    (BLAS vs fold accumulation differs in the last ULP)."""
+    from tcdb_spark.operators.similarity import pq_build, pq_search, pq_search_blocked
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    encoded, codebooks = pq_build(e, m=8, ksub=16, seed=42)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    for sl in (48, 1 << 30):
+        fold = {
+            (r["q_id"], r["vec_id"]): (r["rank_in_group"], r["cosine"])
+            for r in pq_search(encoded, codebooks, q, k=5, shortlist=sl).collect()
+        }
+        blk = {
+            (r["q_id"], r["vec_id"]): (r["rank_in_group"], r["cosine"])
+            for r in pq_search_blocked(encoded, codebooks, q, k=5, shortlist=sl).collect()
+        }
+        assert set(fold) == set(blk)
+        assert all(fold[k][0] == blk[k][0] for k in fold)
+        assert all(abs(fold[k][1] - blk[k][1]) <= 2e-6 for k in fold)

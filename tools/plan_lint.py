@@ -51,6 +51,12 @@ SCALAR_CROSS_OK = {
     # documented exact brute-force baseline the ANN queries are
     # recall-gated against; the base side never shuffles.
     "sim_topk_cosine",
+    # same bounded query-set cross: ADC is a SCAN accelerator (m code
+    # lookups instead of d multiplies per candidate), not a candidate
+    # pruner — every candidate is scored cheaply, the shortlist prunes
+    # the expensive exact re-rank. The base side never shuffles; cell
+    # pruning composes via IVF when needed.
+    "sim_ann_pq",
     # 2-query x 8-candidate integer FIXTURE cross (the MMR golden);
     # production pools come from an upstream top-n, never a cross
     "mmr_diversify",
