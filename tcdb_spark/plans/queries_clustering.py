@@ -133,3 +133,76 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pick_rank") <= _CBS_CAP)
         .select("vec_id", "cluster", F.col("pick_rank").cast("int").alias("pick_rank"))
     )
+
+
+@register(
+    "cluster_purity_eval",
+    oracle=_ASSIGN_CTE
+    + """
+    , joined AS (
+        SELECT a.cluster, e.label
+        FROM assigned a JOIN embeddings e USING (vec_id)
+    ), counts AS (
+        SELECT cluster, label, count(*) AS n
+        FROM joined GROUP BY cluster, label
+    ), ranked AS (
+        SELECT cluster, label, n,
+               row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS r
+        FROM counts
+    ), best AS (
+        SELECT cluster,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(max(n) AS BIGINT) AS n_majority,
+               max(CASE WHEN r = 1 THEN label END) AS majority_label
+        FROM ranked GROUP BY cluster
+    )
+    SELECT cluster, n_total, CAST(majority_label AS INTEGER) AS majority_label,
+           round(CAST(n_majority AS DOUBLE) / n_total, 6) AS purity
+    FROM best
+    """,
+)
+def cluster_purity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation against ground-truth labels: per
+    cluster, the majority label (ties to the smaller label id) and
+    purity = majority count / cluster size — the standard external
+    clustering metric, and the monitor a curation pipeline watches when
+    a re-trained quantizer drifts. Integer counts + one final division;
+    the cluster x label contingency is map-side combined to at most
+    k x |labels| rows before any shuffle."""
+    from tcdb_spark.operators.clustering import kmeans_assign
+    from pyspark.sql.window import Window as W
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cents = [
+        r["emb"]
+        for r in e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .where(F.col("vec_id") < K_CLUSTERS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    assigned = kmeans_assign(e, cents).select("vec_id", "cluster")
+    counts = (
+        assigned.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("cluster").orderBy(F.col("n").desc(), F.col("label").asc())
+    ranked = counts.withColumn("__r", F.row_number().over(w))
+    best = (
+        ranked.groupBy("cluster")
+        .agg(
+            F.sum("n").alias("n_total"),
+            F.max("n").alias("n_majority"),
+            F.min(F.when(F.col("__r") == 1, F.col("label"))).alias("majority_label"),
+        )
+    )
+    return best.select(
+        "cluster",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("majority_label").cast("int").alias("majority_label"),
+        F.round(F.col("n_majority").cast("double") / F.col("n_total"), 6).alias(
+            "purity"
+        ),
+    )

@@ -505,3 +505,170 @@ def test_jpeg_roundtrip_property(h, w, gray, mode, seed):
     err = np.abs(out["pixels"].astype(int) - px.astype(int)).max()
     # gray is DCT-exact to ±1; RGB adds YCbCr forward/inverse rounding
     assert err <= (1 if gray else 3)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 session-2: PQ / k-means semantics on generated corpora.
+# Components are SMALL INTEGERS: every dot product is an exact integer
+# in double (sums < 2^53 are order-independent), sqrt is IEEE
+# correctly-rounded on identical bits, and both sides compute
+# dot/(sqrt(da)*sqrt(db)) in the same shape — so ranks compare exactly,
+# no tolerance needed.
+# ---------------------------------------------------------------------------
+
+_vec_strategy = st.lists(
+    st.lists(st.integers(min_value=-4, max_value=4), min_size=8, max_size=8).filter(
+        lambda v: any(x != 0 for x in v)
+    ),
+    min_size=6,
+    max_size=20,
+)
+
+
+def _brute_topk(vecs, k):
+    import math
+
+    out = {}
+    for qi in range(min(3, len(vecs))):
+        q = vecs[qi]
+        scored = []
+        for ci, c in enumerate(vecs):
+            if ci == qi:
+                continue
+            dot = sum(a * b for a, b in zip(q, c))
+            cos = dot / (
+                math.sqrt(sum(a * a for a in q)) * math.sqrt(sum(b * b for b in c))
+            )
+            scored.append((-cos, ci))
+        scored.sort()
+        out[qi] = [ci for _, ci in scored[:k]]
+    return out
+
+
+@given(vecs=_vec_strategy)
+@_slow
+def test_pq_exact_mode_matches_bruteforce_property(spark, vecs):
+    """shortlist >= corpus must equal brute-force top-k on ANY corpus,
+    whatever degenerate geometry hypothesis plants (duplicate vectors,
+    scaled copies = cosine-1 ties -> vec_id tiebreak, near-orthogonal
+    sets) — for both the fold path and the blocked production path."""
+    from pyspark.sql import functions as F2
+
+    from tcdb_spark.operators.similarity import pq_build, pq_search, pq_search_blocked
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    encoded, codebooks = pq_build(df, m=4, ksub=4, seed=7)
+    q = df.where(F2.col("vec_id") < 3).select(
+        F2.col("vec_id").alias("q_id"),
+        F2.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    expect = _brute_topk(vecs, k=3)
+    for search in (pq_search, pq_search_blocked):
+        got = {}
+        res = search(encoded, codebooks, q, k=3, shortlist=1 << 30).collect()
+        for r in sorted(res, key=lambda r: (r["q_id"], r["rank_in_group"])):
+            got.setdefault(r["q_id"], []).append(r["vec_id"])
+        assert got == expect, f"{search.__name__}: {got} != {expect}"
+
+
+@given(
+    vecs=_vec_strategy,
+    k=st.integers(min_value=1, max_value=4),
+)
+@_slow
+def test_kmeans_assign_matches_bruteforce_property(spark, vecs, k):
+    """Nearest-centroid assignment (ties to smaller centroid id) must
+    match a pure-Python argmin on any generated corpus, through BOTH
+    the fold path and the matmul path."""
+    import numpy as np
+
+    from tcdb_spark.operators.clustering import _assign_l2, kmeans_assign
+
+    k = min(k, len(vecs))
+    cents = [[float(x) for x in v] for v in vecs[:k]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    expect = {}
+    for i, v in enumerate(vecs):
+        d2s = [
+            (sum((a - b) * (a - b) for a, b in zip(v, c)), j)
+            for j, c in enumerate(cents)
+        ]
+        expect[i] = min(d2s)[1]
+    got = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, cents).collect()}
+    assert got == expect
+    base = df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    got2 = {
+        r["vec_id"]: r["cluster"] for r in _assign_l2(base, np.asarray(cents)).collect()
+    }
+    assert got2 == expect
+
+
+_word_strategy = st.lists(
+    st.text(
+        alphabet="abct#3", min_size=1, max_size=6
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(words=_word_strategy)
+@_slow
+def test_gopher_rules_match_reference_property(spark, words):
+    """Every rule flag must equal a pure-Python reference on arbitrary
+    word soups (exact integer ratios — no tolerance)."""
+    import tempfile
+
+    from tcdb_spark.plans import QUERIES
+    from tcdb_spark.plans.queries_text import (
+        _G_MAX_DUP_FRAC,
+        _G_MAX_MEAN_LEN,
+        _G_MAX_SYMBOL_FRAC,
+        _G_MAX_WORDS,
+        _G_MIN_ALPHA_FRAC,
+        _G_MIN_MEAN_LEN,
+        _G_MIN_STOPWORDS,
+        _G_MIN_WORDS,
+        STOPWORDS,
+    )
+
+    text = " ".join(words)
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/documents.parquet")
+        rows = QUERIES["quality_gopher_rules"](spark, td).collect()
+    w = text.strip().split()
+    if not w or not text.strip():
+        assert rows == []
+        return
+    n = len(w)
+    mean_len = sum(len(t) for t in w) / n
+    symbol_frac = sum(1 for t in w if any(not c.isalnum() for c in t)) / n
+    alpha_frac = sum(1 for t in w if any(c.isalpha() for c in t)) / n
+    # lane counts distinct RAW tokens whose lowercase is a stopword
+    n_stop = len({t for t in w if t.lower() in STOPWORDS})
+    dup_frac = 1.0 - len(set(w)) / n
+    expect = {
+        "n_words": n,
+        "rule_word_count": _G_MIN_WORDS <= n <= _G_MAX_WORDS,
+        "rule_mean_word_len": _G_MIN_MEAN_LEN <= mean_len <= _G_MAX_MEAN_LEN,
+        "rule_symbol_ratio": symbol_frac <= _G_MAX_SYMBOL_FRAC,
+        "rule_alpha_words": alpha_frac >= _G_MIN_ALPHA_FRAC,
+        "rule_stopwords": n_stop >= _G_MIN_STOPWORDS,
+        "rule_repetition": dup_frac <= _G_MAX_DUP_FRAC,
+    }
+    expect["passes"] = all(v for k, v in expect.items() if k.startswith("rule_"))
+    got = rows[0].asDict()
+    del got["doc_id"]
+    assert got == expect
