@@ -87,11 +87,14 @@ def headline_impls() -> dict:
     )
 
     from tcdb_spark.plans.queries_sim import sim_ann_pq_pruned
+    from tcdb_spark.plans.queries_text import text_char_entropy_arrow
 
     impls = dict(QUERIES)
     impls["sim_ann_lsh"] = sim_ann_lsh_pruned
     impls["knn_join"] = hard_negative_mining_pruned
     impls["sim_ann_pq"] = sim_ann_pq_pruned
+    # Arrow twin pinned output-EQUAL to the HOF/oracle lane
+    impls["text_char_entropy"] = text_char_entropy_arrow
     return impls
 
 

@@ -641,3 +641,75 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy"),
         F.round(F.array_max("counts").cast("double") / n, 6).alias("top_char_frac"),
     )
+
+
+def text_char_entropy_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow production twin of ``text_char_entropy`` (bench override,
+    same split as the ANN pruned configs): the O(distinct x len)
+    per-char counting runs as one numpy ``np.unique`` per doc inside a
+    mapInPandas batch instead of len x distinct interpreted lambda
+    evaluations (DEVNOTES #53). The entropy fold itself stays a
+    SEQUENTIAL Python sum over the sorted distinct counts — the exact
+    accumulation order of the HOF/oracle path — so outputs are pinned
+    EQUAL (not approximately equal) in tests/test_clustering.py.
+    Whitespace strips with Java's ASCII \\s class to mirror the JVM
+    regex; non-ASCII case folding may differ by locale — the HOF lane
+    is the semantics of record, this one its measured-equal twin."""
+    import math
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    def _round_half_up(x: float, nd: int) -> float:
+        # Spark's round() = BigDecimal.valueOf(double) + HALF_UP; Python's
+        # builtin round is banker's and differs on exact .5 boundaries
+        # (13/128 at 6 places — found by the equality pin). Decimal(repr())
+        # mirrors BigDecimal.valueOf's shortest-representation semantics.
+        return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
+
+    _ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def score(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or not text.strip():
+                    continue
+                cs = np.array(list(_ws.sub("", text.lower())))
+                n = len(cs)
+                if n == 0:
+                    continue
+                _, counts = np.unique(cs, return_counts=True)  # sorted distinct
+                ent = 0.0
+                for c in counts:  # sequential fold == HOF aggregate order
+                    p = c / n
+                    ent += p * math.log2(p)
+                out.append(
+                    (
+                        doc_id,
+                        n,
+                        len(counts),
+                        _round_half_up(-ent, 4),
+                        _round_half_up(int(counts.max()) / n, 6),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "doc_id",
+                        "n_chars_nospace",
+                        "n_distinct_chars",
+                        "entropy",
+                        "top_char_frac",
+                    ],
+                )
+
+    return d.select("doc_id", "text").mapInPandas(
+        score,
+        schema="doc_id bigint, n_chars_nospace int, n_distinct_chars int, "
+        "entropy double, top_char_frac double",
+    )

@@ -239,3 +239,16 @@ def test_pq_blocked_equals_fold_path(spark):
         assert set(fold) == set(blk)
         assert all(fold[k][0] == blk[k][0] for k in fold)
         assert all(abs(fold[k][1] - blk[k][1]) <= 2e-6 for k in fold)
+
+
+def test_char_entropy_arrow_twin_equals_hof_lane(spark):
+    """The bench's Arrow twin must reproduce the oracle lane's output
+    EXACTLY (same sorted-distinct sequential fold, same rounding) on
+    the real corpus at two SFs."""
+    from tcdb_spark.plans import QUERIES
+    from tcdb_spark.plans.queries_text import text_char_entropy_arrow
+
+    for sf in (SF, SF01):
+        hof = {tuple(r) for r in QUERIES["text_char_entropy"](spark, sf).collect()}
+        arw = {tuple(r) for r in text_char_entropy_arrow(spark, sf).collect()}
+        assert hof == arw
