@@ -69,6 +69,7 @@ HEADLINE = [
     "cluster_kmeans_assign",
     "quality_gopher_rules",
     "text_char_entropy",
+    "sim_ann_ivfpq",
 ]
 
 
@@ -86,13 +87,14 @@ def headline_impls() -> dict:
         sim_ann_lsh_pruned,
     )
 
-    from tcdb_spark.plans.queries_sim import sim_ann_pq_pruned
+    from tcdb_spark.plans.queries_sim import sim_ann_ivfpq_pruned, sim_ann_pq_pruned
     from tcdb_spark.plans.queries_text import text_char_entropy_arrow
 
     impls = dict(QUERIES)
     impls["sim_ann_lsh"] = sim_ann_lsh_pruned
     impls["knn_join"] = hard_negative_mining_pruned
     impls["sim_ann_pq"] = sim_ann_pq_pruned
+    impls["sim_ann_ivfpq"] = sim_ann_ivfpq_pruned
     # Arrow twin pinned output-EQUAL to the HOF/oracle lane
     impls["text_char_entropy"] = text_char_entropy_arrow
     return impls

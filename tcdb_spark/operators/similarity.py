@@ -885,10 +885,11 @@ def pq_build(
 
 
 def pq_encode(base: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
-    """Encode (vec_id, emb) rows against FROZEN codebooks — the
+    """Encode (vec_id, emb, ...) rows against FROZEN codebooks — the
     incremental-maintenance twin of ``ivf_assign``: new batches encode
     without retraining. One Arrow matmul per subspace per batch; ties
-    break to the smaller code id (np.argmin first-minimum)."""
+    break to the smaller code id (np.argmin first-minimum). Extra input
+    columns (e.g. an IVF ``bucket``) pass through untouched."""
     from pyspark.sql.functions import pandas_udf
 
     Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
@@ -906,9 +907,9 @@ def pq_encode(base: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
             codes[:, s] = (c2s[s][None, :] - 2.0 * (sub @ Cs[s].T)).argmin(1)
         return pd.DataFrame({"nrm": nrm, "codes": list(codes)})
 
+    passthrough = [c for c in base.columns if c not in ("nrm", "codes")]
     return base.withColumn("__e", enc(F.col("emb"))).select(
-        "vec_id",
-        "emb",
+        *passthrough,
         F.col("__e.nrm").alias("nrm"),
         F.col("__e.codes").alias("codes"),
     )
@@ -1068,6 +1069,235 @@ def pq_search_blocked(
 
     scored = encoded.select("vec_id", "emb", "nrm", "codes").mapInPandas(
         score, schema=out_schema
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank_in_group", F.row_number().over(w).cast("int"))
+        .where(F.col("rank_in_group") <= k)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank_in_group")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition — coarse cells prune WHICH rows are scanned, PQ
+# codes make the scan itself cheap: the standard billion-scale ANN
+# index layout (FAISS IndexIVFPQ), here as the composition of the two
+# operators above.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_build(
+    emb: DataFrame,
+    k_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    train_cap: int = 100_000,
+):
+    """Build both index levels from ONE bounded training sample: the
+    spherical IVF coarse quantizer buckets every vector (partition /
+    file-skip key at 100 TB), and per-subspace PQ codebooks encode it
+    (8 codes a row in the scan). Returns (encoded index frame:
+    vec_id, emb, bucket, nrm, codes; centroids; codebooks)."""
+    indexed, centroids = ivf_build(
+        emb, k_centroids=k_centroids, seed=seed, train_cap=train_cap
+    )
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    pdf = _bounded_train_sample(base, train_cap)
+    X = np.stack(pdf["emb"].to_numpy())
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"ivfpq_build: dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    codebooks = []
+    for s in range(m):
+        sub = np.ascontiguousarray(X[:, s * dsub : (s + 1) * dsub])
+        codebooks.append([c.tolist() for c in _lloyd_kmeans(sub, ksub, seed + 7919 * s)])
+    encoded = pq_encode(indexed.drop("nrm"), codebooks)
+    return encoded, centroids, codebooks
+
+
+def _ivfpq_probe_frame(
+    encoded: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    nprobe: int,
+    query_cap: int,
+    with_adc: bool = True,
+):
+    """Shared driver-side query prep: collect the bounded query set,
+    pick each query's nprobe nearest coarse cells (spherical metric,
+    ties to the smaller bucket id), and build its ADC tables. Returns
+    a (q_id, q_emb[, adc], bucket) frame — one row per (query, probe).
+
+    ``with_adc=False`` omits the nested array<array<double>> column:
+    the fold path needs it as a column expression, but the blocked
+    path recomputes the tables from q_emb inside the scorer (m x ksub
+    dots per batch are trivial) — and this pyarrow build SEGFAULTS
+    deserializing nested lists through the cogroup serializer, so the
+    nested column must never ride an applyInPandas input."""
+    q_local = queries.select("q_id", "q_emb").limit(query_cap + 1).collect()
+    if len(q_local) > query_cap:
+        raise ValueError(
+            f"ivfpq search collects the query side driver-side and got more "
+            f"than query_cap={query_cap} rows; use knn_join for bulk search"
+        )
+    q_local.sort(key=lambda r: r["q_id"])
+    C = np.asarray(centroids, dtype="float64")
+    Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    dsub = Cs[0].shape[1]
+    npr = min(nprobe, len(centroids))
+    rows = []
+    for r in q_local:
+        q = np.asarray(r["q_emb"], dtype="float64")
+        qn = q / (np.linalg.norm(q) or 1.0)
+        d2 = ((C - qn) ** 2).sum(1)
+        buckets = np.argsort(d2, kind="stable")[:npr]
+        if with_adc:
+            adc = [
+                (Cs[s] @ q[s * dsub : (s + 1) * dsub]).tolist() for s in range(len(Cs))
+            ]
+            rows.extend(
+                (r["q_id"], [float(v) for v in q], adc, int(b)) for b in buckets
+            )
+        else:
+            rows.extend((r["q_id"], [float(v) for v in q], int(b)) for b in buckets)
+    spark = encoded.sparkSession
+    if with_adc:
+        return spark.createDataFrame(
+            rows,
+            "q_id bigint, q_emb array<double>, adc array<array<double>>, bucket int",
+        )
+    return spark.createDataFrame(
+        rows, "q_id bigint, q_emb array<double>, bucket int"
+    )
+
+
+def ivfpq_search(
+    encoded: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    shortlist: int = 64,
+    query_cap: int = 10_000,
+) -> DataFrame:
+    """Fold-order IVF-PQ search (the exact-attestation path): probe the
+    nprobe nearest cells per query, ADC-score their members by code
+    lookups (zip_with/aggregate), shortlist by approximate cosine,
+    exact-rerank the survivors with the pinned-float-order fold. With
+    nprobe = k_centroids AND shortlist >= corpus this provably equals
+    brute force — the degeneracy the catalog oracle hashes. Production
+    configs use :func:`ivfpq_search_blocked`."""
+    probe = _ivfpq_probe_frame(
+        encoded, centroids, codebooks, queries, nprobe, query_cap
+    ).withColumn("q_nrm", _norm(F.col("q_emb")))
+    cand = encoded.join(probe, on="bucket").where(F.col("vec_id") != F.col("q_id"))
+    approx_dot = F.aggregate(
+        F.zip_with("adc", "codes", lambda t, c: F.element_at(t, c + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.withColumn("approx", approx_dot / (F.col("q_nrm") * F.col("nrm")))
+    w1 = W.partitionBy("q_id").orderBy(F.col("approx").desc(), F.col("vec_id").asc())
+    short = scored.withColumn("__r", F.row_number().over(w1)).where(
+        F.col("__r") <= shortlist
+    )
+    rer = short.select(
+        "q_id",
+        "vec_id",
+        (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+            "cos"
+        ),
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        rer.withColumn("rank_in_group", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank_in_group") <= k)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank_in_group")
+    )
+
+
+def ivfpq_search_blocked(
+    encoded: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    shortlist: int = 64,
+    query_cap: int = 10_000,
+) -> DataFrame:
+    """Production IVF-PQ search: probe rows cogroup with index cells by
+    bucket; inside each cell one numpy gather ADC-scores the whole cell
+    against the cell's probing queries, the local top-``shortlist``
+    per query is exact-reranked in-batch, and a final window takes the
+    global top-k. Only probed cells are ever read — with the index
+    partitioned by bucket that is nprobe/k_centroids of the data — and
+    the per-cell shortlists are a superset of the global one, so recall
+    >= the fold path's at equal dials."""
+    m = len(codebooks)
+    Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    dsub = Cs[0].shape[1]
+    ksub = Cs[0].shape[0]
+    probe = _ivfpq_probe_frame(
+        encoded, centroids, codebooks, queries, nprobe, query_cap, with_adc=False
+    )
+    cand = encoded.select("vec_id", "emb", "nrm", "codes", "bucket")
+    ct = dict(encoded.dtypes)["vec_id"]
+    out_schema = f"q_id bigint, vec_id {ct}, cos double"
+    empty = pd.DataFrame({"q_id": [], "vec_id": [], "cos": []})
+
+    def score(qdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        if qdf.empty or cdf.empty:
+            return empty
+        Q = np.stack(qdf["q_emb"].to_numpy())
+        qn = np.linalg.norm(Q, axis=1)
+        qn = np.where(qn == 0, 1.0, qn)
+        qid = qdf["q_id"].to_numpy()
+        # rebuild the n_q x m x ksub ADC tables from q_emb (closure
+        # codebooks): m x ksub dots per query — trivial, and it keeps
+        # the nested-list column out of the cogroup serializer (which
+        # segfaults this pyarrow build)
+        ADC = np.empty((len(Q), m, ksub))
+        for s in range(m):
+            ADC[:, s, :] = Q[:, s * dsub : (s + 1) * dsub] @ Cs[s].T
+        codes = np.stack(cdf["codes"].to_numpy())  # B x m
+        X = np.stack(cdf["emb"].to_numpy())
+        nrm = cdf["nrm"].to_numpy()
+        nrm_safe = np.where(nrm == 0, 1.0, nrm)
+        cid = cdf["vec_id"].to_numpy()
+        flat = ADC.reshape(len(Q), -1)
+        idx = np.arange(m)[None, :] * ADC.shape[2] + codes
+        approx = flat[:, idx].sum(2) / np.outer(qn, nrm_safe)
+        approx[qid[:, None] == cid[None, :]] = -np.inf
+        kk = min(shortlist, approx.shape[1])
+        part = np.argpartition(-approx, kk - 1, axis=1)[:, :kk]
+        rows_q, rows_b, rows_c = [], [], []
+        for qi in range(len(Q)):
+            sel = part[qi][~np.isneginf(approx[qi, part[qi]])]
+            if not len(sel):
+                continue
+            exact = (X[sel] @ Q[qi]) / (qn[qi] * nrm_safe[sel])
+            rows_q.append(np.full(len(sel), qid[qi]))
+            rows_b.append(cid[sel])
+            rows_c.append(exact)
+        if not rows_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "q_id": np.concatenate(rows_q),
+                "vec_id": np.concatenate(rows_b),
+                "cos": np.concatenate(rows_c),
+            }
+        )
+
+    scored = (
+        probe.groupBy("bucket")
+        .cogroup(cand.groupBy("bucket"))
+        .applyInPandas(lambda lp, rp: score(lp, rp), schema=out_schema)
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (

@@ -616,3 +616,45 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the shared DuckDB oracle. Only the shortlist pruning is
     skipped, and that is recall@5-gated over ``sim_ann_pq_pruned``."""
     return _pq_lane(spark, sf_dir, shortlist=(1 << 31) - 1)
+
+
+def _ivfpq_lane(
+    spark: SparkSession, sf_dir: str, nprobe: int, shortlist: int, blocked: bool
+) -> DataFrame:
+    from tcdb_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_search,
+        ivfpq_search_blocked,
+    )
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    encoded, centroids, codebooks = ivfpq_build(e, k_centroids=16, m=8, ksub=16, seed=42)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    search = ivfpq_search_blocked if blocked else ivfpq_search
+    return search(
+        encoded, centroids, codebooks, q, k=K, nprobe=nprobe, shortlist=shortlist
+    )
+
+
+def sim_ann_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF-PQ configuration (the billion-scale index
+    shape): probe 8 of 16 coarse cells, ADC-gather the cells' 8-code
+    rows, exact-rerank a 48-deep shortlist — both pruning dials live
+    (cell pruning x code compression). recall@5 gated in
+    tests/test_clustering.py."""
+    return _ivfpq_lane(spark, sf_dir, nprobe=8, shortlist=48, blocked=True)
+
+
+@register("sim_ann_ivfpq", oracle=_BRUTE_ORACLE)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable exact mode of the composed IVF-PQ lane:
+    nprobe = k_centroids probes every cell AND shortlist >= corpus
+    reranks every member exactly, so the result provably equals brute
+    force while the full two-level machinery executes (cell probe ->
+    bucket join -> ADC code scoring -> shortlist window -> exact
+    rerank). Both prunings are recall@5-gated over
+    ``sim_ann_ivfpq_pruned``."""
+    return _ivfpq_lane(spark, sf_dir, nprobe=16, shortlist=(1 << 31) - 1, blocked=False)

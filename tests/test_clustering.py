@@ -252,3 +252,43 @@ def test_char_entropy_arrow_twin_equals_hof_lane(spark):
         hof = {tuple(r) for r in QUERIES["text_char_entropy"](spark, sf).collect()}
         arw = {tuple(r) for r in text_char_entropy_arrow(spark, sf).collect()}
         assert hof == arw
+
+
+def test_ivfpq_exact_mode_equals_brute_force(spark):
+    from tcdb_spark.plans import QUERIES
+
+    brute = {
+        tuple(r) for r in QUERIES["sim_topk_cosine"](spark, SF).collect()
+    }
+    got = {tuple(r) for r in QUERIES["sim_ann_ivfpq"](spark, SF).collect()}
+    assert got == brute
+
+
+def test_ivfpq_blocked_equals_fold_at_full_dials(spark):
+    """At nprobe=k and full shortlist both paths must return identical
+    rank sets (cosines to BLAS-vs-fold tolerance)."""
+    from tcdb_spark.plans.queries_sim import _ivfpq_lane
+
+    fold = {
+        (r["q_id"], r["vec_id"]): r["rank_in_group"]
+        for r in _ivfpq_lane(spark, SF, 16, 1 << 30, blocked=False).collect()
+    }
+    blk = {
+        (r["q_id"], r["vec_id"]): r["rank_in_group"]
+        for r in _ivfpq_lane(spark, SF, 16, 1 << 30, blocked=True).collect()
+    }
+    assert fold == blk
+
+
+def test_ivfpq_pruned_recall(spark):
+    from tcdb_spark.plans.queries_sim import sim_ann_ivfpq_pruned
+
+    recall = _recall_at_5(spark, SF, sim_ann_ivfpq_pruned)
+    assert recall >= 0.7, f"IVF-PQ recall@5 regressed: {recall}"
+
+
+def test_ivfpq_pruned_recall_sf01(spark):
+    from tcdb_spark.plans.queries_sim import sim_ann_ivfpq_pruned
+
+    recall = _recall_at_5(spark, SF01, sim_ann_ivfpq_pruned)
+    assert recall >= 0.8, f"IVF-PQ recall@5 regressed: {recall}"

@@ -120,6 +120,39 @@ def pq_smoke(spark, n: int) -> None:
     emb.unpersist()
 
 
+def ivfpq_smoke(spark, n: int) -> None:
+    from pyspark.sql import functions as F
+
+    from tcdb_spark.operators.similarity import ivfpq_build, ivfpq_search_blocked
+
+    emb = synth(spark, n).persist()
+    emb.count()
+    t0 = time.monotonic()
+    encoded, centroids, codebooks = ivfpq_build(emb, k_centroids=16, m=8, ksub=16)
+    encoded = encoded.persist()
+    n_enc = encoded.count()
+    t_build = time.monotonic() - t0
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    t0 = time.monotonic()
+    rows = ivfpq_search_blocked(
+        encoded, centroids, codebooks, q, k=5, nprobe=4, shortlist=64
+    ).collect()
+    t_search = time.monotonic() - t0
+    top1 = {r["q_id"]: r for r in rows if r["rank_in_group"] == 1}
+    assert len(top1) == 5
+    assert all(r["cosine"] > 0.9 for r in top1.values()), top1
+    print(
+        f"ivfpq n={n_enc}: build {t_build:.1f}s, search nprobe=4/16 {t_search:.1f}s "
+        f"(cells prune 3/4 of the scan), top-1 cosine min "
+        f"{min(r['cosine'] for r in top1.values()):.4f}"
+    )
+    encoded.unpersist()
+    emb.unpersist()
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     from tcdb_spark.session import get_spark
@@ -127,6 +160,7 @@ def main() -> None:
     spark = get_spark("scale-smoke-clustering")
     kmeans_smoke(spark, n)
     pq_smoke(spark, n)
+    ivfpq_smoke(spark, n)
 
 
 if __name__ == "__main__":
