@@ -887,3 +887,37 @@ class Engine:
         from tcdb_spark.operators.similarity import pq_search
 
         return pq_search(encoded, codebooks, queries, k=k, shortlist=shortlist)
+
+    def build_ivfpq_index(
+        self,
+        emb: DataFrame,
+        table: str = "emb_ivfpq",
+        k_centroids: int = 16,
+        m: int = 8,
+        ksub: int = 16,
+    ) -> int:
+        """Train + persist the composed IVF-PQ index (bucket-partitioned
+        encoded table + centroid/codebook side tables). Returns the
+        committed version — rebuilds are atomic pointer swaps."""
+        from tcdb_spark.operators.similarity import ivfpq_persist
+
+        return ivfpq_persist(
+            self.warehouse, table, emb, k_centroids=k_centroids, m=m, ksub=ksub
+        )
+
+    def ivfpq_search(
+        self,
+        queries: DataFrame,
+        table: str = "emb_ivfpq",
+        k: int = 5,
+        nprobe: int = 8,
+        shortlist: int = 64,
+    ) -> DataFrame:
+        """Top-k cosine against the persisted IVF-PQ index: unprobed
+        cells prune at the directory level, probed cells scan as 8-code
+        rows through the zero-shuffle ADC gather."""
+        from tcdb_spark.operators.similarity import ivfpq_search_persisted
+
+        return ivfpq_search_persisted(
+            self.warehouse, table, queries, k=k, nprobe=nprobe, shortlist=shortlist
+        )

@@ -1329,3 +1329,83 @@ def ivfpq_search_blocked(
         .where(F.col("rank_in_group") <= k)
         .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"), "rank_in_group")
     )
+
+
+def ivfpq_persist(
+    warehouse,
+    table: str,
+    emb: DataFrame,
+    k_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+) -> int:
+    """Persist the composed IVF-PQ index: the encoded frame PARTITIONED
+    BY bucket (one directory per coarse cell — a probe lists only
+    nprobe/k_centroids of the index) plus two tiny side tables,
+    ``<table>__centroids`` and ``<table>__codebooks`` (flattened
+    (subspace, code, centroid) rows — nested list-of-list columns stay
+    out of storage schemas for the same serializer reasons as the
+    cogroup hazard). Versioned like any warehouse table: rebuilds are
+    atomic pointer swaps, searches reproduce against a pinned version,
+    and new batches append via pq_encode against the frozen side
+    tables."""
+    encoded, centroids, codebooks = ivfpq_build(
+        emb, k_centroids=k_centroids, m=m, ksub=ksub, seed=seed
+    )
+    v = warehouse.write(table, encoded, partition_by=["bucket"])
+    spark = encoded.sparkSession
+    warehouse.write(
+        f"{table}__centroids",
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "bucket int, centroid array<double>",
+        ),
+    )
+    warehouse.write(
+        f"{table}__codebooks",
+        spark.createDataFrame(
+            [
+                (s, j, list(code))
+                for s, cb in enumerate(codebooks)
+                for j, code in enumerate(cb)
+            ],
+            "subspace int, code int, centroid array<double>",
+        ),
+    )
+    return v
+
+
+def ivfpq_search_persisted(
+    warehouse,
+    table: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    shortlist: int = 64,
+    query_cap: int = 10_000,
+) -> DataFrame:
+    """Search the persisted IVF-PQ index: both side tables load
+    driver-side (k_centroids + m*ksub tiny rows), the probed-cell union
+    becomes a static ``bucket IN (...)`` predicate — directory-level
+    partition pruning before any row is read — and the pruned scan
+    flows through the zero-shuffle blocked scorer."""
+    cent_rows = warehouse.read(f"{table}__centroids").collect()
+    centroids = [
+        c["centroid"] for c in sorted(cent_rows, key=lambda r: r["bucket"])
+    ]
+    cb_rows = warehouse.read(f"{table}__codebooks").collect()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in cb_rows:
+        by_sub.setdefault(r["subspace"], {})[r["code"]] = r["centroid"]
+    codebooks = [
+        [by_sub[s][j] for j in sorted(by_sub[s])] for s in sorted(by_sub)
+    ]
+    encoded = warehouse.read(table)
+    # ivfpq_search_blocked re-derives the probed set and applies its own
+    # bucket IN filter over this frame — partition pruning composes with
+    # the warehouse's file-stats skipping.
+    return ivfpq_search_blocked(
+        encoded, centroids, codebooks, queries,
+        k=k, nprobe=nprobe, shortlist=shortlist, query_cap=query_cap,
+    )

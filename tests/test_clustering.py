@@ -292,3 +292,39 @@ def test_ivfpq_pruned_recall_sf01(spark):
 
     recall = _recall_at_5(spark, SF01, sim_ann_ivfpq_pruned)
     assert recall >= 0.8, f"IVF-PQ recall@5 regressed: {recall}"
+
+
+def test_ivfpq_persisted_index_prunes_partitions_and_matches(spark, tmp_path):
+    """Warehouse-persisted IVF-PQ (partitioned by bucket, flattened
+    codebook side tables): search equals the in-memory blocked search,
+    and the index scan carries a bucket partition filter — unprobed
+    cells prune at the directory level before any row is read."""
+    from tcdb_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_persist,
+        ivfpq_search_blocked,
+        ivfpq_search_persisted,
+    )
+    from tcdb_spark.sources.warehouse import Warehouse
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    wh = Warehouse(spark, str(tmp_path / "whpq"))
+    ivfpq_persist(wh, "emb_ivfpq", e, k_centroids=8, m=8, ksub=16, seed=42)
+
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    got = ivfpq_search_persisted(wh, "emb_ivfpq", q, k=5, nprobe=3, shortlist=48)
+    rows = {(r.q_id, r.vec_id, r.rank_in_group) for r in got.collect()}
+
+    encoded, cents, cbs = ivfpq_build(e, k_centroids=8, m=8, ksub=16, seed=42)
+    ref = ivfpq_search_blocked(encoded, cents, cbs, q, k=5, nprobe=3, shortlist=48)
+    assert rows == {(r.q_id, r.vec_id, r.rank_in_group) for r in ref.collect()}
+
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "PartitionFilters" in plan
+        and "bucket" in plan.split("PartitionFilters")[1][:200]
+    ), plan[:1500]
