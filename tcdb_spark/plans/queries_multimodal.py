@@ -171,3 +171,125 @@ def scan_tcvitals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org", "storm_name", "datetime_utc", "lat", "lon", "mslp_mb",
         "r50_ne_km", "max_forecast_hour",
     )
+
+
+# --- spectral audio lanes (sources/spectral.py) ---------------------------
+# Golden discipline identical to multimodal_features / image_phash_dedup:
+# deterministic fixtures, expected rows computed at import by the SAME
+# numpy pipeline the executors run (plumbing + determinism attestation),
+# with the independent analytic verification (bin-exact dominant
+# frequency, Parseval band sums, WAV==FLAC parity, scale invariance)
+# living in tests/test_spectral.py.
+
+from tcdb_spark.sources.spectral import (  # noqa: E402
+    SPECTRAL_DIM,
+    audio_spectral,
+    audio_spectral_hash,
+    decode_any_audio,
+    make_seeded_audio,
+    make_tone_wav,
+    spectral_features,
+    spectral_hash,
+)
+
+# WAV tone mixtures + one FLAC twin (same int16 samples as "two-tone"
+# re-encoded losslessly — the cross-container duplicate class) + one
+# time-varying clip.
+_AUDIO_PAYLOADS = [
+    (1, make_tone_wav([(1000.0, 0.5)])),                     # pure bin-aligned tone
+    (2, make_tone_wav([(500.0, 0.3), (2500.0, 0.35)])),      # two-tone
+    (3, make_seeded_audio(seed="spectral-lane")),            # 8 varying segments
+    (4, make_seeded_audio(seed="spectral-lane", as_flac="fixed2")),  # FLAC twin of 3
+    (5, make_tone_wav([(3000.0, 0.01)])),                    # near-silence tone
+]
+
+_AS_EXPECTED = [
+    (mid, float(decode_any_audio(p)["sample_rate"]),
+     idx, int(_math.floor(v * _Q)))
+    for mid, p in _AUDIO_PAYLOADS
+    for idx, v in enumerate(spectral_features(decode_any_audio(p)))
+]
+
+_AS_TYPES = [
+    ("media_id", "BIGINT"), ("sample_rate", "DOUBLE"),
+    ("feature_idx", "INTEGER"), ("feature_q", "BIGINT"),
+]
+
+
+@register("audio_spectral_features", oracle=_values_oracle(_AS_EXPECTED, _AS_TYPES))
+def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain clip descriptors (centroid / dominant / rolloff /
+    flatness / 8-band energy profile) over real WAV + FLAC payloads via
+    Arrow-batched mapInPandas — the audio quality/stratification signal
+    a multimodal corpus filters on before training (§2.12 extension; the
+    FLAC row must featurize IDENTICALLY to its WAV source material,
+    which rides the native-codec routing seam).  Features are
+    floor-quantized to 2^-40 for the array-free value-hash compare."""
+    media = spark.createDataFrame(
+        [(mid, bytearray(p)) for mid, p in _AUDIO_PAYLOADS],
+        "media_id long, payload binary",
+    )
+    feats = audio_spectral(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        F.posexplode("features").alias("feature_idx", "feature_value"),
+    ).select(
+        "media_id",
+        "sample_rate",
+        "feature_idx",
+        F.floor(F.col("feature_value") * F.lit(_Q)).cast("bigint").alias("feature_q"),
+    )
+
+
+# Near-dup family: base clip, quiet re-encode, FLAC container twin, two
+# locally-edited copies, three unrelated clips.  Measured separation on
+# these fixtures: copies 0-1 bits, edits 5-9, unrelated 24-36.
+_AUDIO_DUP_CLIPS = [
+    (1, make_seeded_audio(seed="adup1")),
+    (2, make_seeded_audio(seed="adup1", gain=0.4)),
+    (3, make_seeded_audio(seed="adup1", as_flac="lpc1")),
+    (4, make_seeded_audio(seed="adup1", perturb_segments=(5,))),
+    (5, make_seeded_audio(seed="adup1", perturb_segments=(2, 6))),
+    (6, make_seeded_audio(seed="adup2")),
+    (7, make_seeded_audio(seed="adup3")),
+    (8, make_seeded_audio(seed="adup4")),
+]
+
+_AUDIO_DUP_MAX_HAMMING = 7
+
+_ADUP_HASHES = {
+    mid: spectral_hash(decode_any_audio(p)) for mid, p in _AUDIO_DUP_CLIPS
+}
+_ADUP_EXPECTED = sorted(
+    (a, b, bin(_ADUP_HASHES[a] ^ _ADUP_HASHES[b]).count("1"))
+    for i, (a, _) in enumerate(_AUDIO_DUP_CLIPS)
+    for b, _ in _AUDIO_DUP_CLIPS[i + 1 :]
+    if bin(_ADUP_HASHES[a] ^ _ADUP_HASHES[b]).count("1") <= _AUDIO_DUP_MAX_HAMMING
+)
+# the copy clique (1,2,3) always survives; at least one edited copy joins
+assert len(_ADUP_EXPECTED) >= 4, _ADUP_EXPECTED
+assert all(a in (1, 2, 3, 4, 5) and b in (1, 2, 3, 4, 5) for a, b, _ in _ADUP_EXPECTED)
+
+
+@register("audio_near_dup_pairs", oracle=_values_oracle(_ADUP_EXPECTED, _PHASH_TYPES))
+def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio detection by spectrogram perceptual hash:
+    real PCM decode (WAV + FLAC through the native-first seam) -> 64-bit
+    log-power spectrogram aHash (8 time x 8 band cells) -> the SAME
+    banded Hamming join the image lane uses (media_near_dup_pairs —
+    pigeonhole-exact, no all-pairs).  Catches volume-renormalized
+    re-encodes and cross-container (WAV<->FLAC) duplicates exactly;
+    locally-edited copies land within the threshold, unrelated material
+    lands ~32 bits away.  Golden-checked against the naive all-pairs
+    popcount over the fixture family."""
+    from tcdb_spark.sources.multimodal import media_near_dup_pairs
+
+    media = spark.createDataFrame(
+        [(mid, bytearray(p)) for mid, p in _AUDIO_DUP_CLIPS],
+        "media_id long, payload binary",
+    )
+    pairs = media_near_dup_pairs(
+        audio_spectral_hash(media), max_hamming=_AUDIO_DUP_MAX_HAMMING, bands=8
+    )
+    return pairs.orderBy("media_id_a", "media_id_b")
