@@ -293,3 +293,140 @@ def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_spectral_hash(media), max_hamming=_AUDIO_DUP_MAX_HAMMING, bands=8
     )
     return pairs.orderBy("media_id_a", "media_id_b")
+
+
+# --- video container lanes (sources/video.py) -----------------------------
+
+from tcdb_spark.sources.multimodal import (  # noqa: E402
+    ahash_image,
+    decode_ppm,
+    encode_jpeg,
+    encode_png,
+)
+from tcdb_spark.sources.video import (  # noqa: E402
+    encode_video,
+    iter_video_frames,
+    video_frame_hashes,
+    video_near_dup_pairs,
+)
+
+
+def _ppm_as_png(ppm: bytes) -> bytes:
+    return encode_png(decode_ppm(ppm)["pixels"])
+
+
+def _ppm_as_jpeg(ppm: bytes) -> bytes:
+    return encode_jpeg(decode_ppm(ppm)["pixels"], quant=1)
+
+
+def _patterned_frames(prefix: str, n: int, brightness: int = 0) -> list[bytes]:
+    return [
+        make_patterned_ppm(f"{prefix}-{i}", brightness=brightness) for i in range(n)
+    ]
+
+
+# Near-dup family: V2 is a re-encode of V1 (uniform brightness shift,
+# frame 3 re-encoded as PNG and frame 5 as near-lossless JPEG — the
+# cross-codec duplicate class), V3 replaces 3 of V1's 8 frames, V4 is a
+# 5-frame TRIM of V1 (containment class), V5/V6 are unrelated.
+_V1_FRAMES = _patterned_frames("v1", 8)
+_V2_FRAMES = _patterned_frames("v1", 8, brightness=6)
+_V2_FRAMES[3] = _ppm_as_png(_V2_FRAMES[3])
+_V2_FRAMES[5] = _ppm_as_jpeg(_V2_FRAMES[5])
+_V3_FRAMES = list(_V1_FRAMES)
+for _i in (2, 5, 7):
+    _V3_FRAMES[_i] = make_patterned_ppm(f"v3x-{_i}")
+
+_VIDEOS = [
+    (1, encode_video(_V1_FRAMES, fps=2.0)),
+    (2, encode_video(_V2_FRAMES, fps=2.0)),
+    (3, encode_video(_V3_FRAMES, fps=2.0)),
+    (4, encode_video(_V1_FRAMES[:5], fps=2.0)),
+    (5, encode_video(_patterned_frames("v5", 8), fps=2.0)),
+    (6, encode_video(_patterned_frames("v6", 6), fps=2.0)),
+]
+
+_VDUP_MAX_HAMMING = 7
+_VDUP_MIN_FRAC = 0.6
+
+
+def _vdup_expected() -> list[tuple]:
+    """Naive all-pairs reference for the video near-dup lane, with the
+    fraction quantized to basis points exactly as the Spark plan's
+    round(frac * 10000) (shortest-repr decimal HALF_UP == Python round
+    of these small rationals; asserted bit-equal by the oracle)."""
+    hashes = {
+        vid: [
+            (idx, ahash_image(frame)) for idx, frame in iter_video_frames(p)
+        ]
+        for vid, p in _VIDEOS
+    }
+    out = []
+    for i, (va, _) in enumerate(_VIDEOS):
+        for vb, _ in _VIDEOS[i + 1 :]:
+            ma = {
+                ia
+                for ia, ha in hashes[va]
+                for _, hb in hashes[vb]
+                if bin(ha ^ hb).count("1") <= _VDUP_MAX_HAMMING
+            }
+            mb = {
+                ib
+                for ib, hb in hashes[vb]
+                for _, ha in hashes[va]
+                if bin(ha ^ hb).count("1") <= _VDUP_MAX_HAMMING
+            }
+            if not ma:
+                continue
+            fa = len(ma) / len(hashes[va])
+            fb = len(mb) / len(hashes[vb])
+            if max(fa, fb) >= _VDUP_MIN_FRAC:
+                out.append(
+                    (va, vb, len(ma), len(mb), round(fa * 10000), round(fb * 10000))
+                )
+    return sorted(out)
+
+
+_VDUP_EXPECTED = _vdup_expected()
+# the re-encode (1,2), the partial (1,3), the trim (1,4) all survive
+assert {(a, b) for a, b, *_ in _VDUP_EXPECTED} >= {(1, 2), (1, 3), (1, 4)}
+assert all(a in (1, 2, 3, 4) and b in (1, 2, 3, 4) for a, b, *_ in _VDUP_EXPECTED)
+
+_VDUP_TYPES = [
+    ("video_id_a", "BIGINT"), ("video_id_b", "BIGINT"),
+    ("matched_a", "BIGINT"), ("matched_b", "BIGINT"),
+    ("frac_a_bp", "INTEGER"), ("frac_b_bp", "INTEGER"),
+]
+
+
+@register("video_near_dup", oracle=_values_oracle(_VDUP_EXPECTED, _VDUP_TYPES))
+def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection over frame-sampled perceptual
+    hashes: TCVC container header parse (seek table — sampled frames
+    are byte-range slices, never a full-stream decode), real per-frame
+    image decode (PPM + PNG + near-lossless JPEG through the
+    native-first seam), 64-bit aHash per frame, then the frame-level
+    banded Hamming join + one per-pair coverage aggregation
+    (sources/video.py).  Containment semantics: a TRIMMED copy matches
+    at 100% of the shorter side (max of the two coverage fractions
+    gates, like the text containment_join); re-encodes match ~100% on
+    both sides; 3-of-8-frames-replaced partials land at 62.5%.
+    Golden-checked against the naive all-pairs reference; fractions
+    ride as basis-point integers (no float literal crosses engines)."""
+    media = spark.createDataFrame(
+        [(vid, bytearray(p)) for vid, p in _VIDEOS],
+        "video_id long, payload binary",
+    )
+    pairs = video_near_dup_pairs(
+        video_frame_hashes(media),
+        max_hamming=_VDUP_MAX_HAMMING,
+        min_match_frac=_VDUP_MIN_FRAC,
+    )
+    return pairs.select(
+        "video_id_a",
+        "video_id_b",
+        "matched_a",
+        "matched_b",
+        F.round(F.col("match_frac_a") * 10000).cast("int").alias("frac_a_bp"),
+        F.round(F.col("match_frac_b") * 10000).cast("int").alias("frac_b_bp"),
+    ).orderBy("video_id_a", "video_id_b")

@@ -1,0 +1,229 @@
+"""Video container plumbing + frame-sampled near-duplicate detection.
+
+§2.12 extension surface (the reference engine has no video path).  Real
+video arrives in containers (MP4/MKV) whose sample tables let a reader
+seek straight to frame N without decoding the stream; the codec
+libraries for those containers aren't in this image, so the container
+here is TCVC — a minimal index-plus-payloads format with exactly that
+property (magic, frame count, frame rate, per-frame byte lengths, then
+the frame payloads back-to-back).  The FRAMES are real: any payload
+``multimodal.decode_image`` handles (PPM/PGM, PNG, JPEG — all three
+through the native-codec routing seam), so per-frame work runs the same
+code paths a real pipeline would, and swapping TCVC parsing for an MP4
+demuxer behind ``decode_video_meta``/``iter_video_frames`` is the
+documented seam (OPERATIONS.md).
+
+Scale shape: the header is parsed without touching frame bytes, frame
+SAMPLING decodes only the selected frames (byte-range slices out of the
+payload — the distributed twin of ranged GETs against object storage),
+payloads never cross a shuffle (hashing rides the scan;
+only (video_id, frame_idx, 8-byte hash) rows continue), and the
+video-level near-dup join is the frame-level banded Hamming join
+(pigeonhole-exact) followed by one aggregation per candidate pair."""
+
+from __future__ import annotations
+
+import struct as _struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from tcdb_spark.sources.multimodal import ahash_image
+
+_MAGIC = b"TCVC"
+
+FRAME_HASH_SCHEMA = "video_id long, n_frames int, frame_idx int, ahash long"
+
+
+def encode_video(frames: list[bytes], fps: float = 1.0) -> bytes:
+    """Pack image payloads into a TCVC container: magic, u32 frame
+    count, u32 fps*1000, u32 per-frame byte lengths, then the frames."""
+    if not frames:
+        raise ValueError("a TCVC container needs at least one frame")
+    head = _MAGIC + _struct.pack("<II", len(frames), int(round(fps * 1000)))
+    head += b"".join(_struct.pack("<I", len(f)) for f in frames)
+    return head + b"".join(frames)
+
+
+def decode_video_meta(payload: bytes) -> dict:
+    """Header-only parse: {n_frames, fps, lengths, offsets} without
+    reading a single frame byte — the seek-table property that makes
+    frame sampling cheap."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("not a TCVC video payload")
+    if len(payload) < 12:
+        raise ValueError("truncated TCVC header")
+    n, fps_milli = _struct.unpack_from("<II", payload, 4)
+    table_end = 12 + 4 * n
+    if len(payload) < table_end:
+        raise ValueError("truncated TCVC frame table")
+    lengths = list(_struct.unpack_from(f"<{n}I", payload, 12))
+    offsets, pos = [], table_end
+    for ln in lengths:
+        offsets.append(pos)
+        pos += ln
+    if len(payload) < pos:
+        raise ValueError("TCVC payload shorter than frame table claims")
+    return {
+        "n_frames": n,
+        "fps": fps_milli / 1000.0,
+        "lengths": lengths,
+        "offsets": offsets,
+    }
+
+
+def iter_video_frames(
+    payload: bytes, every_n: int = 1
+) -> Iterator[tuple[int, bytes]]:
+    """Yield (frame_idx, frame_bytes) for every ``every_n``-th frame —
+    only the selected byte ranges are sliced; skipped frames are never
+    materialized."""
+    meta = decode_video_meta(payload)
+    for idx in range(0, meta["n_frames"], every_n):
+        off, ln = meta["offsets"][idx], meta["lengths"][idx]
+        yield idx, payload[off : off + ln]
+
+
+def video_frame_hashes(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """(video_id, payload) -> (video_id, n_frames, frame_idx, ahash):
+    sample every ``every_n``-th frame, decode it (PPM/PNG/JPEG through
+    the native-first seam) and emit its 64-bit perceptual hash.  One
+    Arrow-batched mapInPandas riding the scan; a video whose container
+    fails to parse yields a single null-hash row (schema-stable — the
+    caller filters), and an individual undecodable FRAME yields a null
+    hash at its index without sinking the clip."""
+
+    def _op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            vid_col, nf_col, idx_col, hash_col = [], [], [], []
+            for vid, p in zip(pdf["video_id"], pdf["payload"]):
+                try:
+                    payload = bytes(p)
+                    meta = decode_video_meta(payload)
+                except (ValueError, TypeError):
+                    vid_col.append(vid)
+                    nf_col.append(None)
+                    idx_col.append(None)
+                    hash_col.append(None)
+                    continue
+                for idx, frame in iter_video_frames(payload, every_n):
+                    vid_col.append(vid)
+                    nf_col.append(meta["n_frames"])
+                    idx_col.append(idx)
+                    try:
+                        v = ahash_image(frame)
+                        hash_col.append(v - (1 << 64) if v >= (1 << 63) else v)
+                    except (ValueError, NotImplementedError):
+                        hash_col.append(None)
+            yield pd.DataFrame(
+                {
+                    "video_id": vid_col,
+                    "n_frames": nf_col,
+                    "frame_idx": idx_col,
+                    "ahash": hash_col,
+                }
+            )
+
+    return media.select("video_id", "payload").mapInPandas(
+        _op, schema=FRAME_HASH_SCHEMA
+    )
+
+
+def video_near_dup_pairs(
+    frame_hashes: DataFrame,
+    max_hamming: int = 7,
+    bands: int = 8,
+    min_match_frac: float = 0.6,
+    every_n: int = 1,
+) -> DataFrame:
+    """Video-level near-duplicates from frame-level hash matches.
+
+    Stage 1 — frame matches: banded Hamming equi-join over the per-frame
+    hashes (pigeonhole-EXACT for ``max_hamming < bands``, identical
+    machinery to ``media_near_dup_pairs``), keeping cross-video frame
+    pairs within the threshold.  No frame alignment is required at this
+    stage, so trimmed and shifted copies still match.
+
+    Stage 2 — one aggregation per candidate video pair: count DISTINCT
+    matched sampled-frame indices on each side and divide by each
+    side's sampled-frame count; keep pairs whose LARGER coverage
+    fraction reaches ``min_match_frac`` (containment semantics: a
+    trimmed copy covers 100% of the shorter video — the max, like the
+    text containment_join — while re-encodes cover ~100% of both).
+
+    Output: (video_id_a, video_id_b, matched_a, matched_b,
+    match_frac_a, match_frac_b), fractions rounded to 4 places.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded join is only exact for max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_exprs = ", ".join(
+        f"CAST(shiftrightunsigned(ahash, {width * (bands - 1 - b)}) & {mask} AS INT)"
+        for b in range(bands)
+    )
+    # Barrier: the hash table feeds BOTH sides of the self-join AND the
+    # count denominators — without it the decode+hash mapInPandas runs
+    # three times (same discipline as dedup_minhash_lsh's sigs persist).
+    fh = frame_hashes.where(F.col("ahash").isNotNull()).persist()
+    # sampled-frame count per video (the verify denominators)
+    counts = fh.groupBy("video_id").agg(F.count("*").alias("n_sampled"))
+    banded = fh.selectExpr(
+        "video_id",
+        "frame_idx",
+        "ahash",
+        f"posexplode(array({band_exprs})) AS (band, bval)",
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    frame_matches = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.video_id") < F.col("b.video_id")),
+        )
+        .select(
+            F.col("a.video_id").alias("video_id_a"),
+            F.col("b.video_id").alias("video_id_b"),
+            F.col("a.frame_idx").alias("frame_a"),
+            F.col("b.frame_idx").alias("frame_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()  # a frame pair can collide in several bands
+        .where(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= max_hamming
+        )
+    )
+    pair_cov = frame_matches.groupBy("video_id_a", "video_id_b").agg(
+        F.countDistinct("frame_a").alias("matched_a"),
+        F.countDistinct("frame_b").alias("matched_b"),
+    )
+    ca = counts.select(
+        F.col("video_id").alias("video_id_a"), F.col("n_sampled").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("video_id").alias("video_id_b"), F.col("n_sampled").alias("n_b")
+    )
+    # counts is tiny relative to the frame table (one row per video) —
+    # broadcast both sides so the coverage join never shuffles pair_cov
+    scored = (
+        pair_cov.join(F.broadcast(ca), "video_id_a")
+        .join(F.broadcast(cb), "video_id_b")
+        .select(
+            "video_id_a",
+            "video_id_b",
+            "matched_a",
+            "matched_b",
+            F.round(F.col("matched_a") / F.col("n_a"), 4).alias("match_frac_a"),
+            F.round(F.col("matched_b") / F.col("n_b"), 4).alias("match_frac_b"),
+        )
+    )
+    return scored.where(
+        F.greatest("match_frac_a", "match_frac_b") >= min_match_frac
+    )
