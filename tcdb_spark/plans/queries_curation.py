@@ -190,3 +190,72 @@ def weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("source", "doc_id", F.round("k", 9).alias("ares_key"), "rnk")
     )
+
+
+# --- Bloom-filter membership prefilter (operators/bloom.py) ----------------
+
+from tcdb_spark.operators.bloom import (  # noqa: E402
+    BLOOM_K,
+    BLOOM_M_BITS,
+    bloom_build,
+    bloom_probe,
+    position_sql,
+)
+
+_BLOOM_KEY_SQL = "md5(text)"
+_BLOOM_POS_IN = " AND ".join(
+    f"{position_sql('key', i, BLOOM_M_BITS)} IN (SELECT pos FROM bpos)"
+    for i in range(BLOOM_K)
+)
+_BLOOM_BPOS = " UNION ALL ".join(
+    f"SELECT {position_sql('key', i, BLOOM_M_BITS)} AS pos FROM block"
+    for i in range(BLOOM_K)
+)
+
+
+@register(
+    "bloom_prefilter_member",
+    oracle=f"""
+    WITH block AS (
+        SELECT {_BLOOM_KEY_SQL} AS key FROM documents WHERE doc_id % 97 = 0
+    ), bpos AS (
+        SELECT DISTINCT pos FROM ({_BLOOM_BPOS})
+    ), probe AS (
+        SELECT doc_id, {_BLOOM_KEY_SQL} AS key FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, {_BLOOM_KEY_SQL} FROM documents
+        WHERE doc_id % 97 = 0
+    )
+    SELECT doc_id FROM probe WHERE {_BLOOM_POS_IN}
+    """,
+)
+def bloom_prefilter_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcastable Bloom-filter membership prefilter
+    (operators/bloom.py): the blocklist (every 97th document's content
+    hash) folds into a {BLOOM_M}-bit bitmap via one explode + one
+    map-side-combined bit_or aggregation; probing the corpus PLUS
+    planted re-occurrences of blocked content is a projection + one
+    broadcast join on the bitmap's word index — the member set's
+    cardinality appears NOWHERE in the probe plan, which is the whole
+    point at 100 TB (blocklist / already-ingested / contamination
+    checks without a join against the key set; maybe-hits then route to
+    the exact verify, the two-tier screen-then-attest discipline).  The
+    DuckDB oracle mirrors the md5 hex-polynomial positions, so the
+    verdicts — INCLUDING any deterministic false positive — must match
+    bit-for-bit; no false negatives by construction (every planted
+    re-occurrence is found).""".replace("{BLOOM_M}", str(BLOOM_M_BITS))
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    key = F.md5(F.col("text").cast("binary")).alias("key")
+    block = docs.where(F.col("doc_id") % 97 == 0).select(key)
+    probe = docs.select("doc_id", key).unionByName(
+        docs.where(F.col("doc_id") % 97 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), key
+        )
+    )
+    bloom = bloom_build(block)
+    verdicts = bloom_probe(probe.select("key").distinct(), bloom)
+    return (
+        probe.join(
+            F.broadcast(verdicts.where(F.col("maybe_member"))), "key"
+        ).select("doc_id")
+    )

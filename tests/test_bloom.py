@@ -1,0 +1,104 @@
+"""Bloom-filter membership (operators/bloom.py) vs a pure-Python
+reference implementation of the same md5 hex-polynomial positions:
+no false negatives ever, verdicts (including false positives) exactly
+equal to the reference, bitmap-vs-position-set equivalence, bitmap
+size bound, and the broadcast probe plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from tcdb_spark.operators.bloom import (
+    BLOOM_K,
+    BLOOM_M_BITS,
+    bloom_build,
+    bloom_probe,
+)
+
+
+def _ref_position(key: str, i: int, m_bits: int = BLOOM_M_BITS) -> int:
+    h = hashlib.md5(f"{key}|{i}".encode()).hexdigest()
+    poly = 0
+    for j in range(4):
+        poly = poly * 131 + ord(h[j])
+    return poly % m_bits
+
+
+def _ref_positions(key: str, k: int = BLOOM_K) -> set[int]:
+    return {_ref_position(key, i) for i in range(k)}
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "key string")
+
+
+def test_bitmap_equals_reference_position_set(spark):
+    members = [f"member-{i}" for i in range(200)]
+    words = {
+        r["word_idx"]: r["word"]
+        for r in bloom_build(_keys_df(spark, members)).collect()
+    }
+    # bit set in a word  <=>  position in the reference set
+    expected = set()
+    for m in members:
+        expected |= _ref_positions(m)
+    got = {
+        w * 64 + b
+        for w, word in words.items()
+        for b in range(64)
+        if (word >> b) & 1
+    }
+    assert got == expected
+    assert len(words) <= BLOOM_M_BITS // 64
+
+
+def test_no_false_negatives_and_verdicts_match_reference(spark):
+    members = [f"blocked-{i}" for i in range(150)]
+    probes = members[:50] + [f"clean-{i}" for i in range(500)]
+    bloom = bloom_build(_keys_df(spark, members))
+    got = {
+        r["key"]: r["maybe_member"]
+        for r in bloom_probe(_keys_df(spark, probes), bloom).collect()
+    }
+    member_pos = set()
+    for m in members:
+        member_pos |= _ref_positions(m)
+    for p in probes:
+        expected = _ref_positions(p) <= member_pos
+        assert got[p] == expected, p
+        if p in members:
+            assert got[p] is True  # no false negatives, ever
+
+
+def test_false_positive_exists_and_is_deterministic(spark):
+    # With a saturated filter (m_bits=64) every probe collides — the
+    # degenerate case must still be deterministic and all-maybe.
+    members = [f"m-{i}" for i in range(300)]
+    bloom = bloom_build(_keys_df(spark, members), m_bits=64, k=2)
+    verdicts = bloom_probe(
+        _keys_df(spark, ["definitely-not-a-member"]), bloom, m_bits=64, k=2
+    ).collect()
+    assert verdicts[0]["maybe_member"] is True
+
+
+def test_probe_plan_broadcasts_bitmap_not_members(spark):
+    bloom = bloom_build(_keys_df(spark, [f"m-{i}" for i in range(50)]))
+    plan = (
+        bloom_probe(_keys_df(spark, ["a", "b"]), bloom)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_empty_member_set_rejects_everything(spark):
+    empty = _keys_df(spark, []).select(
+        F.col("key"),
+    )
+    bloom = bloom_build(empty)
+    got = bloom_probe(_keys_df(spark, ["x", "y"]), bloom).collect()
+    assert all(r["maybe_member"] is False for r in got)
