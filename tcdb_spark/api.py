@@ -921,3 +921,105 @@ class Engine:
         return ivfpq_search_persisted(
             self.warehouse, table, queries, k=k, nprobe=nprobe, shortlist=shortlist
         )
+
+    # --- spectral audio / video / bloom (round 7, session 3) ---------------
+
+    def audio_spectral(self, media: DataFrame) -> DataFrame:
+        """Frequency-domain clip descriptors (centroid / dominant /
+        rolloff / flatness / band energy profile) over binary WAV/FLAC
+        payloads — Arrow-batched FFT riding the scan
+        (sources/spectral.audio_spectral)."""
+        from tcdb_spark.sources.spectral import audio_spectral
+
+        return audio_spectral(media)
+
+    def audio_near_dup(
+        self, media: DataFrame, max_hamming: int = 7, bands: int = 8
+    ) -> DataFrame:
+        """Near-duplicate audio pairs by 64-bit spectrogram perceptual
+        hash + the same banded Hamming join the image lane uses
+        (sources/spectral.audio_spectral_hash + media_near_dup_pairs).
+        Catches volume-renormalized and cross-container (WAV<->FLAC)
+        re-encodes exactly."""
+        from tcdb_spark.sources.multimodal import media_near_dup_pairs
+        from tcdb_spark.sources.spectral import audio_spectral_hash
+
+        return media_near_dup_pairs(
+            audio_spectral_hash(media), max_hamming=max_hamming, bands=bands
+        )
+
+    def video_frame_hashes(self, media: DataFrame, every_n: int = 1) -> DataFrame:
+        """Frame-sampled perceptual hashes from TCVC video containers:
+        header-only seek-table parse, byte-range frame slices, real
+        PPM/PNG/JPEG frame decode (sources/video.video_frame_hashes)."""
+        from tcdb_spark.sources.video import video_frame_hashes
+
+        return video_frame_hashes(media, every_n=every_n)
+
+    def video_near_dup(
+        self,
+        media: DataFrame,
+        max_hamming: int = 7,
+        bands: int = 8,
+        min_match_frac: float = 0.6,
+        every_n: int = 1,
+    ) -> DataFrame:
+        """Video-level near-duplicates from frame-level hash matches
+        with containment semantics — trimmed copies match at 100% of
+        the shorter side (sources/video.video_near_dup_pairs)."""
+        from tcdb_spark.sources.video import video_frame_hashes, video_near_dup_pairs
+
+        return video_near_dup_pairs(
+            video_frame_hashes(media, every_n=every_n),
+            max_hamming=max_hamming,
+            bands=bands,
+            min_match_frac=min_match_frac,
+        )
+
+    def bloom_build(
+        self, keys: DataFrame, key_col: str = "key", m_bits: int = 4096, k: int = 3
+    ) -> DataFrame:
+        """Member keys -> broadcastable Bloom bitmap as (word_idx, word)
+        rows (operators/bloom.bloom_build)."""
+        from tcdb_spark.operators.bloom import bloom_build
+
+        return bloom_build(keys, key_col=key_col, m_bits=m_bits, k=k)
+
+    def bloom_probe(
+        self,
+        probe: DataFrame,
+        bloom: DataFrame,
+        key_col: str = "key",
+        m_bits: int = 4096,
+        k: int = 3,
+    ) -> DataFrame:
+        """(key, maybe_member) Bloom verdicts per distinct probe key —
+        projection + one broadcast join on the bitmap word index; no
+        false negatives; route maybe-hits to the exact check
+        (operators/bloom.bloom_probe)."""
+        from tcdb_spark.operators.bloom import bloom_probe
+
+        return bloom_probe(probe, bloom, key_col=key_col, m_bits=m_bits, k=k)
+
+    def bloom_pack(self, bloom: DataFrame, m_bits: int = 4096) -> bytes:
+        """Densify the sparse bitmap into bytes for the packed probe —
+        driver-bounded at m_bits/8 bytes, guarded at 16 MiB
+        (operators/bloom.bloom_pack)."""
+        from tcdb_spark.operators.bloom import bloom_pack
+
+        return bloom_pack(bloom, m_bits=m_bits)
+
+    def bloom_probe_packed(
+        self,
+        probe: DataFrame,
+        packed: bytes,
+        key_col: str = "key",
+        m_bits: int = 4096,
+        k: int = 3,
+    ) -> DataFrame:
+        """Zero-shuffle zero-join Bloom probe: the bitmap rides the plan
+        as one binary literal; maybe_member is a pure projection
+        (operators/bloom.bloom_probe_packed)."""
+        from tcdb_spark.operators.bloom import bloom_probe_packed
+
+        return bloom_probe_packed(probe, packed, key_col=key_col, m_bits=m_bits, k=k)

@@ -12,28 +12,39 @@ which is the standard two-tier shape (same discipline as the binned
 drift monitors: cheap screen, exact attestation).
 
 Hashing is the repo's engine-neutral md5 hex-polynomial (ascii values
-of the first 4 hex chars, base-131 polynomial, mod m) so a DuckDB
-oracle reproduces positions — and therefore the exact maybe-member
-verdicts INCLUDING false positives — bit-for-bit.  Everything is
-native column expressions: no Python UDFs, no driver-side collect
-(the bitmap stays a DataFrame and broadcasts into the probe join).
+of the first 8 hex chars, base-131 polynomial on BIGINT, mod m) so a
+DuckDB oracle reproduces positions — and therefore the exact
+maybe-member verdicts INCLUDING false positives — bit-for-bit.
+Everything is native column expressions: no Python UDFs.  Two probe
+shapes: the sparse join form (bitmap stays a DataFrame, mergeable,
+oracle-attested) and the packed form (bitmap densified driver-side
+within a documented bound and embedded as ONE binary plan literal —
+zero shuffle, zero join; see DEVNOTES #54 for the three rejected
+alternatives).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 BLOOM_M_BITS = 4096  # bitmap width (64 longs); power of two not required
 BLOOM_K = 3  # hash positions per key
 
 
+_POLY_CHARS = 8  # 16^8 distinct inputs — entropy must exceed any sane m_bits
+
+
 def _position(key: Column, i: int, m_bits: int) -> Column:
     """Deterministic position i in [0, m_bits): base-131 polynomial of
-    the ascii values of md5(key || '|' || i)'s first 4 hex chars —
-    reproducible in any engine with md5/ascii/substring."""
+    the ascii values of md5(key || '|' || i)'s first 8 hex chars —
+    reproducible in any engine with md5/ascii/substring.  8 chars give
+    16^8 ~= 4.3e9 distinct inputs (4 would cap the position set at
+    65536 and saturate any bitmap past m=2^16); the polynomial tops out
+    ~6.8e16, so the arithmetic must ride BIGINT on both engines."""
     h = F.md5(F.concat(key, F.lit(f"|{i}")).cast("binary"))
-    poly = F.ascii(F.substring(h, 1, 1))
-    for j in (2, 3, 4):
+    poly = F.ascii(F.substring(h, 1, 1)).cast("bigint")
+    for j in range(2, _POLY_CHARS + 1):
         poly = poly * 131 + F.ascii(F.substring(h, j, 1))
     return poly % m_bits
 
@@ -41,8 +52,8 @@ def _position(key: Column, i: int, m_bits: int) -> Column:
 def position_sql(key_sql: str, i: int, m_bits: int) -> str:
     """The DuckDB-SQL mirror of :func:`_position` (oracle side)."""
     h = f"md5({key_sql} || '|{i}')"
-    poly = f"ascii(substr({h}, 1, 1))"
-    for j in (2, 3, 4):
+    poly = f"CAST(ascii(substr({h}, 1, 1)) AS BIGINT)"
+    for j in range(2, _POLY_CHARS + 1):
         poly = f"({poly} * 131 + ascii(substr({h}, {j}, 1)))"
     return f"({poly} % {m_bits})"
 
@@ -119,3 +130,87 @@ def bloom_probe(
         .groupBy(key_col)
         .agg((F.sum("hit") == k).alias("maybe_member"))
     )
+
+
+def bloom_pack(bloom: DataFrame, m_bits: int = BLOOM_M_BITS) -> bytes:
+    """Densify the sparse (word_idx, word) bitmap into ``m_bits/8``
+    BYTES — the packed form :func:`bloom_probe_packed` embeds as a
+    single binary plan literal.
+
+    This is a DRIVER-BOUNDED collect by design (the repo's capped-pull
+    discipline, like the IVF centroid pulls): the bitmap is at most
+    m_bits/64 rows regardless of member count — 512 B at the default
+    m=4096, 512 KB at m=2^22.  Guarded at 16 MiB so a mis-sized m can't
+    materialize gigabytes on the driver.
+
+    Three alternative shapes were measured and REJECTED at m=2^22
+    (DEVNOTES #54): JVM-side densify via map lookup per index (Tungsten
+    map access is a linear scan -> O(n_words^2) hang), a broadcast
+    cross join carrying the dense array (the 512 KB array is copied
+    into EVERY probe row's unsafe row), and an array<bigint> literal
+    (pyspark F.lit(list) builds CreateArray with 65536 per-ROW-evaluated
+    literal children -> 90 s for 50k probes).  A BINARY literal is one
+    scalar: embedded once in the plan, shipped once per executor."""
+    n_words = (m_bits + 63) // 64
+    if n_words * 8 > (16 << 20):
+        raise ValueError(
+            f"m_bits={m_bits} would pack {n_words * 8} bytes on the driver; "
+            "the packed probe is designed for broadcastable bitmaps "
+            "(<= 16 MiB) — use the sparse join-form bloom_probe"
+        )
+    buf = bytearray(n_words * 8)
+    for row in bloom.collect():
+        # little-endian within the word so byte index = pos // 8 and
+        # bit index = pos % 8 line up across the whole buffer
+        w = row["word"] & ((1 << 64) - 1)
+        buf[row["word_idx"] * 8 : row["word_idx"] * 8 + 8] = w.to_bytes(8, "little")
+    return bytes(buf)
+
+
+def bloom_probe_packed(
+    probe: DataFrame,
+    packed: bytes,
+    key_col: str = "key",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Zero-shuffle, zero-join Bloom probe: positions are computed
+    JVM-side (the oracle-identical md5 polynomial), then the bit tests
+    run as ONE vectorized Arrow batch op with the bitmap in the UDF
+    closure (a numpy gather + shift per batch — shipped once per
+    worker, nanoseconds per row).
+
+    Why not pure JVM expressions: embedding the bitmap as a binary
+    plan literal compiles it INTO the whole-stage-codegen source —
+    Janino chewed ~50 s on the 512 KB literal before the first row
+    moved (and interpreted mode gives that back per-row); the three
+    other shapes tried are in DEVNOTES #54.  This is the DEVNOTES #53
+    rule again: the moment a constant table is consulted per row at
+    probe scale, route the lookup through an Arrow batch.
+
+    The join-form :func:`bloom_probe` remains the mergeable/sparse twin
+    and the oracle-attested path; verdict equality is pinned in tests.
+    Emits every probe row (duplicates preserved) with maybe_member
+    appended."""
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: `pd` must be importable at MODULE scope — with postponed
+    # annotation evaluation the `pd.Series` hints are strings pyspark
+    # resolves against module globals when building the pandas_udf
+    @pandas_udf("boolean")
+    def _bit_set(pos: pd.Series) -> pd.Series:
+        import numpy as np
+
+        bitmap = np.frombuffer(packed, dtype=np.uint8)
+        p = pos.to_numpy(dtype=np.int64)
+        return pd.Series(((bitmap[p >> 3] >> (p & 7)) & 1).astype(bool))
+
+    out = probe
+    for i in range(k):
+        out = out.withColumn(f"__bpos_{i}", _position(F.col(key_col), i, m_bits))
+    cond = F.lit(True)
+    for i in range(k):
+        # the k UDF calls fuse into one ArrowEvalPython stage
+        cond = cond & _bit_set(F.col(f"__bpos_{i}"))
+    out = out.withColumn("maybe_member", cond)
+    return out.drop(*[f"__bpos_{i}" for i in range(k)])

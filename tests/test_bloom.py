@@ -21,7 +21,7 @@ from tcdb_spark.operators.bloom import (
 def _ref_position(key: str, i: int, m_bits: int = BLOOM_M_BITS) -> int:
     h = hashlib.md5(f"{key}|{i}".encode()).hexdigest()
     poly = 0
-    for j in range(4):
+    for j in range(8):
         poly = poly * 131 + ord(h[j])
     return poly % m_bits
 
@@ -102,3 +102,48 @@ def test_empty_member_set_rejects_everything(spark):
     bloom = bloom_build(empty)
     got = bloom_probe(_keys_df(spark, ["x", "y"]), bloom).collect()
     assert all(r["maybe_member"] is False for r in got)
+
+
+def test_packed_probe_equals_join_form_and_never_shuffles(spark):
+    from tcdb_spark.operators.bloom import bloom_pack, bloom_probe_packed
+
+    members = [f"m-{i}" for i in range(120)]
+    probes = members[:40] + [f"q-{i}" for i in range(300)]
+    bloom = bloom_build(_keys_df(spark, members))
+    packed = bloom_pack(bloom)
+    assert isinstance(packed, bytes) and len(packed) == BLOOM_M_BITS // 8
+    join_form = {
+        r["key"]: r["maybe_member"]
+        for r in bloom_probe(_keys_df(spark, probes), bloom).collect()
+    }
+    out = bloom_probe_packed(_keys_df(spark, probes), packed)
+    got = {r["key"]: r["maybe_member"] for r in out.collect()}
+    assert got == join_form
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_pack_bit_layout_matches_reference(spark):
+    from tcdb_spark.operators.bloom import bloom_pack
+
+    members = [f"layout-{i}" for i in range(64)]
+    packed = bloom_pack(bloom_build(_keys_df(spark, members)))
+    expected = set()
+    for m in members:
+        expected |= _ref_positions(m)
+    got = {
+        i * 8 + b
+        for i, byte in enumerate(packed)
+        for b in range(8)
+        if (byte >> b) & 1
+    }
+    assert got == expected
+
+
+def test_pack_guard_rejects_oversized_bitmap(spark):
+    import pytest
+
+    from tcdb_spark.operators.bloom import bloom_pack
+
+    with pytest.raises(ValueError, match="16 MiB"):
+        bloom_pack(bloom_build(_keys_df(spark, ["x"]), m_bits=1 << 40), m_bits=1 << 40)
