@@ -1023,3 +1023,27 @@ class Engine:
         from tcdb_spark.operators.bloom import bloom_probe_packed
 
         return bloom_probe_packed(probe, packed, key_col=key_col, m_bits=m_bits, k=k)
+
+    def media_hash_index(self, hashes: DataFrame, bands: int = 8) -> DataFrame:
+        """Perceptual-hash band rows — the stored (parquet-append) form
+        of a media near-dup index (sources/multimodal.ahash_bands)."""
+        from tcdb_spark.sources.multimodal import ahash_bands
+
+        return ahash_bands(hashes, bands=bands)
+
+    def media_near_dup_incremental(
+        self,
+        index: DataFrame,
+        new_bands: DataFrame,
+        max_hamming: int = 7,
+        bands: int = 8,
+    ) -> DataFrame:
+        """Day-N media near-dups against a stored band index (plus
+        within the batch) — O(batch x collisions), never O(corpus^2);
+        batch-split invariance vs the one-shot join is pinned in tests
+        (sources/multimodal.incremental_ahash_candidates)."""
+        from tcdb_spark.sources.multimodal import incremental_ahash_candidates
+
+        return incremental_ahash_candidates(
+            index, new_bands, max_hamming=max_hamming, bands=bands
+        )

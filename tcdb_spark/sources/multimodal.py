@@ -2130,3 +2130,76 @@ def make_patterned_ppm(
         rows.append(row)
     header = f"P5\n{width} {height}\n255\n".encode()
     return header + bytes(v for row in rows for v in row)
+
+
+def ahash_bands(hashes: DataFrame, bands: int = 8) -> DataFrame:
+    """(media_id, ahash) -> (media_id, ahash, band, bval) band rows —
+    the stored form of a perceptual-hash index (plain parquet append;
+    rows are immutable), shared by the one-shot ``media_near_dup_pairs``
+    shape and the incremental day-N path below."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_exprs = ", ".join(
+        f"CAST(shiftrightunsigned(ahash, {width * (bands - 1 - b)}) & {mask} AS INT)"
+        for b in range(bands)
+    )
+    return hashes.where(F.col("ahash").isNotNull()).selectExpr(
+        "media_id", "ahash", f"posexplode(array({band_exprs})) AS (band, bval)"
+    )
+
+
+def incremental_ahash_candidates(
+    index: DataFrame, new_bands: DataFrame, max_hamming: int = 7, bands: int = 8
+) -> DataFrame:
+    """Near-duplicate media pairs introduced by a NEW batch against a
+    stored perceptual-hash band index (plus within the batch itself) —
+    the media twin of ``operators/textdedup.incremental_lsh_candidates``:
+    day N's media is hashed once, banded, joined against ``index UNION
+    new`` on (band, bval), and verified by popcount; cost is
+    O(batch x collisions), never O(corpus^2).  Exactness carries over
+    from the one-shot shape (pigeonhole: max_hamming < bands).  Append
+    ``new_bands`` to the stored index afterwards.
+
+    Returns (media_id_a, media_id_b, hamming) with a < b, the b side
+    always from the new batch when the pair crosses batches."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded join is only exact for max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    cross = (
+        index.alias("a")
+        .join(
+            new_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.media_id") != F.col("b.media_id")),
+        )
+        .select(
+            F.least(F.col("a.media_id"), F.col("b.media_id")).alias("media_id_a"),
+            F.greatest(F.col("a.media_id"), F.col("b.media_id")).alias("media_id_b"),
+            F.least(F.col("a.ahash"), F.col("b.ahash")).alias("ha"),
+            F.greatest(F.col("a.ahash"), F.col("b.ahash")).alias("hb"),
+        )
+    )
+    within = (
+        new_bands.alias("x")
+        .join(
+            new_bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .select(
+            F.col("x.media_id").alias("media_id_a"),
+            F.col("y.media_id").alias("media_id_b"),
+            F.col("x.ahash").alias("ha"),
+            F.col("y.ahash").alias("hb"),
+        )
+    )
+    cand = cross.unionByName(within).distinct()
+    return cand.select(
+        "media_id_a",
+        "media_id_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
