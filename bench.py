@@ -70,6 +70,12 @@ HEADLINE = [
     "quality_gopher_rules",
     "text_char_entropy",
     "sim_ann_ivfpq",
+    # round-7 session-3 widening: spectral-audio near-dup, video
+    # near-dup, and the Bloom membership screen (positions 1-38 stay
+    # comparable via core38_total)
+    "audio_near_dup_pairs",
+    "video_near_dup",
+    "bloom_prefilter_member",
 ]
 
 
@@ -171,6 +177,7 @@ def main() -> None:
     core31 = round(sum(t for n, t in timings.items() if n in HEADLINE[:31]), 3)
     core32 = round(sum(t for n, t in timings.items() if n in HEADLINE[:32]), 3)
     core33 = round(sum(t for n, t in timings.items() if n in HEADLINE[:33]), 3)
+    core38 = round(sum(t for n, t in timings.items() if n in HEADLINE[:38]), 3)
     print(
         json.dumps(
             {
@@ -193,6 +200,9 @@ def main() -> None:
                 # the round-7 33-lane subtotal — comparable to
                 # BENCH_r07_idle's headline total
                 "core33_total": core33,
+                # the round-7 session-2 38-lane subtotal — comparable to
+                # the r07s2-idle recording's headline total
+                "core38_total": core38,
                 # box-contention context: loadavg_before is sampled BEFORE
                 # the warmup pass (external load only — near 0 on an idle
                 # box); loadavg_after reflects the bench's own full-tilt
