@@ -1047,3 +1047,13 @@ class Engine:
         return incremental_ahash_candidates(
             index, new_bands, max_hamming=max_hamming, bands=bands
         )
+
+    def audio_segments(
+        self, media: DataFrame, win_s: float = 0.25, hop_s: float = 0.125
+    ) -> DataFrame:
+        """One spectral-feature row per audio window (the long-audio /
+        ASR preprocessing shape) — decode + FFT once per clip, windows
+        pool frame ranges (sources/spectral.audio_segments)."""
+        from tcdb_spark.sources.spectral import audio_segments
+
+        return audio_segments(media, win_s=win_s, hop_s=hop_s)

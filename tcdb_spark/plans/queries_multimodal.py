@@ -430,3 +430,58 @@ def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("match_frac_a") * 10000).cast("int").alias("frac_a_bp"),
         F.round(F.col("match_frac_b") * 10000).cast("int").alias("frac_b_bp"),
     ).orderBy("video_id_a", "video_id_b")
+
+
+# --- windowed audio segmentation lane -------------------------------------
+
+from tcdb_spark.sources.spectral import audio_segments, segment_features  # noqa: E402
+
+_SEG_PAYLOADS = [
+    (1, make_seeded_audio(seed="seg-lane-a")),
+    (2, make_seeded_audio(seed="seg-lane-b")),
+    (3, make_seeded_audio(seed="seg-lane-a", as_flac="fixed2")),  # FLAC twin of 1
+]
+_SEG_WIN, _SEG_HOP = 0.064, 0.064  # 512 samples @8k: one window per planted segment
+
+_SEGF_EXPECTED = [
+    (mid, seg, t0, idx, int(_math.floor(v * _Q)))
+    for mid, p in _SEG_PAYLOADS
+    for seg, t0, feats in segment_features(
+        decode_any_audio(p), _SEG_WIN, _SEG_HOP
+    )
+    for idx, v in enumerate(feats)
+]
+
+_SEGF_TYPES = [
+    ("media_id", "BIGINT"), ("seg_idx", "INTEGER"), ("t0_ms", "BIGINT"),
+    ("feature_idx", "INTEGER"), ("feature_q", "BIGINT"),
+]
+
+
+@register("audio_segment_features", oracle=_values_oracle(_SEGF_EXPECTED, _SEGF_TYPES))
+def audio_segment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed spectral descriptors for LONG audio (the ASR/audio
+    training-data shape: one feature row per hop, not one global
+    average) — decode + FFT once per clip, each window pools its frame
+    range (sources/spectral.segment_features).  The fixture clips carry
+    PLANTED per-segment tones, so each window's dominant frequency is
+    analytically pinned (tests); the FLAC row must segment identically
+    to its WAV twin.  Quantized-explode golden like the clip-level
+    lane."""
+    media = spark.createDataFrame(
+        [(mid, bytearray(p)) for mid, p in _SEG_PAYLOADS],
+        "media_id long, payload binary",
+    )
+    segs = audio_segments(media, win_s=_SEG_WIN, hop_s=_SEG_HOP)
+    return segs.select(
+        "media_id",
+        "seg_idx",
+        "t0_ms",
+        F.posexplode("features").alias("feature_idx", "feature_value"),
+    ).select(
+        "media_id",
+        "seg_idx",
+        "t0_ms",
+        "feature_idx",
+        F.floor(F.col("feature_value") * F.lit(_Q)).cast("bigint").alias("feature_q"),
+    )

@@ -287,3 +287,112 @@ def _pcm16_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
     body += b"data" + _struct.pack("<I", len(data)) + data
     return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+# ------------------------------------------------- windowed segmentation
+
+SEGMENT_SCHEMA = (
+    "media_id long, seg_idx int, t0_ms long, features array<double>"
+)
+
+
+def segment_features(
+    audio: dict,
+    win_s: float = 0.25,
+    hop_s: float = 0.125,
+    n_bands: int = SPECTRAL_BANDS,
+    frame: int = FRAME,
+    fft_hop: int = HOP,
+) -> list[tuple[int, int, list[float]]]:
+    """Per-window spectral descriptors for LONG audio — the shape an
+    ASR/audio-training pipeline needs (a 2-hour clip gets one feature
+    row per ``hop_s``, not one global average).
+
+    One FFT pass: the clip's power spectrogram is computed once
+    (``power_spectrogram``), then each window pools its own frame range
+    — the per-window cost is an O(bins) aggregation, not a re-FFT.
+    Windows shorter than one analysis frame are skipped; the final
+    partial window is kept (its frames exist).  Returns
+    [(seg_idx, t0_ms, features)] with the same feature layout as
+    :func:`spectral_features`."""
+    sr = float(audio["sample_rate"])
+    P = power_spectrogram(audio, frame, fft_hop)
+    n_frames = P.shape[0]
+    frames_per_win = max(1, int(round(win_s * sr / fft_hop)))
+    frames_per_hop = max(1, int(round(hop_s * sr / fft_hop)))
+    freqs = np.arange(P.shape[1]) * sr / frame
+    out = []
+    seg = 0
+    for start in range(0, n_frames, frames_per_hop):
+        stop = min(start + frames_per_win, n_frames)
+        p = P[start:stop].mean(axis=0)
+        total = float(p.sum())
+        if total <= 0.0:
+            feats = [0.0] * (4 + n_bands)
+        else:
+            centroid = float((p * freqs).sum() / total)
+            dominant = float(freqs[int(np.argmax(p))])
+            rolloff = float(
+                freqs[int(np.searchsorted(np.cumsum(p), 0.85 * total))]
+            )
+            body = p[1:]
+            nz = float(body.sum())
+            if nz <= 0.0:
+                flat, band_frac = 0.0, [0.0] * n_bands
+            else:
+                flat = float(
+                    np.exp(np.mean(np.log(body + _EPS))) / (np.mean(body) + _EPS)
+                )
+                edges = (np.arange(n_bands + 1) * len(body)) // n_bands
+                band_frac = [
+                    float(body[edges[b] : edges[b + 1]].sum() / nz)
+                    for b in range(n_bands)
+                ]
+            feats = [centroid, dominant, rolloff, flat, *band_frac]
+        out.append((seg, int(round(start * fft_hop / sr * 1000)), feats))
+        seg += 1
+        if stop >= n_frames:
+            break
+    return out
+
+
+def audio_segments(
+    media: DataFrame, win_s: float = 0.25, hop_s: float = 0.125
+) -> DataFrame:
+    """(media_id, payload) -> one row per audio window (media_id,
+    seg_idx, t0_ms, features) via Arrow-batched mapInPandas — decode
+    and FFT happen ONCE per clip, windows pool frame ranges.
+    Undecodable payloads yield a single null-feature row."""
+
+    def _op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            mid_col, seg_col, t0_col, f_col = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    audio = decode_any_audio(bytes(p))
+                    rows = segment_features(audio, win_s, hop_s)
+                except (ValueError, TypeError):
+                    mid_col.append(mid)
+                    seg_col.append(None)
+                    t0_col.append(None)
+                    f_col.append(None)
+                    continue
+                for seg, t0, feats in rows:
+                    mid_col.append(mid)
+                    seg_col.append(seg)
+                    t0_col.append(t0)
+                    f_col.append(feats)
+            yield pd.DataFrame(
+                {
+                    "media_id": mid_col,
+                    "seg_idx": seg_col,
+                    "t0_ms": t0_col,
+                    "features": f_col,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _op, schema=SEGMENT_SCHEMA
+    )

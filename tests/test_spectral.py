@@ -186,3 +186,43 @@ def test_audio_spectral_distributed_matches_local(spark):
         assert rows[mid]["features"] == spectral_features(audio)
     # garbage stays schema-stable as a null row, never an executor error
     assert rows[3]["features"] is None and rows[3]["sample_rate"] is None
+
+
+def test_segment_dominant_tracks_planted_tones():
+    # make_seeded_audio plants 2 tones per 512-sample segment; with
+    # win == hop == 512 samples each window must report the STRONGER
+    # planted tone (amp 0.30 voice) as its dominant frequency exactly.
+    from tcdb_spark.sources.spectral import FRAME, segment_features
+
+    seed = "seg-analytic"
+    audio = decode_any_audio(make_seeded_audio(seed=seed))
+    rows = segment_features(audio, win_s=0.064, hop_s=0.064)
+    assert len(rows) == 8
+    bin_hz = 8000 / FRAME
+    for seg, t0, feats in rows:
+        h = hashlib.md5(f"{seed}|{seg}|0".encode()).digest()
+        planted = (4 + int.from_bytes(h[:4], "big") % 120) * bin_hz
+        assert feats[1] == pytest.approx(planted), seg
+        assert t0 == seg * 64  # 512 samples @ 8 kHz = 64 ms hops
+
+
+def test_segment_features_wav_flac_parity_and_distributed(spark):
+    from tcdb_spark.sources.spectral import audio_segments, segment_features
+
+    wav = make_seeded_audio(seed="seg-par")
+    flac = make_seeded_audio(seed="seg-par", as_flac="lpc1")
+    local = segment_features(decode_any_audio(wav), 0.064, 0.032)
+    assert local == segment_features(decode_any_audio(flac), 0.064, 0.032)
+    media = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    rows = audio_segments(media, 0.064, 0.032).collect()
+    got = [
+        (r["seg_idx"], r["t0_ms"], r["features"])
+        for r in rows
+        if r["media_id"] == 1
+    ]
+    assert sorted(got) == [(s, t, f) for s, t, f in local]
+    junk = [r for r in rows if r["media_id"] == 2]
+    assert len(junk) == 1 and junk[0]["features"] is None
