@@ -1057,3 +1057,10 @@ class Engine:
         from tcdb_spark.sources.spectral import audio_segments
 
         return audio_segments(media, win_s=win_s, hop_s=hop_s)
+
+    def audio_silence_trim(self, media: DataFrame, threshold: float = 0.02) -> DataFrame:
+        """VAD-style non-silent span metadata per clip (gain-invariant
+        relative RMS threshold; sources/spectral.audio_silence_trim)."""
+        from tcdb_spark.sources.spectral import audio_silence_trim
+
+        return audio_silence_trim(media, threshold=threshold)

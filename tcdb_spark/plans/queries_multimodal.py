@@ -485,3 +485,74 @@ def audio_segment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature_idx",
         F.floor(F.col("feature_value") * F.lit(_Q)).cast("bigint").alias("feature_q"),
     )
+
+
+# --- silence-trim lane ----------------------------------------------------
+
+import numpy as _np  # noqa: E402
+
+from tcdb_spark.sources.spectral import (  # noqa: E402
+    _pcm16_wav,
+    _tone_samples,
+    audio_silence_trim,
+    silence_bounds,
+)
+
+
+def _padded_clip(lead: int, body: int, tail: int, freq: float = 1000.0) -> bytes:
+    clip = _np.concatenate(
+        [
+            _np.zeros(lead, dtype=_np.int64),
+            _tone_samples([(freq, 0.5)], 8000, body),
+            _np.zeros(tail, dtype=_np.int64),
+        ]
+    )
+    return _pcm16_wav(clip, 8000)
+
+
+_TRIM_PAYLOADS = [
+    (1, _padded_clip(2000, 4000, 2000)),          # silence both sides
+    (2, _padded_clip(0, 4000, 4000)),             # trailing only
+    (3, _padded_clip(4000, 4000, 0, freq=500.0)),  # leading only
+    (4, _pcm16_wav(_np.zeros(4000, dtype=_np.int64), 8000)),  # all silent
+    (5, make_seeded_audio(seed="trim-lane")),      # fully active
+    (6, make_seeded_audio(seed="trim-lane", as_flac="fixed2")),  # FLAC twin
+]
+
+_TRIM_EXPECTED = []
+for _mid, _p in _TRIM_PAYLOADS:
+    _a = decode_any_audio(_p)
+    _s, _e, _r = silence_bounds(_a)
+    _n = _np.asarray(_a["samples"]).shape[0]
+    _TRIM_EXPECTED.append(
+        (_mid, _s, _e, int(round(_n / _a["sample_rate"] * 1000)),
+         int(_math.floor(_r * _Q)))
+    )
+
+_TRIM_TYPES = [
+    ("media_id", "BIGINT"), ("start_ms", "BIGINT"), ("end_ms", "BIGINT"),
+    ("duration_ms", "BIGINT"), ("ratio_q", "BIGINT"),
+]
+
+
+@register("audio_silence_trim", oracle=_values_oracle(_TRIM_EXPECTED, _TRIM_TYPES))
+def audio_silence_trim_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style silence-trim metadata (sources/spectral.
+    audio_silence_trim): per-clip non-silent span via frame-RMS against
+    a RELATIVE threshold (gain-invariant), emitted as metadata so the
+    operator stays pure-scan — the ASR pre-trim step.  Fixture family
+    covers leading/trailing/both-sided silence, an all-silent clip
+    (0,0,0 — never NaN), a fully-active clip, and its FLAC twin (must
+    trim identically).  Golden quantized-ratio oracle."""
+    media = spark.createDataFrame(
+        [(mid, bytearray(p)) for mid, p in _TRIM_PAYLOADS],
+        "media_id long, payload binary",
+    )
+    t = audio_silence_trim(media)
+    return t.select(
+        "media_id",
+        "start_ms",
+        "end_ms",
+        "duration_ms",
+        F.floor(F.col("active_ratio") * F.lit(_Q)).cast("bigint").alias("ratio_q"),
+    )

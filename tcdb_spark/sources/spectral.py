@@ -396,3 +396,77 @@ def audio_segments(
     return media.select("media_id", "payload").mapInPandas(
         _op, schema=SEGMENT_SCHEMA
     )
+
+
+# ---------------------------------------------------------- silence trim
+
+TRIM_SCHEMA = (
+    "media_id long, start_ms long, end_ms long, duration_ms long, "
+    "active_ratio double"
+)
+
+
+def silence_bounds(
+    audio: dict, frame: int = FRAME, hop: int = HOP, threshold: float = 0.02
+) -> tuple[int, int, float]:
+    """(start_ms, end_ms, active_ratio) of the non-silent span: a frame
+    is ACTIVE when its RMS exceeds ``threshold`` x the clip's peak
+    frame RMS (relative threshold — gain-invariant by construction).
+    start/end are the first/last active frame's bounds in ms;
+    active_ratio is the active-frame fraction.  An all-silent clip
+    returns (0, 0, 0.0)."""
+    s = np.asarray(audio["samples"], dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    mono = s.mean(axis=1)
+    if len(mono) < frame:
+        mono = np.pad(mono, (0, frame - len(mono)))
+    starts = np.arange(0, len(mono) - frame + 1, hop)
+    idx = starts[:, None] + np.arange(frame)[None, :]
+    rms = np.sqrt((mono[idx] ** 2).mean(axis=1))
+    peak = rms.max()
+    if peak <= 0.0:
+        return 0, 0, 0.0
+    active = np.nonzero(rms > threshold * peak)[0]
+    if len(active) == 0:
+        return 0, 0, 0.0
+    sr = float(audio["sample_rate"])
+    start_ms = int(round(starts[active[0]] / sr * 1000))
+    end_ms = int(round((starts[active[-1]] + frame) / sr * 1000))
+    return start_ms, end_ms, float(len(active) / len(rms))
+
+
+def audio_silence_trim(media: DataFrame, threshold: float = 0.02) -> DataFrame:
+    """(media_id, payload) -> non-silent span metadata (start_ms,
+    end_ms, duration_ms, active_ratio) via Arrow-batched mapInPandas —
+    the VAD-style pre-trim an ASR pipeline runs before windowing;
+    emitting METADATA instead of re-encoded payloads keeps the
+    operator pure-scan (the caller slices payloads lazily, or drops
+    clips whose active_ratio is below its quality bar).  Undecodable
+    payloads yield a null row."""
+
+    def _op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "start_ms", "end_ms", "duration_ms", "active_ratio")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(mid)
+                try:
+                    audio = decode_any_audio(bytes(p))
+                    n = np.asarray(audio["samples"]).shape[0]
+                    start, end, ratio = silence_bounds(audio, threshold=threshold)
+                    rows["start_ms"].append(start)
+                    rows["end_ms"].append(end)
+                    rows["duration_ms"].append(
+                        int(round(n / float(audio["sample_rate"]) * 1000))
+                    )
+                    rows["active_ratio"].append(ratio)
+                except (ValueError, TypeError):
+                    rows["start_ms"].append(None)
+                    rows["end_ms"].append(None)
+                    rows["duration_ms"].append(None)
+                    rows["active_ratio"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(_op, schema=TRIM_SCHEMA)

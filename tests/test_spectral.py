@@ -226,3 +226,29 @@ def test_segment_features_wav_flac_parity_and_distributed(spark):
     assert sorted(got) == [(s, t, f) for s, t, f in local]
     junk = [r for r in rows if r["media_id"] == 2]
     assert len(junk) == 1 and junk[0]["features"] is None
+
+
+def test_silence_trim_bounds_and_gain_invariance(spark):
+    from tcdb_spark.sources.spectral import (
+        audio_silence_trim,
+        silence_bounds,
+    )
+
+    sil = np.zeros(2000, dtype=np.int64)
+    tone = _tone_samples([(1000.0, 0.5)], SR, 4000)
+    clip = np.concatenate([sil, tone, sil])
+    s, e, r = silence_bounds(decode_any_audio(_pcm16_wav(clip, SR)))
+    # frame-quantized bounds must bracket the true 250-750 ms span
+    assert s <= 250 and 750 <= e <= 1000
+    assert 0.4 < r < 0.65
+    # relative threshold => exact integer gain scaling changes nothing
+    assert silence_bounds(decode_any_audio(_pcm16_wav(clip // 4, SR))) == (s, e, r)
+    # distributed twin + junk containment
+    media = spark.createDataFrame(
+        [(1, bytearray(_pcm16_wav(clip, SR))), (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    rows = {row["media_id"]: row for row in audio_silence_trim(media).collect()}
+    assert (rows[1]["start_ms"], rows[1]["end_ms"]) == (s, e)
+    assert rows[1]["duration_ms"] == 1000
+    assert rows[2]["start_ms"] is None
