@@ -1064,3 +1064,13 @@ class Engine:
         from tcdb_spark.sources.spectral import audio_silence_trim
 
         return audio_silence_trim(media, threshold=threshold)
+
+    def video_resize_frames(
+        self, media: DataFrame, out_w: int, out_h: int, every_n: int = 1
+    ) -> DataFrame:
+        """Sample + resize + re-pack video frames in one scan-riding
+        pass (the vision-model preprocessing shape; fps scaled by the
+        stride; sources/video.video_resize_frames)."""
+        from tcdb_spark.sources.video import video_resize_frames
+
+        return video_resize_frames(media, out_w, out_h, every_n=every_n)

@@ -227,3 +227,82 @@ def video_near_dup_pairs(
     return scored.where(
         F.greatest("match_frac_a", "match_frac_b") >= min_match_frac
     )
+
+
+def _resize_frame(frame: bytes, out_w: int, out_h: int) -> bytes:
+    from tcdb_spark.sources.multimodal import (
+        _JPEG_MAGIC,
+        _PNG_MAGIC,
+        resize_jpeg,
+        resize_png,
+        resize_ppm,
+    )
+
+    if frame[:2] in (b"P5", b"P6"):
+        return resize_ppm(frame, out_w, out_h)
+    if frame[:8] == _PNG_MAGIC:
+        return resize_png(frame, out_w, out_h)
+    if frame[:3] == _JPEG_MAGIC:
+        return resize_jpeg(frame, out_w, out_h)
+    raise ValueError("unrecognized frame format")
+
+
+RESIZED_VIDEO_SCHEMA = (
+    "video_id long, n_frames int, n_sampled int, payload binary"
+)
+
+
+def video_resize_frames(
+    media: DataFrame, out_w: int, out_h: int, every_n: int = 1
+) -> DataFrame:
+    """Video preprocessing in one pass: sample every ``every_n``-th
+    frame (byte-range slices — skipped frames never decode), resize
+    each sampled frame for real (PPM/PNG/JPEG through the same
+    per-format resizers the image lane uses), and re-pack into a new
+    TCVC container whose fps is scaled by the stride — the
+    vision-model preprocessing shape (decode -> resize -> re-encode
+    rides the scan; payloads never shuffle).  A video whose container
+    fails to parse yields a null payload row; a single bad FRAME is
+    dropped from the output container without sinking the clip (its
+    absence is visible as n_sampled < ceil(n_frames / every_n))."""
+
+    def _op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            vid_col, nf_col, ns_col, out_col = [], [], [], []
+            for vid, p in zip(pdf["video_id"], pdf["payload"]):
+                vid_col.append(vid)
+                try:
+                    payload = bytes(p)
+                    meta = decode_video_meta(payload)
+                except (ValueError, TypeError):
+                    nf_col.append(None)
+                    ns_col.append(None)
+                    out_col.append(None)
+                    continue
+                frames = []
+                for _, frame in iter_video_frames(payload, every_n):
+                    try:
+                        frames.append(_resize_frame(frame, out_w, out_h))
+                    except (ValueError, NotImplementedError):
+                        pass
+                nf_col.append(meta["n_frames"])
+                ns_col.append(len(frames))
+                out_col.append(
+                    encode_video(frames, fps=meta["fps"] / every_n)
+                    if frames
+                    else None
+                )
+            yield pd.DataFrame(
+                {
+                    "video_id": vid_col,
+                    "n_frames": nf_col,
+                    "n_sampled": ns_col,
+                    "payload": out_col,
+                }
+            )
+
+    return media.select("video_id", "payload").mapInPandas(
+        _op, schema=RESIZED_VIDEO_SCHEMA
+    )

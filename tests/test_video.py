@@ -179,3 +179,40 @@ def test_trim_containment_fractions(spark):
     # the 4-frame trim is fully covered (containment side = 1.0); the
     # 8-frame original is half covered
     assert r["match_frac_b"] == 1.0 and r["match_frac_a"] == 0.5
+
+
+def test_video_resize_frames_round_trip(spark):
+    from tcdb_spark.sources.multimodal import decode_image
+    from tcdb_spark.sources.video import video_resize_frames
+
+    frames = _frames("rz", 6, width=32, height=24)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_video(frames, fps=4.0))),
+            (2, bytearray(b"not a video")),
+        ],
+        "video_id long, payload binary",
+    )
+    rows = {r["video_id"]: r for r in video_resize_frames(media, 16, 12, every_n=2).collect()}
+    out = rows[1]
+    assert out["n_frames"] == 6 and out["n_sampled"] == 3
+    meta = decode_video_meta(bytes(out["payload"]))
+    assert meta["n_frames"] == 3
+    assert meta["fps"] == 2.0  # stride 2 halves the frame rate
+    for _, frame in iter_video_frames(bytes(out["payload"])):
+        img = decode_image(frame)
+        assert (img["width"], img["height"]) == (16, 12)
+    assert rows[2]["payload"] is None and rows[2]["n_frames"] is None
+
+
+def test_video_resize_drops_only_bad_frames(spark):
+    from tcdb_spark.sources.video import video_resize_frames
+
+    frames = _frames("rzb", 4)
+    frames[2] = b"garbage frame"
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_video(frames)))], "video_id long, payload binary"
+    )
+    out = video_resize_frames(media, 8, 6).collect()[0]
+    assert out["n_frames"] == 4 and out["n_sampled"] == 3
+    assert decode_video_meta(bytes(out["payload"]))["n_frames"] == 3
