@@ -216,3 +216,18 @@ def test_video_resize_drops_only_bad_frames(spark):
     out = video_resize_frames(media, 8, 6).collect()[0]
     assert out["n_frames"] == 4 and out["n_sampled"] == 3
     assert decode_video_meta(bytes(out["payload"]))["n_frames"] == 3
+
+
+def test_jpeg_frame_hash_stable_across_decode_paths(monkeypatch):
+    # The catalog fixture re-encodes one frame as near-lossless JPEG;
+    # native libjpeg and the stdlib decoder may differ by +/-1 gray
+    # level, which must NEVER flip an aHash cell on the high-contrast
+    # pattern family (cells sit ~190 levels apart) — otherwise the
+    # golden would depend on which decode path the executor loaded.
+    from tcdb_spark.plans.queries_multimodal import _V2_FRAMES
+
+    jpeg_frame = _V2_FRAMES[5]
+    with_native = ahash_image(jpeg_frame)
+    monkeypatch.setenv("TCDB_SPARK_NATIVE_CODECS", "0")
+    without_native = ahash_image(jpeg_frame)
+    assert with_native == without_native
