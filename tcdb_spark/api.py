@@ -1074,3 +1074,11 @@ class Engine:
         from tcdb_spark.sources.video import video_resize_frames
 
         return video_resize_frames(media, out_w, out_h, every_n=every_n)
+
+    def media_dct_phash(self, media: DataFrame, decode_stub: bool = True) -> DataFrame:
+        """DCT perceptual hashes (classic pHash — recompression/rescale
+        robust; run alongside media_ahash and union candidates on
+        mixed-content corpora; sources/multimodal.media_dct_phash)."""
+        from tcdb_spark.sources.multimodal import media_dct_phash
+
+        return media_dct_phash(media, decode_stub=decode_stub)

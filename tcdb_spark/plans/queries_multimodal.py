@@ -556,3 +556,62 @@ def audio_silence_trim_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms",
         F.floor(F.col("active_ratio") * F.lit(_Q)).cast("bigint").alias("ratio_q"),
     )
+
+
+# --- DCT perceptual-hash near-dup lane -------------------------------------
+
+from tcdb_spark.sources.multimodal import (  # noqa: E402
+    media_dct_phash,
+    media_near_dup_pairs,
+    phash_image,
+    resize_ppm,
+)
+
+_DCTP_BASE = make_patterned_ppm("dctp1", width=64, height=48)
+_DCTP_IMAGES = [
+    (1, _DCTP_BASE),
+    (2, _ppm_as_jpeg(_DCTP_BASE)),                      # recompression
+    (3, resize_ppm(_DCTP_BASE, 128, 96)),               # upscale re-export
+    (4, make_patterned_ppm("dctp1", width=64, height=48, brightness=7)),
+    (5, make_patterned_ppm("dctp2", width=64, height=48)),
+    (6, make_patterned_ppm("dctp3", width=64, height=48)),
+    (7, make_patterned_ppm("dctp4", width=64, height=48)),
+]
+
+_DCTP_MAX_HAMMING = 7
+_DCTP_HASHES = {mid: phash_image(p) for mid, p in _DCTP_IMAGES}
+_DCTP_EXPECTED = sorted(
+    (a, b, bin(_DCTP_HASHES[a] ^ _DCTP_HASHES[b]).count("1"))
+    for i, (a, _) in enumerate(_DCTP_IMAGES)
+    for b, _ in _DCTP_IMAGES[i + 1 :]
+    if bin(_DCTP_HASHES[a] ^ _DCTP_HASHES[b]).count("1") <= _DCTP_MAX_HAMMING
+)
+# the full variant clique (recompressed + rescaled + brightened) survives
+assert {(a, b) for a, b, _ in _DCTP_EXPECTED} == {
+    (a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b
+}, _DCTP_EXPECTED
+
+
+@register("image_dct_phash_dedup", oracle=_values_oracle(_DCTP_EXPECTED, _PHASH_TYPES))
+def image_dct_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate images by DCT perceptual hash (the classic
+    pHash): 32x32 downsample -> 2D DCT-II -> 8x8 low-frequency block >
+    block median -> 64 bits, through the SAME banded Hamming join as
+    the aHash lane (sources/multimodal.media_dct_phash +
+    media_near_dup_pairs).  Catches what survives RECOMPRESSION
+    (quantization attacks high frequencies first) and RESCALING (the
+    downsample normalizes size) — the fixture clique includes a
+    near-lossless JPEG re-export, a 2x upscale, and a brightness shift,
+    all at Hamming 0.  Complementarity with aHash is measured and
+    pinned in tests: on low-texture gradients whose DCT block is
+    mostly exact zeros, the median threshold degenerates (bits ride
+    quantization noise) while cell-mean aHash stays exact — run BOTH
+    and union candidates when the corpus mixes content classes."""
+    media = spark.createDataFrame(
+        [(mid, bytearray(p)) for mid, p in _DCTP_IMAGES],
+        "media_id long, payload binary",
+    )
+    pairs = media_near_dup_pairs(
+        media_dct_phash(media), max_hamming=_DCTP_MAX_HAMMING, bands=8
+    )
+    return pairs.orderBy("media_id_a", "media_id_b")

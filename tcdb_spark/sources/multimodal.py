@@ -2203,3 +2203,91 @@ def incremental_ahash_candidates(
         "media_id_b",
         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------- DCT perceptual hash
+
+PHASH_INPUT = 32  # downsample target before the 2D DCT
+
+
+def _dct_basis_n(n: int) -> np.ndarray:
+    """Orthonormal n x n DCT-II basis (the 8x8 `_DCT_T` generalized):
+    T[u, x] = sqrt(2/n) c(u) cos((2x+1)u pi/(2n)); forward F = T f T^T."""
+    x = np.arange(n)
+    t = np.sqrt(2.0 / n) * np.cos(
+        (2 * x[None, :] + 1) * np.arange(n)[:, None] * np.pi / (2 * n)
+    )
+    t[0] *= 1 / np.sqrt(2)
+    return t
+
+
+_PHASH_T = _dct_basis_n(PHASH_INPUT)
+
+
+def phash_image(payload: bytes, grid: int = AHASH_GRID) -> int:
+    """DCT perceptual hash (the classic pHash): grayscale -> 32x32
+    nearest-neighbor downsample -> 2D DCT-II -> keep the top-left
+    ``grid x grid`` low-frequency block -> bit = coefficient > MEDIAN of
+    the block, packed row-major MSB-first.  Returns the UNSIGNED 64-bit
+    value.
+
+    Complementary robustness to :func:`ahash_image`: the low-frequency
+    DCT block survives RECOMPRESSION (JPEG quantization attacks high
+    frequencies first) and RESIZING (the 32x32 downsample normalizes
+    scale), while the median threshold absorbs uniform brightness/
+    contrast shifts (brightness moves only the DC coefficient; contrast
+    scales all coefficients, which preserves every >median comparison).
+    Same output contract as ahash_image, so ``media_near_dup_pairs``,
+    ``ahash_bands`` and ``incremental_ahash_candidates`` compose
+    unchanged."""
+    img = decode_image(payload)
+    gray = img["pixels"].astype(np.float64).mean(axis=2)
+    small = _resize_pixels(
+        {"pixels": gray, "width": img["width"], "height": img["height"]},
+        PHASH_INPUT,
+        PHASH_INPUT,
+    )
+    coeffs = _PHASH_T @ small @ _PHASH_T.T
+    block = coeffs[:grid, :grid].ravel()
+    med = float(np.median(block))
+    val = 0
+    for c in block:
+        val = (val << 1) | int(c > med)
+    return val
+
+
+def media_dct_phash(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """(media_id, payload) -> (media_id, ahash) with the DCT pHash —
+    the recompression/resize-robust twin of :func:`media_ahash`, same
+    AHASH_SCHEMA so every downstream consumer (banded join, incremental
+    index) composes unchanged."""
+
+    def _signed(p) -> int | None:
+        payload = bytes(p)
+        if _is_image(payload):
+            v = phash_image(payload)
+        elif decode_stub:
+            import hashlib
+
+            v = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+        else:
+            raise NotImplementedError(
+                "payload format needs codec libraries not in this container"
+            )
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def _op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": [
+                        _signed(p) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_op, schema=AHASH_SCHEMA)
