@@ -191,7 +191,9 @@ def bloom_probe_packed(
     The join-form :func:`bloom_probe` remains the mergeable/sparse twin
     and the oracle-attested path; verdict equality is pinned in tests.
     Emits every probe row (duplicates preserved) with maybe_member
-    appended."""
+    appended; a NULL probe key yields a NULL verdict — the same
+    three-valued outcome the sparse twin produces (null positions miss
+    the word join and the hit-sum over no non-null rows is null)."""
     from pyspark.sql.functions import pandas_udf
 
     # NOTE: `pd` must be importable at MODULE scope — with postponed
@@ -202,8 +204,12 @@ def bloom_probe_packed(
         import numpy as np
 
         bitmap = np.frombuffer(packed, dtype=np.uint8)
-        p = pos.to_numpy(dtype=np.int64)
-        return pd.Series(((bitmap[p >> 3] >> (p & 7)) & 1).astype(bool))
+        valid = pos.notna().to_numpy()
+        p = pos.fillna(0).to_numpy(dtype=np.int64)
+        hit = ((bitmap[p >> 3] >> (p & 7)) & 1).astype(bool)
+        out = pd.array(hit, dtype="boolean")
+        out[~valid] = pd.NA
+        return pd.Series(out)
 
     out = probe
     for i in range(k):

@@ -232,7 +232,7 @@ _BLOOM_BPOS = " UNION ALL ".join(
 def bloom_prefilter_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcastable Bloom-filter membership prefilter
     (operators/bloom.py): the blocklist (every 97th document's content
-    hash) folds into a {BLOOM_M}-bit bitmap via one explode + one
+    hash) folds into a 4096-bit (BLOOM_M_BITS) bitmap via one explode + one
     map-side-combined bit_or aggregation; probing the corpus PLUS
     planted re-occurrences of blocked content is a projection + one
     broadcast join on the bitmap's word index — the member set's
@@ -243,7 +243,7 @@ def bloom_prefilter_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle mirrors the md5 hex-polynomial positions, so the
     verdicts — INCLUDING any deterministic false positive — must match
     bit-for-bit; no false negatives by construction (every planted
-    re-occurrence is found).""".replace("{BLOOM_M}", str(BLOOM_M_BITS))
+    re-occurrence is found)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     key = F.md5(F.col("text").cast("binary")).alias("key")
     block = docs.where(F.col("doc_id") % 97 == 0).select(key)

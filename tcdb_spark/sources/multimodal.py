@@ -2160,8 +2160,11 @@ def incremental_ahash_candidates(
     from the one-shot shape (pigeonhole: max_hamming < bands).  Append
     ``new_bands`` to the stored index afterwards.
 
-    Returns (media_id_a, media_id_b, hamming) with a < b, the b side
-    always from the new batch when the pair crosses batches."""
+    Returns (media_id_a, media_id_b, hamming) with a < b — sides are
+    normalized by least/greatest(media_id), so for a cross-batch pair
+    the new-batch row lands on whichever side its id sorts to (the pair
+    key is provenance-agnostic by design: replaying a batch or merging
+    two indexes yields identical pair rows)."""
     if max_hamming >= bands:
         raise ValueError(
             f"banded join is only exact for max_hamming < bands "

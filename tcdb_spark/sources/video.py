@@ -136,7 +136,6 @@ def video_near_dup_pairs(
     max_hamming: int = 7,
     bands: int = 8,
     min_match_frac: float = 0.6,
-    every_n: int = 1,
 ) -> DataFrame:
     """Video-level near-duplicates from frame-level hash matches.
 
@@ -220,12 +219,19 @@ def video_near_dup_pairs(
             "video_id_b",
             "matched_a",
             "matched_b",
-            F.round(F.col("matched_a") / F.col("n_a"), 4).alias("match_frac_a"),
-            F.round(F.col("matched_b") / F.col("n_b"), 4).alias("match_frac_b"),
+            # gate on the UNROUNDED fractions (a pair at true coverage
+            # min_match_frac - 5e-5 must not slip through via HALF_UP
+            # rounding at >=10k sampled frames); round only the emitted
+            # columns
+            (F.col("matched_a") / F.col("n_a")).alias("_frac_a"),
+            (F.col("matched_b") / F.col("n_b")).alias("_frac_b"),
         )
     )
-    return scored.where(
-        F.greatest("match_frac_a", "match_frac_b") >= min_match_frac
+    return (
+        scored.where(F.greatest("_frac_a", "_frac_b") >= min_match_frac)
+        .withColumn("match_frac_a", F.round(F.col("_frac_a"), 4))
+        .withColumn("match_frac_b", F.round(F.col("_frac_b"), 4))
+        .drop("_frac_a", "_frac_b")
     )
 
 

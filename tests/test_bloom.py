@@ -147,3 +147,25 @@ def test_pack_guard_rejects_oversized_bitmap(spark):
 
     with pytest.raises(ValueError, match="16 MiB"):
         bloom_pack(bloom_build(_keys_df(spark, ["x"]), m_bits=1 << 40), m_bits=1 << 40)
+
+def test_packed_probe_null_key_matches_sparse_twin(spark):
+    """NULL probe keys must not fail the task (ADVICE r7): both probe
+    forms emit the row with a NULL verdict — the sparse twin's natural
+    three-valued outcome (null positions miss the word join; the
+    hit-sum over zero non-null rows is null)."""
+    from tcdb_spark.operators.bloom import bloom_pack, bloom_probe_packed
+
+    members = [f"n-{i}" for i in range(50)]
+    bloom = bloom_build(_keys_df(spark, members))
+    probes = spark.createDataFrame(
+        [("n-1",), (None,), ("q-absent",), (None,)], "key string"
+    )
+    sparse = {
+        r["key"]: r["maybe_member"] for r in bloom_probe(probes, bloom).collect()
+    }
+    packed_rows = bloom_probe_packed(probes, bloom_pack(bloom)).collect()
+    assert len(packed_rows) == 4  # every probe row emitted, nulls included
+    packed = {r["key"]: r["maybe_member"] for r in packed_rows}
+    assert sparse == packed
+    assert packed["n-1"] is True
+    assert packed[None] is None
