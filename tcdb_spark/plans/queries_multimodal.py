@@ -432,6 +432,116 @@ def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("video_id_a", "video_id_b")
 
 
+# --- MP4 / ISO-BMFF demuxer lane (sources/mp4.py, round 8) -----------------
+
+from tcdb_spark.sources.mp4 import encode_mp4_mjpeg  # noqa: E402
+
+
+def _mjpeg_frames(prefix: str, n: int, brightness: int = 0) -> list[bytes]:
+    return [
+        encode_jpeg(
+            decode_ppm(make_patterned_ppm(f"{prefix}-{i}", brightness=brightness))[
+                "pixels"
+            ],
+            quant=1,
+        )
+        for i in range(n)
+    ]
+
+
+# Same duplicate classes as the TCVC lane, but every frame is a real
+# JPEG (the only image codec MP4 sample entries carry here) and every
+# container is a spec-conformant .mp4: M2 is a brightness-shifted
+# re-encode of M1, M3 replaces 3 of M1's 8 frames, M4 is a 5-frame
+# trim, M5/M6 are unrelated.
+_M1 = _mjpeg_frames("m1", 8)
+_M3 = list(_M1)
+for _i in (2, 5, 7):
+    _M3[_i] = _mjpeg_frames(f"m3x-{_i}", 1)[0]
+
+_MP4_VIDEOS = [
+    (1, encode_mp4_mjpeg(_M1, fps=2.0)),
+    (2, encode_mp4_mjpeg(_mjpeg_frames("m1", 8, brightness=6), fps=2.0)),
+    (3, encode_mp4_mjpeg(_M3, fps=2.0)),
+    (4, encode_mp4_mjpeg(_M1[:5], fps=2.0)),
+    (5, encode_mp4_mjpeg(_mjpeg_frames("m5", 8), fps=2.0)),
+    (6, encode_mp4_mjpeg(_mjpeg_frames("m6", 6), fps=2.0)),
+]
+
+
+def _mp4dup_expected() -> list[tuple]:
+    """Naive all-pairs reference over the MP4 corpus — frames reach the
+    hasher through the REAL demux path (moov sample tables -> byte-range
+    slices), so a box-parsing bug shifts offsets and breaks this golden."""
+    hashes = {
+        vid: [(idx, ahash_image(f)) for idx, f in iter_video_frames(p)]
+        for vid, p in _MP4_VIDEOS
+    }
+    out = []
+    for i, (va, _) in enumerate(_MP4_VIDEOS):
+        for vb, _ in _MP4_VIDEOS[i + 1 :]:
+            ma = {
+                ia
+                for ia, ha in hashes[va]
+                for _, hb in hashes[vb]
+                if bin(ha ^ hb).count("1") <= _VDUP_MAX_HAMMING
+            }
+            mb = {
+                ib
+                for ib, hb in hashes[vb]
+                for _, ha in hashes[va]
+                if bin(ha ^ hb).count("1") <= _VDUP_MAX_HAMMING
+            }
+            if not ma:
+                continue
+            fa = len(ma) / len(hashes[va])
+            fb = len(mb) / len(hashes[vb])
+            if max(fa, fb) >= _VDUP_MIN_FRAC:
+                out.append(
+                    (va, vb, len(ma), len(mb), round(fa * 10000), round(fb * 10000))
+                )
+    return sorted(out)
+
+
+_MP4DUP_EXPECTED = _mp4dup_expected()
+# the re-encode (1,2), the partial (1,3), the trim (1,4) all survive
+assert {(a, b) for a, b, *_ in _MP4DUP_EXPECTED} >= {(1, 2), (1, 3), (1, 4)}
+assert all(a in (1, 2, 3, 4) and b in (1, 2, 3, 4) for a, b, *_ in _MP4DUP_EXPECTED)
+
+
+@register("video_near_dup_mp4", oracle=_values_oracle(_MP4DUP_EXPECTED, _VDUP_TYPES))
+def video_near_dup_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """video_near_dup on REAL .mp4 files: the pure-stdlib ISO-BMFF
+    demuxer (sources/mp4.py) parses each container's moov sample tables
+    (stsd codec id, stsz sizes, stsc×stco chunk walk, stts timing) into
+    the seek-table the frame sampler consumes — sampled frames are
+    byte-range slices out of mdat, decoded through the native-first
+    JPEG path, hashed, then the same banded Hamming join + coverage
+    aggregation as the TCVC lane.  Closes the r7 'what's missing' #1:
+    a user's Motion-JPEG .mp4/.mov corpus now runs near-dup unmodified
+    (H.264-class tracks degrade to header-only metadata rows, pinned in
+    tests/test_mp4.py).  Golden vs the naive all-pairs reference whose
+    frames come through the SAME demux path, so any offset bug in the
+    box walk diverges the oracle."""
+    media = spark.createDataFrame(
+        [(vid, bytearray(p)) for vid, p in _MP4_VIDEOS],
+        "video_id long, payload binary",
+    )
+    pairs = video_near_dup_pairs(
+        video_frame_hashes(media),
+        max_hamming=_VDUP_MAX_HAMMING,
+        min_match_frac=_VDUP_MIN_FRAC,
+    )
+    return pairs.select(
+        "video_id_a",
+        "video_id_b",
+        "matched_a",
+        "matched_b",
+        F.round(F.col("match_frac_a") * 10000).cast("int").alias("frac_a_bp"),
+        F.round(F.col("match_frac_b") * 10000).cast("int").alias("frac_b_bp"),
+    ).orderBy("video_id_a", "video_id_b")
+
+
 # --- windowed audio segmentation lane -------------------------------------
 
 from tcdb_spark.sources.spectral import audio_segments, segment_features  # noqa: E402

@@ -1,17 +1,22 @@
 """Video container plumbing + frame-sampled near-duplicate detection.
 
 §2.12 extension surface (the reference engine has no video path).  Real
-video arrives in containers (MP4/MKV) whose sample tables let a reader
-seek straight to frame N without decoding the stream; the codec
-libraries for those containers aren't in this image, so the container
-here is TCVC — a minimal index-plus-payloads format with exactly that
-property (magic, frame count, frame rate, per-frame byte lengths, then
-the frame payloads back-to-back).  The FRAMES are real: any payload
-``multimodal.decode_image`` handles (PPM/PGM, PNG, JPEG — all three
-through the native-codec routing seam), so per-frame work runs the same
-code paths a real pipeline would, and swapping TCVC parsing for an MP4
-demuxer behind ``decode_video_meta``/``iter_video_frames`` is the
-documented seam (OPERATIONS.md).
+video arrives in containers whose sample tables let a reader seek
+straight to frame N without decoding the stream.  Two containers route
+through the one seam here (``decode_video_meta`` /
+``iter_video_frames``):
+
+- **MP4 / ISO-BMFF** (``sources/mp4.py``, round 8): the real-world
+  format — the moov sample tables (stsd/stsz/stsc/stco/stts/stss) parse
+  pure-stdlib into the same seek-table dict.  Motion-JPEG tracks decode
+  per-frame through the native-first JPEG path, so near-dup runs on
+  actual .mp4 files; inter-frame codecs (H.264/HEVC/AV1 — no decoder in
+  this image) parse to full header metadata with ``decodable=False``
+  and refuse frame decode with an actionable error.
+- **TCVC** — the repo's minimal index-plus-payloads fixture format
+  (magic, frame count, frame rate, per-frame byte lengths, payloads
+  back-to-back), kept as the codec-agnostic test container (PPM/PGM and
+  PNG frames, which MP4 sample entries don't carry).
 
 Scale shape: the header is parsed without touching frame bytes, frame
 SAMPLING decodes only the selected frames (byte-range slices out of the
@@ -46,11 +51,17 @@ def encode_video(frames: list[bytes], fps: float = 1.0) -> bytes:
 
 
 def decode_video_meta(payload: bytes) -> dict:
-    """Header-only parse: {n_frames, fps, lengths, offsets} without
-    reading a single frame byte — the seek-table property that makes
-    frame sampling cheap."""
+    """Header-only parse: {n_frames, fps, lengths, offsets, codec,
+    decodable} without reading a single frame byte — the seek-table
+    property that makes frame sampling cheap.  Routes by container:
+    TCVC magic first, then ISO-BMFF (MP4/MOV) via the stdlib box-tree
+    demuxer in ``sources/mp4.py``."""
     if payload[:4] != _MAGIC:
-        raise ValueError("not a TCVC video payload")
+        from tcdb_spark.sources.mp4 import is_mp4, video_track_meta
+
+        if is_mp4(bytes(payload[:16])):
+            return video_track_meta(payload)
+        raise ValueError("not a TCVC or ISO-BMFF (MP4) video payload")
     if len(payload) < 12:
         raise ValueError("truncated TCVC header")
     n, fps_milli = _struct.unpack_from("<II", payload, 4)
@@ -69,6 +80,8 @@ def decode_video_meta(payload: bytes) -> dict:
         "fps": fps_milli / 1000.0,
         "lengths": lengths,
         "offsets": offsets,
+        "codec": "tcvc",
+        "decodable": True,
     }
 
 
@@ -77,8 +90,16 @@ def iter_video_frames(
 ) -> Iterator[tuple[int, bytes]]:
     """Yield (frame_idx, frame_bytes) for every ``every_n``-th frame —
     only the selected byte ranges are sliced; skipped frames are never
-    materialized."""
+    materialized.  Refuses tracks whose codec has no image decoder in
+    this image (H.264/HEVC/AV1 samples are NAL units, not images)."""
     meta = decode_video_meta(payload)
+    if not meta.get("decodable", True):
+        raise NotImplementedError(
+            f"no decoder for video codec '{meta.get('codec')}' in this "
+            "image — header metadata (dims/fps/byte ranges/keyframes) is "
+            "available via decode_video_meta; transcode the track to "
+            "Motion-JPEG for frame-level work"
+        )
     for idx in range(0, meta["n_frames"], every_n):
         off, ln = meta["offsets"][idx], meta["lengths"][idx]
         yield idx, payload[off : off + ln]
@@ -90,8 +111,11 @@ def video_frame_hashes(media: DataFrame, every_n: int = 1) -> DataFrame:
     the native-first seam) and emit its 64-bit perceptual hash.  One
     Arrow-batched mapInPandas riding the scan; a video whose container
     fails to parse yields a single null-hash row (schema-stable — the
-    caller filters), and an individual undecodable FRAME yields a null
-    hash at its index without sinking the clip."""
+    caller filters), a parsed container whose CODEC has no decoder
+    (e.g. an H.264 MP4 track) yields one row carrying n_frames with a
+    null frame_idx/hash (metadata survives; no NAL bytes are sliced),
+    and an individual undecodable FRAME yields a null hash at its index
+    without sinking the clip."""
 
     def _op(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -105,6 +129,12 @@ def video_frame_hashes(media: DataFrame, every_n: int = 1) -> DataFrame:
                 except (ValueError, TypeError):
                     vid_col.append(vid)
                     nf_col.append(None)
+                    idx_col.append(None)
+                    hash_col.append(None)
+                    continue
+                if not meta.get("decodable", True):
+                    vid_col.append(vid)
+                    nf_col.append(meta["n_frames"])
                     idx_col.append(None)
                     hash_col.append(None)
                     continue
