@@ -187,8 +187,13 @@ class Engine:
             w=span_w,
         )
         sp = spans.groupBy("doc_id").agg(
-            F.collect_list(
-                F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+            # consumed order-invariantly, sorted for retry-determinism
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                    )
+                )
             ).alias("sl"),
             F.sum("span_len").alias("__cut"),
         )

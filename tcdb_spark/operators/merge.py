@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 from pyspark.sql.window import Window as W
 
 
@@ -96,7 +97,31 @@ def merge(
             "pass schema_evolution=True to append them (mergeSchema semantics)"
         )
 
-    inc = incoming.dropDuplicates(keys) if dedupe_incoming else incoming
+    if dedupe_incoming:
+        # DETERMINISTIC dedup (round-8 retry audit): dropDuplicates keeps
+        # whichever row a partition scan order surfaces first — a
+        # recomputed task can surface a different one.  Rank duplicates
+        # by the descending tuple of their orderable non-key columns
+        # instead: stable under any partitioning, and full-duplicate
+        # rows are interchangeable by definition.
+        orderable = [
+            c
+            for c in incoming.columns
+            if c not in keys and not isinstance(incoming.schema[c].dataType, MapType)
+        ]
+        if orderable:
+            w_dedup = W.partitionBy(*keys).orderBy(
+                *[F.col(c).desc_nulls_last() for c in orderable]
+            )
+            inc = (
+                incoming.withColumn("__rn", F.row_number().over(w_dedup))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            inc = incoming.dropDuplicates(keys)
+    else:
+        inc = incoming
     cur = current.alias("cur")
     inc = inc.alias("inc")
 
@@ -188,6 +213,37 @@ def latest_wins_dedupe(incoming: DataFrame, keys: list[str], order_desc: list[st
     return incoming.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
+def _latest_per_key(
+    feed: DataFrame, keys: list[str], seq_col: str, op_col: str
+) -> DataFrame:
+    """Latest op per key by (seq DESC, destructive-op rank, payload DESC).
+
+    The payload columns extend the ordering so a full tie on
+    (seq, op) — duplicate natural keys in one batch, a real occurrence
+    (shadow-sweep finding) — still resolves to the SAME row under task
+    retry and any partitioning; without them row_number picks whichever
+    duplicate the scan surfaced first."""
+    payload = [
+        c
+        for c in feed.columns
+        if c not in keys
+        and c not in (seq_col, op_col)
+        and not isinstance(feed.schema[c].dataType, MapType)
+    ]
+    w = W.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        # tie-break: destructive op wins (D > U > I lexicographically
+        # inverted via explicit rank)
+        F.when(F.col(op_col) == "D", 0).when(F.col(op_col) == "U", 1).otherwise(2),
+        *[F.col(c).desc_nulls_last() for c in payload],
+    )
+    return (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def apply_cdc(
     current: DataFrame,
     feed: DataFrame,
@@ -218,19 +274,7 @@ def apply_cdc(
     then 'U' then 'I' — the destructive op wins, matching
     at-least-once delivery of a delete.
     """
-    from pyspark.sql.window import Window as W
-
-    w = W.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(),
-        # tie-break: destructive op wins (D > U > I lexicographically
-        # inverted via explicit rank)
-        F.when(F.col(op_col) == "D", 0).when(F.col(op_col) == "U", 1).otherwise(2),
-    )
-    latest = (
-        feed.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    latest = _latest_per_key(feed, keys, seq_col, op_col)
     upserts = latest.where(F.col(op_col).isin("I", "U")).drop(seq_col, op_col)
     merged = merge(current, upserts, keys, dedupe_incoming=False, **merge_kwargs)
     deletes = latest.where(F.col(op_col) == "D").select(*keys)
@@ -281,15 +325,7 @@ def apply_cdc_soft(
     window + the MERGE join.  Tombstone GC is a maintenance delete
     (delete_where on deleted rows older than the replay horizon).
     """
-    w = W.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(),
-        F.when(F.col(op_col) == "D", 0).when(F.col(op_col) == "U", 1).otherwise(2),
-    )
-    latest = (
-        feed.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    latest = _latest_per_key(feed, keys, seq_col, op_col)
     inc = latest.withColumn(deleted_col, F.col(op_col) == "D").drop(op_col)
     # newer sequence always applies; equal sequence only if destructive
     guard = (F.col(f"inc.{seq_col}") > F.col(f"cur.{seq_col}")) | (

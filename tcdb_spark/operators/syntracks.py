@@ -75,7 +75,11 @@ def assign_tracks_to_invest(
             F.min_by("lat", F.col("hour")).alias("first_lat"),
             F.min_by("lon", F.col("hour")).alias("first_lon"),
             F.count(F.lit(1)).alias("track_len"),
-            F.first("annual_id").alias("annual_id"),
+            # the pre-assigned invest id is constant across a track's
+            # rows when present; max (null-skipping) reads it without
+            # depending on partition order the way first() would under
+            # task retry (round-8 determinism audit)
+            F.max("annual_id").alias("annual_id"),
         )
         .withColumn("first_valid", valid_time("init", F.col("first_hour")))
         .withColumn(

@@ -33,10 +33,17 @@ def tokens(text: Column) -> Column:
 
 def shingles(toks: Column) -> Column:
     """Word 5-shingles: rare enough that the inverted index never
-    explodes on the hot-key problem frequent shingles cause at scale."""
-    return F.transform(
+    explodes on the hot-key problem frequent shingles cause at scale.
+    Total (empty array below SHINGLE tokens) — the when() guard keeps
+    element_at behind a genuine short-circuit even when the optimizer
+    hoists the expression past an upstream size filter (see
+    plans/queries_corpus._ngrams for the failure shape)."""
+    sh = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (SHINGLE - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(SHINGLE)]),
+    )
+    return F.when(F.size(toks) >= SHINGLE, sh).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -541,19 +541,27 @@ def grouped_arrow_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) / (86400.0 * 1_000_000.0)  # timestamp us -> days
         y = table.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
         n = len(y)
+        # regr_* semantics: NULL pairs (NaN after Arrow->numpy) are
+        # excluded from the fit but count(*) still counts them
+        # (shadow-sweep finding: all-null and partly-null groups exist)
+        mask = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[mask], y[mask]
         # centered form: the raw normal equations (n*Sxx - Sx^2) cancel
         # catastrophically when x is epoch days (~2e4) — ~10 digits lost,
         # measured as 1e-9 slope disagreement vs DuckDB's stable regr_*
-        xc = x - x.mean()
-        yc = y - y.mean()
-        den = float((xc * xc).sum())
-        if den == 0.0:
+        if len(x) == 0:
             slope, intercept = None, None
         else:
-            slope = float((xc * yc).sum()) / den
-            intercept = float(y.mean() - slope * x.mean())
-            slope = round(slope, 9)
-            intercept = round(intercept, 5)
+            xc = x - x.mean()
+            yc = y - y.mean()
+            den = float((xc * xc).sum())
+            if den == 0.0:
+                slope, intercept = None, None
+            else:
+                slope = float((xc * yc).sum()) / den
+                intercept = float(y.mean() - slope * x.mean())
+                slope = round(slope, 9)
+                intercept = round(intercept, 5)
         return pa.Table.from_pydict(
             {
                 "user_id": pa.array([uid], pa.int64()),

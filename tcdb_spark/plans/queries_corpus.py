@@ -35,10 +35,22 @@ _TOKS_SQL = """
 
 def _ngrams(tokens: Column, n: int) -> Column:
     """Word n-grams as space-joined strings (JVM-side transform over a
-    generated index sequence — no shuffle, no Python)."""
-    return F.transform(
+    generated index sequence — no shuffle, no Python).
+
+    TOTAL by construction (shadow-sweep finding, round 8): for docs
+    shorter than ``n`` the expression must yield [] rather than rely on
+    an upstream ``where(size >= n)`` — InferFiltersFromGenerate copies
+    the array expression into the Filter and subexpression elimination
+    evaluates it EAGERLY before the size guard's AND short-circuit, so
+    an un-guarded ``sequence(1, size-(n-1))`` steps DESCENDING through
+    index 0 and element_at throws under ANSI.  The when() guard keeps
+    the throwing branch behind CaseWhen's genuine short-circuit."""
+    grams = F.transform(
         F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + k) for k in range(n)]),
+    )
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

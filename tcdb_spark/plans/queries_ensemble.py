@@ -59,8 +59,10 @@ def join_track_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = assign_tracks_to_invest(tracks, invests)
     return out.groupBy("ensemble").agg(
-        F.first("annual_id").alias("annual_id"),
-        F.first("storm_name").alias("storm_name"),
+        # assignment is per-track, so these are constant within the
+        # group — max is the order-free read (determinism audit)
+        F.max("annual_id").alias("annual_id"),
+        F.max("storm_name").alias("storm_name"),
         F.count(F.lit(1)).alias("n_steps"),
     )
 

@@ -143,10 +143,14 @@ def agg_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_asof_nearest",
     oracle="""
-    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    -- rid, not event_id, as the dedup partition: event_id is a natural
+    -- key that CAN repeat (shadow-sweep finding) and the engine is
+    -- per-ROW, so the oracle must be too
+    WITH p AS (SELECT row_number() OVER () AS rid, event_id, user_id, ts
+               FROM events WHERE event_type = 'purchase'),
     c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
     pairs AS (
-        SELECT p.event_id, p.user_id, p.ts, c.click_ts,
+        SELECT p.rid, p.event_id, p.user_id, p.ts, c.click_ts,
                abs(epoch(p.ts) - epoch(c.click_ts)) AS d,
                CASE WHEN c.click_ts <= p.ts THEN 0 ELSE 1 END AS side
         FROM p LEFT JOIN c USING (user_id)
@@ -155,7 +159,7 @@ def agg_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN d <= 6 * 3600 THEN click_ts END AS click_ts
     FROM pairs
     QUALIFY row_number() OVER (
-        PARTITION BY event_id ORDER BY d ASC, side ASC) = 1
+        PARTITION BY rid ORDER BY d ASC, side ASC) = 1
     """,
 )
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,10 +186,14 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_asof_nearest_bucketed",
     oracle="""
-    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    -- rid, not event_id, as the dedup partition: event_id is a natural
+    -- key that CAN repeat (shadow-sweep finding) and the engine is
+    -- per-ROW, so the oracle must be too
+    WITH p AS (SELECT row_number() OVER () AS rid, event_id, user_id, ts
+               FROM events WHERE event_type = 'purchase'),
     c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
     pairs AS (
-        SELECT p.event_id, p.user_id, p.ts, c.click_ts,
+        SELECT p.rid, p.event_id, p.user_id, p.ts, c.click_ts,
                abs(epoch(p.ts) - epoch(c.click_ts)) AS d,
                CASE WHEN c.click_ts <= p.ts THEN 0 ELSE 1 END AS side
         FROM p LEFT JOIN c USING (user_id)
@@ -194,7 +202,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN d <= 6 * 3600 THEN click_ts END AS click_ts
     FROM pairs
     QUALIFY row_number() OVER (
-        PARTITION BY event_id ORDER BY d ASC, side ASC) = 1
+        PARTITION BY rid ORDER BY d ASC, side ASC) = 1
     """,
 )
 def join_asof_nearest_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,10 +26,20 @@ def _current_incoming(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
 @register(
     "merge_upsert",
     oracle="""
+    -- inc mirrors the engine's DETERMINISTIC source dedup (duplicate
+    -- natural keys are real — shadow-sweep finding): rank duplicates by
+    -- the descending tuple of non-key columns, keep rank 1
     WITH cur AS (SELECT * FROM events WHERE event_id % 2 = 0),
          inc AS (SELECT event_id, ts, user_id, event_type,
                         value + 1.0 AS value
-                 FROM events WHERE event_id % 3 = 0)
+                 FROM (SELECT *, row_number() OVER (
+                           PARTITION BY event_id
+                           ORDER BY ts DESC NULLS LAST, user_id DESC NULLS LAST,
+                                    event_type DESC NULLS LAST,
+                                    value DESC NULLS LAST, props DESC NULLS LAST
+                       ) AS rn
+                       FROM events WHERE event_id % 3 = 0)
+                 WHERE rn = 1)
     SELECT coalesce(c.event_id, i.event_id) AS event_id,
            CASE WHEN i.event_id IS NOT NULL THEN i.ts ELSE c.ts END AS ts,
            CASE WHEN i.event_id IS NOT NULL THEN i.user_id ELSE c.user_id END AS user_id,
@@ -144,7 +154,8 @@ def dedup_file_content(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT f.*, row_number() OVER (
                 PARTITION BY event_id
                 ORDER BY seq DESC,
-                         CASE op WHEN 'D' THEN 0 WHEN 'U' THEN 1 ELSE 2 END
+                         CASE op WHEN 'D' THEN 0 WHEN 'U' THEN 1 ELSE 2 END,
+                         v DESC NULLS LAST
             ) AS rn FROM feed f
         ) WHERE rn = 1
     ), ups AS (
@@ -221,20 +232,30 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id + 10000000 AS event_id, CAST(1 AS BIGINT) AS seq,
                'I' AS op, 2.5 AS v
         FROM events WHERE event_id % 5 = 0
-    ), unioned AS (
-        SELECT event_id, v, seq, del FROM cur
-        UNION ALL
-        SELECT event_id, v, seq, (op = 'D') AS del FROM feed
     ), latest AS (
-        SELECT event_id, v, seq, del FROM (
-            SELECT u.*, row_number() OVER (
+        -- mirrors the engine's deterministic latest-op-per-key window:
+        -- seq DESC, destructive op first, then payload DESC as the
+        -- duplicate-natural-key tie-break (shadow-sweep finding)
+        SELECT event_id, v, seq, (op = 'D') AS del FROM (
+            SELECT f.*, row_number() OVER (
                 PARTITION BY event_id
-                ORDER BY seq DESC, CASE WHEN del THEN 0 ELSE 1 END
-            ) AS rn FROM unioned u
+                ORDER BY seq DESC,
+                         CASE op WHEN 'D' THEN 0 WHEN 'U' THEN 1 ELSE 2 END,
+                         v DESC NULLS LAST
+            ) AS rn FROM feed f
         ) WHERE rn = 1
+    ), merged AS (
+        -- per-ROW full outer (the engine is MERGE-shaped: duplicate
+        -- target keys each match the one latest feed row); the feed's
+        -- seq is always > the bootstrap seq 0, so presence == applied
+        SELECT coalesce(c.event_id, l.event_id) AS event_id,
+               CASE WHEN l.event_id IS NOT NULL THEN l.v ELSE c.v END AS v,
+               CASE WHEN l.event_id IS NOT NULL THEN l.seq ELSE c.seq END AS seq,
+               CASE WHEN l.event_id IS NOT NULL THEN l.del ELSE c.del END AS del
+        FROM cur c FULL OUTER JOIN latest l ON c.event_id = l.event_id
     )
     SELECT event_id, v AS value, seq AS applied_seq
-    FROM latest WHERE NOT del
+    FROM merged WHERE NOT del
     """,
 )
 def cdc_apply_soft(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -161,15 +161,20 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
         _tokens(F.col("text")).alias("tokens")
     )
+    # when-guarded so the expression is total: InferFiltersFromGenerate
+    # can hoist it past the size>=2 filter (see queries_corpus._ngrams)
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size("tokens") - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("tokens"), i),
+            F.element_at(F.col("tokens"), i + 1),
+        ),
+    )
     bigrams = toks.where(F.size("tokens") >= 2).select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tokens") - 1),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("tokens"), i),
-                    F.element_at(F.col("tokens"), i + 1),
-                ),
+            F.when(F.size("tokens") >= 2, bg).otherwise(
+                F.array().cast("array<string>")
             )
         ).alias("token")
     )
@@ -315,9 +320,11 @@ def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = duplicated_spans(toks.where(F.size("tokens") >= SPAN_W), w=SPAN_W)
     sp = spans.groupBy("doc_id").agg(
-        F.collect_list(F.struct(
+        # consumed order-invariantly (exists/filter), but sorted anyway
+        # so the plan is provably retry-deterministic (lint rule)
+        F.array_sort(F.collect_list(F.struct(
             F.col("span_start").alias("s"), F.col("span_end").alias("e")
-        )).alias("sl")
+        ))).alias("sl")
     )
     joined = toks.join(sp, "doc_id", "left").withColumn(
         "sl", F.coalesce("sl", F.array().cast("array<struct<s:int,e:int>>"))

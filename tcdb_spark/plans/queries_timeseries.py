@@ -294,7 +294,10 @@ def truncated_ewma(
         d = F.when(lag_cols[i].isNotNull(), F.lit(decay[i])).otherwise(F.lit(0.0))
         num = t if num is None else num + t
         den = d if den is None else den + d
-    return df.withColumn(out_col, num / den)
+    # a row whose ENTIRE lag window is null has den == 0 (shadow-sweep
+    # finding: all-null value runs exist in real streams) — emit NULL
+    # like DuckDB's /0 instead of throwing under ANSI
+    return df.withColumn(out_col, F.when(den != 0.0, num / den))
 
 
 @register("ewma_smooth", oracle=_EWMA_ORACLE)
@@ -374,10 +377,15 @@ def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _corr(col: str):
+        # both stddevs over the PAIRED set (value AND lag non-null) —
+        # covar_samp skips half-null pairs, so the moments must too;
+        # masking only one side diverged from corr() once null values
+        # appeared in the series (shadow-sweep finding)
+        pair = F.col(col).isNotNull() & F.col("value").isNotNull()
         return F.try_divide(
             F.covar_samp(F.col("value"), F.col(col)),
-            F.stddev_samp(F.when(F.col(col).isNotNull(), F.col("value")))
-            * F.stddev_samp(F.col(col)),
+            F.stddev_samp(F.when(pair, F.col("value")))
+            * F.stddev_samp(F.when(pair, F.col(col))),
         )
 
     a = s.groupBy("user_id").agg(

@@ -228,8 +228,10 @@ def mad_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.first("med"), 1).alias("med_chars"),
-            F.round(F.first("mad"), 1).alias("mad_chars"),
+            # med/mad are broadcast-joined per-source constants: min is
+            # the order-free read of a constant column (determinism audit)
+            F.round(F.min("med"), 1).alias("med_chars"),
+            F.round(F.min("mad"), 1).alias("mad_chars"),
             F.sum(
                 F.when(
                     F.abs(F.col("n_chars") - F.col("med")) > F.lit(MAD_K) * F.col("mad"),

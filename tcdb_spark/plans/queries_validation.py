@@ -27,14 +27,20 @@ from tcdb_spark.plans.catalog import load_tables, register
 )
 def check_range_coerce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lenient range validation: out-of-range -> null (velocity-style) or
-    default (pressure-style, None -> 1000) — tcdb/validation.py:6-33."""
-    e = load_tables(spark, sf_dir, "events")["events"].select("event_id", "value")
-    coerced = check_range_coerce(e, [RangeRule("value", 0, 100)])
-    pressure = check_range_coerce(
-        e.select("event_id", F.col("value").alias("pressure_like")),
-        [RangeRule("pressure_like", 850, 1050, also_allowed=(0,), default=1000)],
+    default (pressure-style, None -> 1000) — tcdb/validation.py:6-33.
+    Both rules apply in ONE row-preserving pass (zero shuffles); the
+    earlier two-frame self-join on event_id fanned out on duplicate
+    natural keys (shadow-sweep finding) and shuffled for nothing."""
+    e = load_tables(spark, sf_dir, "events")["events"].select(
+        "event_id", "value", F.col("value").alias("pressure_like")
     )
-    return coerced.join(pressure, on="event_id")
+    return check_range_coerce(
+        e,
+        [
+            RangeRule("value", 0, 100),
+            RangeRule("pressure_like", 850, 1050, also_allowed=(0,), default=1000),
+        ],
+    )
 
 
 @register(

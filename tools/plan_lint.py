@@ -10,6 +10,16 @@ Flags:
   path; Arrow ops (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas)
   are the sanctioned Python escape hatch and are reported but not
   flagged.
+- Retry-nondeterminism (round-8 audit): at cluster scale stragglers
+  RECOMPUTE partitions, so any expression whose value depends on
+  partition order or on a per-task RNG silently breaks exactly-once
+  output.  Two rules over the OPTIMIZED logical plan: (a) rand()/
+  randn()/uuid()/shuffle()/monotonically_increasing_id/
+  spark_partition_id anywhere (sampling must key on xxhash64(natural
+  key, seed) instead — the enforced repo rule); (b) first()/last()/
+  any_value()/collect_list()/collect_set() inside an Aggregate unless
+  wrapped in array_sort()/sort_array() (window-function first/last
+  over an explicit ordering are fine and not flagged).
 
 Writes PLAN_LINT.md (per-query node counts) and exits 1 on any
 non-allowlisted flag, so it doubles as a regression gate.
@@ -92,6 +102,46 @@ QUERY_BUDGET_S = 120.0
 
 # Arrow-based Python ops are design choices documented per operator.
 ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+
+# Expressions that diverge when a task is retried / a stage recomputed.
+NONDET_EXPR_PATTERNS = (
+    r"(?<![a-z_])rand\(",
+    r"(?<![a-z_])randn\(",
+    r"(?<![a-z_])uuid\(",
+    r"(?<![a-z_])shuffle\(",
+    r"monotonically_increasing_id",
+    r"spark_partition_id",
+)
+
+# Aggregate-context order-sensitive calls; sort-wrapped collects are
+# exempt (array_sort/sort_array canonicalize the partition-order
+# accident away).
+_ORDER_AGG_RE = re.compile(r"(?<![a-z_])(first|last|any_value|collect_list|collect_set)\(")
+_SORTED_COLLECT_RE = re.compile(r"(?:array_sort|sort_array)\((?:collect_list|collect_set)\(")
+
+
+def _retry_nondeterminism(opt_plan: str) -> list[str]:
+    """Violation strings for the two retry-determinism rules over an
+    optimized-logical-plan dump."""
+    out = []
+    for pat in NONDET_EXPR_PATTERNS:
+        if re.search(pat, opt_plan):
+            out.append(
+                f"nondeterministic expression {pat!r} in optimized plan "
+                "(diverges under task retry; key on xxhash64 instead)"
+            )
+    for line in opt_plan.splitlines():
+        if not line.lstrip(" +-:").startswith("Aggregate"):
+            continue
+        hits = len(_ORDER_AGG_RE.findall(line)) - len(_SORTED_COLLECT_RE.findall(line))
+        if hits > 0:
+            out.append(
+                f"{hits} order-sensitive aggregate call(s) "
+                "(first/last/any_value/unsorted collect) — partition-order-"
+                "dependent under retry; use min/max/min_by/max_by or wrap "
+                "the collect in array_sort"
+            )
+    return out
 
 # Queries allowed an UNPARTITIONED window over UNBOUNDED input (the
 # single-reducer sort shape that dies at corpus scale). Only the
@@ -206,6 +256,12 @@ def main() -> None:
                 f"{name}: unpartitioned window over unbounded input "
                 f"({gw} node(s) — single-reducer sort at scale)"
             )
+        try:
+            opt = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception:  # noqa: BLE001
+            opt = ""
+        for v in _retry_nondeterminism(opt):
+            violations.append(f"{name}: {v}")
 
     # CI-style completeness gate (round-2 verdict #2): the audit must
     # cover the ENTIRE catalog — a stale or partial run is itself a
