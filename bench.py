@@ -113,6 +113,11 @@ def headline_impls() -> dict:
 # tools/refresh_artifacts.py refuses to bless a contaminated BENCH file.
 CONTAMINATION_LOADAVG = 1.5
 
+# Lanes that persist() multi-GB intermediates internally: clear the
+# Spark cache before each timed sample so every sample runs from the
+# same state (see the timing loop).
+HEAVY_LANES = {"graph_common_neighbors"}
+
 
 def main() -> None:
     # external-contention sample FIRST THING — before the SparkSession
@@ -150,15 +155,33 @@ def main() -> None:
     if "graph_common_neighbors" in HEADLINE:
         run_order.append("graph_common_neighbors")
     timings: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     for name in run_order:
         fn = impls[name]
-        best = float("inf")
+        samples = []
         for _ in range(3):
+            if name in HEAVY_LANES:
+                # uniform cache state per sample (VERDICT r7 #4): each
+                # call of a persist()-bearing lane caches a fresh copy,
+                # so by sample 3 the JVM carries 3+ generations of
+                # cached RDDs and GC noise dominates the measurement —
+                # the recorded 6.3->11.6 s swing on identical idle
+                # hardware.  Clearing makes every sample do identical
+                # work from identical state.
+                spark.catalog.clearCache()
             t0 = time.perf_counter()
             run_once(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        all_samples[name] = [round(s, 3) for s in samples]
     timings = {n: timings[n] for n in HEADLINE}  # stable key order
+    # per-sample detail for the slow lanes: a >5 s lane whose three
+    # samples spread >15% is a measurement-stability problem, not a
+    # plan regression — record the evidence so cross-round comparisons
+    # can tell the two apart
+    slow_samples = {
+        n: s for n, s in all_samples.items() if timings.get(n, 0) > 5.0
+    }
     load_after = os.getloadavg()[0]
 
     # data-density diagnostic for the graph lane: wedge candidates are a
@@ -216,6 +239,9 @@ def main() -> None:
                 # every lane reads inflated — do not compare this
                 # artifact round-over-round; re-run idle.
                 "contaminated": load_before > CONTAMINATION_LOADAVG,
+                # all three samples for every lane slower than 5 s
+                # (spread evidence — VERDICT r7 #4)
+                "slow_lane_samples": slow_samples,
                 "graph_wedge_candidates": wedges,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -614,7 +614,11 @@ def semantic_dedup_pairs(
             ).alias("cos"),
         )
         .where(F.col("cos") >= tau)
-        .dropDuplicates(["vec_a", "vec_b"])
+        # order-free dedup: cos is bit-identical across duplicate pair
+        # rows, so min == the value and survives task retry unchanged
+        # (dropDuplicates' first() does not — determinism lint)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.min("cos").alias("cos"))
     )
     return pairs
 

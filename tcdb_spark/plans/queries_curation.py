@@ -259,3 +259,81 @@ def bloom_prefilter_member(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(verdicts.where(F.col("maybe_member"))), "key"
         ).select("doc_id")
     )
+
+
+# --- Bloom FPR attestation (round-8 verdict #6) -----------------------------
+
+import math as _math  # noqa: E402
+
+_FPR_N_MEMBERS = 400
+_FPR_N_PROBES = 2000
+# closed-form bound (1 - e^{-kn/m})^k in basis points — a shared literal
+# constant, NOT computed per-engine (transcendental functions don't
+# cross engines bit-stably)
+_FPR_BOUND_BP = int(
+    round(
+        (1.0 - _math.exp(-BLOOM_K * _FPR_N_MEMBERS / BLOOM_M_BITS)) ** BLOOM_K * 10000
+    )
+)
+
+_FPR_PROBE_POS_IN = " AND ".join(
+    f"{position_sql('key', i, BLOOM_M_BITS)} IN (SELECT pos FROM bpos)"
+    for i in range(BLOOM_K)
+)
+_FPR_BPOS = " UNION ALL ".join(
+    f"SELECT {position_sql('key', i, BLOOM_M_BITS)} AS pos FROM members"
+    for i in range(BLOOM_K)
+)
+
+
+@register(
+    "bloom_fpr_attest",
+    oracle=f"""
+    WITH members AS (
+        SELECT 'fpr-m-' || CAST(range AS VARCHAR) AS key
+        FROM range({_FPR_N_MEMBERS})
+    ), bpos AS (
+        SELECT DISTINCT pos FROM ({_FPR_BPOS})
+    ), probes AS (
+        SELECT 'fpr-p-' || CAST(range AS VARCHAR) AS key
+        FROM range({_FPR_N_PROBES})
+    ), fp AS (
+        SELECT key FROM probes WHERE {_FPR_PROBE_POS_IN}
+    )
+    SELECT CAST({_FPR_N_PROBES} AS BIGINT) AS n_probes,
+           CAST(count(*) AS BIGINT) AS n_fp,
+           CAST(floor(count(*) * 10000.0 / {_FPR_N_PROBES}) AS INTEGER) AS fpr_bp,
+           CAST({_FPR_BOUND_BP} AS INTEGER) AS bound_bp
+    FROM fp
+    """,
+)
+def bloom_fpr_attest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """False-positive-rate attestation for the Bloom membership family:
+    probe a key set DISJOINT from the members (every hit is a false
+    positive by construction) and emit the observed FPR next to the
+    closed-form (1-e^{-kn/m})^k bound.  Guards the (m, k) hashing
+    contract itself — a silent `_position` regression (e.g. truncating
+    the hex polynomial and capping the position set) would inflate the
+    observed FPR far past the bound, which verdict-equality between the
+    sparse and packed probe forms can NEVER catch because both share
+    `_position`.  Deterministic given the seeded key sets, so the
+    DuckDB oracle reproduces the exact count; the bound rides as a
+    shared literal (transcendentals don't cross engines bit-stably).
+    The companion pytest pins observed-vs-bound agreement within
+    binomial noise."""
+    members = spark.range(_FPR_N_MEMBERS).select(
+        F.concat(F.lit("fpr-m-"), F.col("id").cast("string")).alias("key")
+    )
+    probes = spark.range(_FPR_N_PROBES).select(
+        F.concat(F.lit("fpr-p-"), F.col("id").cast("string")).alias("key")
+    )
+    verdicts = bloom_probe(probes, bloom_build(members))
+    return verdicts.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col("maybe_member").cast("int")).cast("bigint").alias("n_fp"),
+    ).select(
+        "n_probes",
+        "n_fp",
+        F.floor(F.col("n_fp") * 10000.0 / _FPR_N_PROBES).cast("int").alias("fpr_bp"),
+        F.lit(_FPR_BOUND_BP).cast("int").alias("bound_bp"),
+    )

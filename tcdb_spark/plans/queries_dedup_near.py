@@ -233,8 +233,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(
             F.count(F.lit(1)).alias("n_inter"),
-            F.any_value(F.col("a.n_sh")).alias("na"),
-            F.any_value(F.col("b.n_sh")).alias("nb"),
+            # n_sh is constant per doc, so min == the value; min is the
+            # ORDER-FREE read (any_value is partition-order-dependent
+            # under task retry — round-8 determinism lint)
+            F.min(F.col("a.n_sh")).alias("na"),
+            F.min(F.col("b.n_sh")).alias("nb"),
         )
     )
     jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))

@@ -266,8 +266,13 @@ def lsh_bucket_ann(
             ),
         )
         # the same pair surfaces from every agreeing table: dedup scalars
-        # (cheap shuffle of (ids, cos) — embeddings do not ride along)
-        .dropDuplicates(["q_id", "vec_id"])
+        # (cheap shuffle of (ids, cos) — embeddings do not ride along).
+        # groupBy+min instead of dropDuplicates: cos is bit-identical
+        # across the duplicates (same expression, same inputs), and min
+        # is order-free where dropDuplicates' internal first() is
+        # partition-order-dependent under retry (determinism lint)
+        .groupBy("q_id", "vec_id")
+        .agg(F.min("cos").alias("cos"))
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (

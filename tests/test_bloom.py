@@ -169,3 +169,19 @@ def test_packed_probe_null_key_matches_sparse_twin(spark):
     assert sparse == packed
     assert packed["n-1"] is True
     assert packed[None] is None
+
+def test_fpr_tracks_closed_form_bound(spark):
+    """Hash-quality attestation (round-8 lane bloom_fpr_attest): the
+    observed FPR on a disjoint probe set must sit within binomial noise
+    of (1-e^{-kn/m})^k.  A positional-entropy regression (e.g. a
+    truncated hex polynomial capping the position set) blows the
+    observed rate far past the bound — something sparse/packed verdict
+    equality can never catch since both share _position."""
+    from tcdb_spark.plans.queries_curation import bloom_fpr_attest
+
+    row = bloom_fpr_attest(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_probes"] == 2000
+    expected = row["bound_bp"] / 10000.0 * row["n_probes"]
+    # 3-sigma binomial window around the bound (sigma = sqrt(np(1-p)))
+    sigma = (expected * (1 - row["bound_bp"] / 10000.0)) ** 0.5
+    assert abs(row["n_fp"] - expected) <= 3 * sigma + 1, (row["n_fp"], expected)

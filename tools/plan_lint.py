@@ -115,9 +115,12 @@ NONDET_EXPR_PATTERNS = (
 
 # Aggregate-context order-sensitive calls; sort-wrapped collects are
 # exempt (array_sort/sort_array canonicalize the partition-order
-# accident away).
+# accident away), as is Catalyst's OWN multi-distinct rewrite artifact
+# `first(<agg>(...)) FILTER (WHERE gid=...)` — first over the single
+# expanded-group aggregate value, deterministic by construction.
 _ORDER_AGG_RE = re.compile(r"(?<![a-z_])(first|last|any_value|collect_list|collect_set)\(")
 _SORTED_COLLECT_RE = re.compile(r"(?:array_sort|sort_array)\((?:collect_list|collect_set)\(")
+_DISTINCT_REWRITE_RE = re.compile(r"(?:first|last)\((?:count|min|max|sum|avg)\(")
 
 
 def _retry_nondeterminism(opt_plan: str) -> list[str]:
@@ -133,7 +136,11 @@ def _retry_nondeterminism(opt_plan: str) -> list[str]:
     for line in opt_plan.splitlines():
         if not line.lstrip(" +-:").startswith("Aggregate"):
             continue
-        hits = len(_ORDER_AGG_RE.findall(line)) - len(_SORTED_COLLECT_RE.findall(line))
+        hits = (
+            len(_ORDER_AGG_RE.findall(line))
+            - len(_SORTED_COLLECT_RE.findall(line))
+            - len(_DISTINCT_REWRITE_RE.findall(line))
+        )
         if hits > 0:
             out.append(
                 f"{hits} order-sensitive aggregate call(s) "
