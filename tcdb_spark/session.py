@@ -23,6 +23,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # Must run BEFORE the JVM launches: transformWithStateInPandas'
+    # state-server client imports google.protobuf WORKER-side, and
+    # local-mode workers inherit the JVM process environment — so the
+    # vendored shim's dir has to be in PYTHONPATH at JVM-spawn time.
+    # No-op when the real protobuf package is installed.
+    from tcdb_spark.streaming.proto_compat import ensure_protobuf
+
+    ensure_protobuf()
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

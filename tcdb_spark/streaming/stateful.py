@@ -167,14 +167,16 @@ def _make_running_peak_processor():
 
 def transform_with_state_available() -> bool:
     """transformWithState's Python<->JVM state server speaks protobuf;
-    the API exists in pyspark 4.1 but running it needs the ``protobuf``
-    package. Capability gate (same pattern as the Avro module gate)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    the API exists in pyspark 4.1 but running it needs the
+    ``google.protobuf`` runtime.  Since round 8 that runtime is
+    satisfied even without the protobuf package: a minimal pure-stdlib
+    wire-format shim is vendored under tcdb_spark/_vendor/protobuf_shim
+    (JVM-conformance-pinned in tests/test_proto_shim.py) and activated
+    by proto_compat.ensure_protobuf() — get_spark() does this before
+    the JVM launches so worker processes inherit it via PYTHONPATH."""
+    from tcdb_spark.streaming.proto_compat import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf() != "absent"
 
 
 def running_peak_stream(observations):
@@ -188,15 +190,19 @@ def running_peak_stream(observations):
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
-    Raises an actionable error when the runtime lacks protobuf (the
-    state-server wire format) — the applyInPandasWithState lifecycle
-    machine above runs everywhere and remains the default §2.10 path.
+    The state-server wire format is protobuf; without the real package
+    the vendored shim runtime satisfies it (proto_compat, r8 — JVM
+    conformance-pinned in tests/test_proto_shim.py).  Only when BOTH
+    are unavailable (vendor tree stripped from the install) does this
+    raise — the applyInPandasWithState lifecycle machine above runs
+    everywhere and remains the default §2.10 path.
     """
     if not transform_with_state_available():
         raise NotImplementedError(
-            "transformWithStateInPandas needs the 'protobuf' package "
-            "(google.protobuf) for its state-server protocol; it is not "
-            "installed in this image. Use storm_lifecycle_stream "
+            "transformWithStateInPandas needs a google.protobuf runtime "
+            "for its state-server protocol: neither the real package nor "
+            "the vendored shim (tcdb_spark/_vendor/protobuf_shim) is "
+            "available. Use storm_lifecycle_stream "
             "(applyInPandasWithState) or install protobuf."
         )
     return observations.groupBy("nhc_id").transformWithStateInPandas(

@@ -56,6 +56,11 @@ def test_package_is_self_contained_from_a_site_dir(tmp_path):
         "assert len(QUERIES) == len(ORACLES) > 200\n"
         "from tcdb_spark.api import Engine\n"
         "from tcdb_spark.sources.mp4 import parse_mp4\n"
+        # the vendored protobuf shim must travel with the package and
+        # activate from the installed location (r8: transformWithState)
+        "from tcdb_spark.streaming.proto_compat import ensure_protobuf\n"
+        "assert ensure_protobuf(set_worker_env=False) in ('native', 'shim')\n"
+        "import google.protobuf\n"
         "print('OK', len(QUERIES))\n"
     )
     out = subprocess.run(

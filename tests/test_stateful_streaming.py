@@ -139,7 +139,18 @@ def test_running_peak_transform_with_state(spark, tmp_path):
         ]
         schema = spark.createDataFrame(b1, SCHEMA).schema
 
+        # foreachBatch, not the memory sink: restarting from a
+        # checkpoint is only supported for fault-tolerant sinks, and
+        # tick 2 IS a restart (same checkpointLocation, new query) —
+        # the memory sink throws "does not support recovering from
+        # checkpoint location" on it
+        emitted: list = []
+
+        def sink(batch_df, _epoch_id):
+            emitted.extend(batch_df.collect())
+
         def run_tick(rows, tick):
+            emitted.clear()
             spark.createDataFrame(rows, SCHEMA).write.parquet(
                 str(src / f"tick={tick}")
             )
@@ -149,17 +160,13 @@ def test_running_peak_transform_with_state(spark, tmp_path):
             q = (
                 running_peak_stream(stream)
                 .writeStream.outputMode("update")
-                .format("memory")
-                .queryName(f"tws_{tick}")
+                .foreachBatch(sink)
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination(120)
-            return {
-                r["nhc_id"]: (r["n_obs"], r["peak"])
-                for r in spark.sql(f"SELECT * FROM tws_{tick}").collect()
-            }
+            return {r["nhc_id"]: (r["n_obs"], r["peak"]) for r in emitted}
 
         first = run_tick(b1, 1)
         assert first["AL092022"] == (2, 30.0)
