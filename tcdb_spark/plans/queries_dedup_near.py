@@ -246,6 +246,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shingle_df_profile",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM corpus
+    ), sh AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles
+        FROM toks WHERE len(tokens) >= {SHINGLE}
+    ), inv AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), dfs AS (
+        SELECT shingle, count(*) AS df FROM inv GROUP BY shingle
+    )
+    SELECT CAST(df AS BIGINT) AS df,
+           CAST(count(*) AS BIGINT) AS n_shingles
+    FROM dfs GROUP BY df
+    """,
+)
+def shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency histogram of the dedup shingle index: for each
+    df value, how many distinct shingles occur in exactly that many
+    docs.  The pre-dedup audit that makes ``NGRAM_DF_CAP`` (and every
+    other df-cap) tunable with evidence instead of folklore: the r8
+    100x-replication probe showed that a corpus whose true duplication
+    multiplicity exceeds a CONSTANT cap silently empties the exact
+    n-gram index (every shingle's df multiplies by the clone count, all
+    shingles read as boilerplate, zero candidate pairs) — one cheap
+    groupBy over the index answers "where does boilerplate actually
+    start in THIS corpus" before any cap is trusted.  Two bounded
+    shuffles (shingle agg, df agg); output is at most max-df rows.
+    OPERATIONS.md "Caps at 100x" documents the decision rule."""
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.select("doc_id", _tokens(F.col("text")).alias("tokens")).where(
+        F.size("tokens") >= SHINGLE
+    )
+    sh = toks.select(
+        "doc_id", F.array_distinct(_shingles(F.col("tokens"))).alias("shingles")
+    )
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    dfs = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return dfs.groupBy("df").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    ).select(F.col("df").cast("bigint").alias("df"), "n_shingles")
+
+
 N_SIMHASH_BITS = 16
 _HEXES = "0123456789abcdef"
 

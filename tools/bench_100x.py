@@ -24,11 +24,13 @@ document frequency multiplies by the copy count, so a CONSTANT df-cap
 zero pairs — the cap must be configured relative to corpus size /
 duplication rate at this scale (OPERATIONS.md "Caps at scale").
 
-Each lane runs twice: the first pass settles JIT/caches (bench.py's
-settling discipline — a fresh JVM measures tiered compilation, not the
-plan), the second is the recorded time.  Output row counts and the
-wedge-candidate count are recorded alongside so cap behavior is
-attributable (count is a property of the DATA, wall time of the PLAN).
+Each lane runs ONCE, timed via ``count()`` (which also records the
+output row count).  bench.py's JIT-settling discipline deliberately
+does NOT apply here: at 100x every lane is minutes of data work, so
+tiered-compilation noise is lost in the signal, and a settle pass would
+double a multi-hour probe for nothing.  The wedge-candidate count is
+recorded alongside so cap behavior is attributable (count is a property
+of the DATA, wall time of the PLAN).
 
 Usage: python tools/bench_100x.py [--rebuild] [round_tag]
 Appends one JSON line to BENCH_BIG.md tagged "100x".
@@ -115,23 +117,23 @@ def main() -> None:
     impls = dict(QUERIES)
     impls["sim_ann_ivfpq"] = sim_ann_ivfpq_pruned  # production config, as in bench.py
 
-    spark = get_spark("bench-100x")
+    # longer heartbeat: 2.67B-row shuffle stages under full CPU load
+    # overrun the 10 s default and spam RpcTimeoutException warnings
+    spark = get_spark(
+        "bench-100x",
+        extra_conf={
+            "spark.executor.heartbeatInterval": "60s",
+            "spark.network.timeout": "600s",
+        },
+    )
     timings: dict[str, dict] = {}
     for name in LANES:
         fn = impls[name]
         t0 = time.perf_counter()
-        fn(spark, BIG_DIR).write.mode("overwrite").format("noop").save()
-        settle = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        fn(spark, BIG_DIR).write.mode("overwrite").format("noop").save()
-        timed = time.perf_counter() - t0
         rows = fn(spark, BIG_DIR).count()
-        timings[name] = {
-            "settle_sec": round(settle, 1),
-            "sec": round(timed, 1),
-            "out_rows": rows,
-        }
-        print(f"{name}: settle {settle:.1f}s, timed {timed:.1f}s, {rows} rows", flush=True)
+        timed = time.perf_counter() - t0
+        timings[name] = {"sec": round(timed, 1), "out_rows": rows}
+        print(f"{name}: {timed:.1f}s, {rows} rows", flush=True)
         spark.catalog.clearCache()
 
     from tcdb_spark.operators.graph import wedge_candidate_count
