@@ -211,3 +211,126 @@ def running_peak_stream(observations):
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Timer-based silence monitor: the transformWithState capability the
+# applyInPandasWithState machine above approximates with
+# GroupStateTimeout but cannot express precisely — PER-KEY EVENT-TIME
+# timers that fire off the watermark, independently of new input for
+# the key, with explicit re-arm / disarm.  Exercises the full timer
+# protocol family of the state server (RegisterTimer / DeleteTimer /
+# ListTimers / ExpiryTimerRequest) end-to-end through the vendored
+# protobuf shim.  Event time, not processing time: a feed gap is a gap
+# in OBSERVATION timestamps (a replayed/backfilled stream must alarm
+# identically), and processing-time timers are untestable besides —
+# Trigger.AvailableNow appends a drain batch after the data batches, so
+# any wall-clock deadline short enough to test fires during the
+# drain (measured r8: both keys alarmed inside tick 1).
+# ---------------------------------------------------------------------------
+
+SILENCE_OUTPUT_SCHEMA = "nhc_id string, event string, last_seen timestamp, peak double"
+
+
+def _make_silence_monitor_processor(silence_ms: int):
+    """Built lazily, like _make_running_peak_processor (Spark 4-only
+    imports stay out of module import)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    class SilenceMonitorProcessor(StatefulProcessor):
+        """Emit one ``went_silent`` row for a storm whose observation
+        stream has a gap longer than ``silence_ms`` of EVENT time — the
+        operational "has this feed died" alarm (reference analogue: the
+        Active/Archive status sweep, tcdb/pipeline/routines.py:14-31,
+        which detects silence only when the next cron tick happens to
+        scan; a timer fires without any scan).  One live timer per key,
+        armed at last_seen + silence: every batch that touches the key
+        disarms the stale deadline and re-arms from the new last_seen,
+        so a storm that keeps reporting never fires — ordering is safe
+        because transformWithState processes a batch's input rows
+        BEFORE its expired timers, so the re-arm wins.  The timer fires
+        once the WATERMARK passes the deadline; alarmed state is
+        cleared, so a later observation reads as a fresh feed."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            schema = StructType(
+                [
+                    StructField("last_seen_ms", LongType()),
+                    StructField("peak", DoubleType()),
+                ]
+            )
+            self._seen = handle.getValueState("seen", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            last_ms, peak = (0, float("-inf"))
+            if self._seen.exists():
+                last_ms, peak = self._seen.get()
+            for pdf in rows:
+                peak = max(peak, float(pdf["intensity_kts"].max()))
+                batch_max = pd.to_datetime(pdf["datetime_utc"].max())
+                last_ms = max(last_ms, int(batch_max.timestamp() * 1000))
+            self._seen.update((last_ms, peak))
+            for stale in self._handle.listTimers():
+                self._handle.deleteTimer(stale)
+            self._handle.registerTimer(last_ms + silence_ms)
+            return iter(())  # silence-only operator: no per-batch rows
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._seen.exists():
+                last_ms, peak = self._seen.get()
+                self._seen.clear()
+                yield pd.DataFrame(
+                    {
+                        "nhc_id": [key[0]],
+                        "event": ["went_silent"],
+                        "last_seen": [pd.Timestamp(last_ms, unit="ms")],
+                        "peak": [peak],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return SilenceMonitorProcessor()
+
+
+def storm_silence_stream(
+    observations,
+    silence_ms: int = 6 * 3600 * 1000,
+    ts_col: str = "datetime_utc",
+    watermark_delay: str = "0 seconds",
+):
+    """transformWithStateInPandas silence alarm keyed by storm id: one
+    ``went_silent`` row when the stream's watermark passes a key's
+    last observation time + ``silence_ms`` with no new data for it.
+    Same session requirements as running_peak_stream (RocksDB state
+    store + a protobuf runtime); event-time timers additionally need
+    the watermark this function applies on ``ts_col``."""
+    if not transform_with_state_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs a google.protobuf runtime "
+            "for its state-server protocol: neither the real package nor "
+            "the vendored shim (tcdb_spark/_vendor/protobuf_shim) is "
+            "available. Use storm_lifecycle_stream "
+            "(applyInPandasWithState, GroupStateTimeout) instead."
+        )
+    return (
+        observations.withWatermark(ts_col, watermark_delay)
+        .groupBy("nhc_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_silence_monitor_processor(silence_ms),
+            outputStructType=SILENCE_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

@@ -182,3 +182,82 @@ def test_running_peak_transform_with_state(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+
+
+def test_storm_silence_timer_stream(spark, tmp_path):
+    """transformWithStateInPandas EVENT-TIME timers end-to-end, no
+    wall-clock dependence: tick 1 arms per-key silence deadlines
+    (last_seen + 6h) for two storms; AL keeps reporting in ticks 2-3,
+    advancing the watermark past EP's deadline while re-arming its own.
+    EP must emit exactly one went_silent row carrying its last_seen/
+    peak state; AL must never alarm (input rows are processed before
+    expired timers, so the re-arm wins).  Exercises RegisterTimer/
+    DeleteTimer/ListTimers/ExpiryTimerRequest through the protobuf
+    runtime (the running-peak test covers only the value-state
+    protocol family)."""
+    from tcdb_spark.streaming.stateful import (
+        storm_silence_stream,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("no protobuf runtime (vendor tree stripped)")
+
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        t0 = dt.datetime(2022, 9, 24, 0, 0)
+        src = tmp_path / "obs_silence"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt_silence")
+        b1 = [
+            ("AL092022", 95, t0, 25.0),
+            ("EP052022", 5, t0, 50.0),
+        ]
+        # AL keeps reporting; EP goes quiet after t0.  Deadlines are
+        # last_seen + 6h; tick 2 moves the watermark to t0+12h (past
+        # EP's t0+6h, boundary-free) but a batch fires timers against
+        # its STARTING watermark, so the alarm lands in tick 3.
+        b2 = [("AL092022", 9, t0 + dt.timedelta(hours=12), 45.0)]
+        b3 = [("AL092022", 9, t0 + dt.timedelta(hours=24), 60.0)]
+        schema = spark.createDataFrame(b1, SCHEMA).schema
+        emitted: list = []
+
+        def sink(batch_df, _epoch_id):
+            emitted.extend(batch_df.collect())
+
+        def run_tick(rows, tick):
+            spark.createDataFrame(rows, SCHEMA).write.parquet(
+                str(src / f"tick={tick}")
+            )
+            stream = spark.readStream.schema(schema).option(
+                "recursiveFileLookup", "true"
+            ).parquet(str(src))
+            q = (
+                storm_silence_stream(stream, silence_ms=6 * 3600 * 1000)
+                .writeStream.outputMode("append")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_tick(b1, 1)
+        assert emitted == []  # watermark still behind every deadline
+        run_tick(b2, 2)
+        run_tick(b3, 3)
+        alarms = {r["nhc_id"]: r for r in emitted}
+        assert set(alarms) == {"EP052022"}, alarms
+        a = alarms["EP052022"]
+        assert a["event"] == "went_silent"
+        assert a["peak"] == 50.0
+        assert a["last_seen"] == t0
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
