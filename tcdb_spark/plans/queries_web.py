@@ -1,0 +1,371 @@
+"""Web-corpus lanes: HTML -> text round-trip, URL canonicalization,
+URL-level dedup, link-graph harvest, registrable-domain rollup.
+
+The first stage of a Common-Crawl-scale pretraining pipeline (C4 /
+RefinedWeb / MassiveWeb) — absent from the reference (its sources are
+ATCF decks), so the whole family is a §2.12 extension.
+
+Oracle discipline for a PARSER lane: the driver testdata has no HTML
+column, so each lane COMPOSES deterministic HTML from ``documents``
+with native concat expressions that the DuckDB oracle reproduces
+verbatim (shared literal template below — one constant, zero drift),
+then runs the real extractor (``sources/web.py``, stdlib html.parser in
+one Arrow stage).  The oracle computes the EXPECTED extraction output
+algebraically (entity decode, whitespace collapse, block boundaries),
+so a hash match attests the parser's contract end-to-end: tag
+stripping, script/CDATA exclusion, comment removal, named + numeric
+entity decoding, block segmentation, href capture and ordering.
+
+URL lanes are pure native expressions on BOTH sides (the same regex
+algebra runs under Catalyst codegen and under RE2 — see
+``sources/web.url_normalize``); zero Python anywhere in them.
+
+Scale: extraction lanes are one zero-shuffle Arrow stage; the dedup /
+graph / domain lanes do exactly one hash-aggregate shuffle each on
+their natural key.  Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tcdb_spark.plans.catalog import load_tables, register
+from tcdb_spark.sources import web
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, "documents")["documents"].where(
+        F.length(F.trim("text")) > 0
+    )
+
+
+_DOCS_SQL = "SELECT * FROM documents WHERE length(trim(text)) > 0"
+
+
+# --------------------------------------------------------------------------
+# Shared HTML template: ('lit', s) pieces are literals; field pieces pull a
+# column. ONE constant renders both the Spark composition and the SQL
+# mirror, so the two engines compose byte-identical HTML by construction.
+# --------------------------------------------------------------------------
+_HTML_TMPL: list[tuple] = [
+    ("lit", "<html><head><title>"),
+    ("source",),
+    ("lit", " "),
+    ("docid",),
+    (
+        "lit",
+        '</title><script type="text/javascript">var t = "<p>not text</p>";'
+        '</script></head><body><nav><ul><li>Home</li>'
+        '<li><a href="/about?ref=nav">About</a></li></ul></nav><h1>Doc ',
+    ),
+    ("docid",),
+    ("lit", "</h1><p>R&amp;D &lt;spec&gt; &#8212;  "),
+    ("text",),
+    ("lit", "</p><!-- tracker --><footer>&copy; 2026 "),
+    ("source",),
+    ("lit", "</footer></body></html>"),
+]
+
+
+def _compose_spark(tmpl: list[tuple]) -> Column:
+    parts = []
+    for p in tmpl:
+        if p[0] == "lit":
+            parts.append(F.lit(p[1]))
+        elif p[0] == "docid":
+            parts.append(F.col("doc_id").cast("string"))
+        else:
+            parts.append(F.col(p[0]))
+    return F.concat(*parts)
+
+
+def _compose_sql(tmpl: list[tuple]) -> str:
+    parts = []
+    for p in tmpl:
+        if p[0] == "lit":
+            parts.append("'" + p[1].replace("'", "''") + "'")
+        elif p[0] == "docid":
+            parts.append("doc_id::VARCHAR")
+        else:
+            parts.append(p[0])
+    return " || ".join(parts)
+
+
+# expected body blocks, as the oracle computes them (entity decode +
+# ASCII-whitespace collapse are the contract in sources/web.py)
+_EXPECTED_BODY_SQL = (
+    "'Home' || chr(10) || 'About' || chr(10) || 'Doc ' || doc_id::VARCHAR "
+    "|| chr(10) || 'R&D <spec> ' || chr(8212) || ' ' "
+    "|| regexp_replace(trim(text), '[ \t\r\n]+', ' ', 'g') "
+    "|| chr(10) || chr(169) || ' 2026 ' || source"
+)
+
+
+@register(
+    "html_extract_text",
+    oracle=f"""
+    WITH d AS ({_DOCS_SQL}),
+    h AS (SELECT doc_id, source, text, {_compose_sql(_HTML_TMPL)} AS html FROM d)
+    SELECT doc_id,
+           source || ' ' || doc_id::VARCHAR AS title,
+           {_EXPECTED_BODY_SQL} AS body,
+           5 AS n_blocks,
+           1 AS n_links,
+           CAST(length(html) AS INTEGER) AS html_chars,
+           CAST(length({_EXPECTED_BODY_SQL}) AS INTEGER) AS text_chars
+    FROM h
+    """,
+)
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> clean text through the real stdlib parser, attested by an
+    algebraic round-trip oracle (module docstring).  The composed page
+    carries every extraction hazard: a <script> whose BODY contains
+    markup (CDATA mode), an HTML comment, named (&amp; &lt; &copy;) and
+    numeric (&#8212;) entities, nested inline-in-block anchors, and
+    planted double spaces that must collapse.  ONE Arrow stage, zero
+    shuffles — at 100 TB this is pure per-row CPU after pruning to
+    (doc_id, html)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", "text", _compose_spark(_HTML_TMPL).alias("html")
+    )
+    out = web.html_extract(d)
+    return out.select(
+        "doc_id", "title", "body", "n_blocks", "n_links", "html_chars", "text_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization: 7 messy variants per document must collapse to
+# exactly 3 canonical forms (https bare, https?a=1&b=2, http).
+# ---------------------------------------------------------------------------
+
+
+def _variants_spark() -> Column:
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    base = F.concat(F.lit("https://"), host, F.lit("/d/"), F.col("doc_id").cast("string"))
+    return F.array(
+        base,
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.upper(host),
+            F.lit(":443/d/"),
+            F.col("doc_id").cast("string"),
+        ),
+        F.concat(base, F.lit("?utm_source=rss&utm_medium=feed")),
+        F.concat(base, F.lit("#sec-2")),
+        F.concat(base, F.lit("?b=2&a=1")),
+        F.concat(base, F.lit("?a=1&b=2&gclid=x")),
+        F.concat(
+            F.lit("http://"), host, F.lit(":80/d/"), F.col("doc_id").cast("string")
+        ),
+    )
+
+
+_VARIANTS_SQL = """[
+    'https://' || source || '.example.com/d/' || doc_id::VARCHAR,
+    'HTTPS://WWW.' || upper(source || '.example.com') || ':443/d/' || doc_id::VARCHAR,
+    'https://' || source || '.example.com/d/' || doc_id::VARCHAR || '?utm_source=rss&utm_medium=feed',
+    'https://' || source || '.example.com/d/' || doc_id::VARCHAR || '#sec-2',
+    'https://' || source || '.example.com/d/' || doc_id::VARCHAR || '?b=2&a=1',
+    'https://' || source || '.example.com/d/' || doc_id::VARCHAR || '?a=1&b=2&gclid=x',
+    'http://' || source || '.example.com:80/d/' || doc_id::VARCHAR
+]"""
+
+
+@register(
+    "url_normalize_canonical",
+    oracle=f"""
+    WITH d AS ({_DOCS_SQL}),
+    u AS (SELECT doc_id, unnest({_VARIANTS_SQL}) AS url FROM d),
+    c AS (SELECT doc_id, {web.url_normalize_sql('url')} AS canon FROM u)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+           array_to_string(list_sort(list_distinct(list(canon))), '|') AS canonicals
+    FROM c GROUP BY doc_id
+    """,
+)
+def url_normalize_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization attested string-for-string: seven messy
+    variants per document (case, www, default ports, fragments,
+    tracking params, unsorted params) must collapse to exactly three
+    canonical URLs, and the sorted canonical strings themselves ride in
+    the hash.  All native expressions (regexp/split/filter/array_sort
+    under codegen — see sources/web.url_normalize); one aggregate
+    shuffle on doc_id."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(_variants_spark()).alias("url")
+    )
+    c = d.select("doc_id", web.url_normalize("url").alias("canon"))
+    return c.groupBy("doc_id").agg(
+        F.count("*").alias("n_variants"),
+        F.countDistinct("canon").alias("n_canonical"),
+        F.array_join(F.array_sort(F.collect_set("canon")), "|").alias("canonicals"),
+    )
+
+
+@register(
+    "url_dedup_canonical",
+    oracle=f"""
+    WITH d AS ({_DOCS_SQL}),
+    u AS (SELECT doc_id, n_chars,
+                 'https://www.' || source || '.example.com:443/page/' || (doc_id % 97)::VARCHAR
+                 || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x'
+                         WHEN doc_id % 3 = 1 THEN '#top' ELSE '' END AS url
+          FROM d),
+    c AS (SELECT doc_id, n_chars, {web.url_normalize_sql('url')} AS canonical_url FROM u),
+    r AS (SELECT canonical_url, doc_id, n_chars,
+                 count(*) OVER (PARTITION BY canonical_url) AS n_dups,
+                 row_number() OVER (PARTITION BY canonical_url
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM c)
+    SELECT canonical_url, CAST(n_dups AS BIGINT) AS n_dups,
+           doc_id AS kept_doc_id, n_chars AS kept_chars
+    FROM r WHERE rn = 1
+    """,
+)
+def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup, the cheapest and first dedup pass a crawl
+    pipeline runs: canonicalize, then keep the best document per
+    canonical URL (longest text, ties to the smallest doc_id —
+    deterministic under task retries).  Planted collisions via
+    ``doc_id % 97`` paths give real dup groups whose members carry
+    DIFFERENT messy decorations (tracking params / fragments / none) —
+    the dedup only works if canonicalization removed them.  One window
+    shuffle on the canonical key; the count rides the same partition."""
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com:443/page/"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("#top"))
+        .otherwise(F.lit("")),
+    )
+    c = d.select(
+        "doc_id", "n_chars", web.url_normalize(url).alias("canonical_url")
+    )
+    w = W.partitionBy("canonical_url")
+    r = c.select(
+        "canonical_url",
+        F.count("*").over(w).alias("n_dups"),
+        F.col("doc_id"),
+        F.col("n_chars"),
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), F.col("doc_id")))
+        .alias("rn"),
+    )
+    return r.where(F.col("rn") == 1).select(
+        "canonical_url",
+        "n_dups",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_chars").alias("kept_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link graph: planted absolute links extracted by the real parser.
+# ---------------------------------------------------------------------------
+
+_LINK_TMPL: list[tuple] = [
+    ("lit", '<html><body><p>See <a href="'),
+    ("url0",),
+    ("lit", '">link 0</a> and <a href="'),
+    ("url1",),
+    ("lit", '">link 1</a>.</p><div><a href="'),
+    ("url2",),
+    ("lit", '">link 2</a><a href="/rel">rel</a></div></body></html>'),
+]
+
+
+def _link_url_spark(j: int) -> Column:
+    return F.concat(
+        F.lit("https://h"),
+        ((F.col("doc_id") * 7 + j * 13) % 40).cast("string"),
+        F.lit(f".example.org/p/{j}"),
+    )
+
+
+@register(
+    "link_graph_hosts",
+    oracle=f"""
+    WITH d AS ({_DOCS_SQL}),
+    l AS (SELECT doc_id, 'h' || ((doc_id * 7 + j * 13) % 40)::VARCHAR || '.example.org' AS host,
+                 'link ' || j::VARCHAR AS anchor
+          FROM d, unnest([0, 1, 2]) AS t(j))
+    SELECT host, CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(anchor) AS min_anchor
+    FROM l GROUP BY host
+    """,
+)
+def link_graph_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink harvest -> host in-link rollup, the crawl-frontier /
+    PageRank feeder.  Each document's composed page plants three
+    absolute anchors (arithmetically determined hosts) plus one
+    RELATIVE link that must be excluded; the real parser extracts
+    hrefs + anchor text in document order and the oracle recomputes the
+    plant arithmetic.  A hash match attests attribute parsing, link
+    ordering and the absolute/relative split.  One Arrow stage + one
+    aggregate shuffle on host."""
+    tmpl_parts = []
+    for p in _LINK_TMPL:
+        if p[0] == "lit":
+            tmpl_parts.append(F.lit(p[1]))
+        else:
+            tmpl_parts.append(_link_url_spark(int(p[0][3])))
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(*tmpl_parts).alias("html")
+    )
+    links = web.html_links(d)
+    abs_links = links.where(F.col("href").contains("://")).select(
+        "doc_id",
+        F.regexp_extract("href", "://([^/]*)", 1).alias("host"),
+        "anchor",
+    )
+    return abs_links.groupBy("host").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("anchor").alias("min_anchor"),
+    )
+
+
+@register(
+    "registrable_domain_stats",
+    oracle=f"""
+    WITH d AS ({_DOCS_SQL}),
+    h AS (SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0 THEN 'cdn.' || source || '.com'
+                      WHEN doc_id % 4 = 1 THEN 'a.b.' || source || '.co.uk'
+                      WHEN doc_id % 4 = 2 THEN source || '.org'
+                      ELSE 'www.api.' || source || '.ac.jp' END AS host
+          FROM d),
+    r AS (SELECT doc_id, host, {web.registrable_host_sql('host')} AS domain FROM h)
+    SELECT domain, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM r GROUP BY domain
+    """,
+)
+def registrable_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain rollup (the unit crawl pipelines cap and
+    budget by — domain_cap's natural key): subdomain-heavy hosts
+    including ccSLD forms (``.co.uk``, ``.ac.jp``) reduce to their
+    registrable domain with native split/slice expressions, mirrored
+    exactly in SQL.  One aggregate shuffle."""
+    d = _docs(spark, sf_dir)
+    host = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("cdn."), F.col("source"), F.lit(".com")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("a.b."), F.col("source"), F.lit(".co.uk")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.col("source"), F.lit(".org")))
+        .otherwise(F.concat(F.lit("www.api."), F.col("source"), F.lit(".ac.jp")))
+    )
+    r = d.select(
+        "doc_id", host.alias("host"), web.registrable_host(host).alias("domain")
+    )
+    return r.groupBy("domain").agg(
+        F.countDistinct("host").alias("n_hosts"),
+        F.count("*").alias("n_docs"),
+    )

@@ -1,0 +1,399 @@
+r"""Web-corpus ingestion: HTML -> text extraction and link harvesting.
+
+The first stage of every Common-Crawl-style pretraining pipeline
+(C4, RefinedWeb, Gopher's MassiveWeb) is turning raw HTML into clean
+text plus a link graph.  The container has no bs4/lxml/trafilatura, and
+none is needed for the structural part: ``html.parser`` (stdlib) is a
+real, spec-compliant tokenizer — rawtext elements (``<script>``,
+``<style>``) are handled via its CDATA mode, character/entity
+references are decoded by ``convert_charrefs``, and attribute quoting
+is parsed for us.  What this module adds is the EXTRACTION CONTRACT:
+which elements are dropped, where block boundaries fall, and how
+whitespace collapses — pinned precisely so a DuckDB oracle can compute
+the expected output of a round-trip (compose HTML from known text in
+SQL, extract here, compare bit-exact; see plans/queries_web.py).
+
+Reference-anchor: extends SURVEY.md §2.12 (LLM-pipeline text ops); the
+reference engine has no web surface, so this is a from-scratch design.
+
+Scale shape: extraction is embarrassingly parallel — one Arrow-batched
+``mapInPandas`` over (id, html) with ZERO shuffles; at 100 TB the cost
+is pure per-row CPU and the operator chain keeps filters/pruning ahead
+of it (select only the two columns in).  Parsing is bounded per
+document; a malformed document degrades to text-ish output, never to
+an exception (the parser is non-raising by design, and we additionally
+hard-cap via ``max_html_bytes`` so a pathological multi-GB row cannot
+stall a task).
+
+Extraction contract (the part tests and oracles pin):
+
+- content inside ``script``, ``style``, ``noscript``, ``template``,
+  ``iframe``, ``svg`` contributes nothing;
+- HTML comments and processing instructions contribute nothing;
+- ``<title>`` text is captured separately and excluded from the body;
+- a BLOCK boundary falls at the start and end tags of the usual
+  block-level elements (``p div h1-h6 li ul ol nav header footer
+  section article aside main table thead tbody tr td th blockquote
+  pre figure figcaption dl dt dd form fieldset hr br``); inline
+  elements (``a b i em strong span code small sub sup u s``) do NOT
+  break blocks;
+- within a block, text-node content is concatenated, runs of ASCII
+  whitespace collapse to one space, and the block is trimmed; empty
+  blocks are dropped;
+- the body is the non-empty blocks joined by ``\n``;
+- links are every ``<a href=...>`` in document order with the
+  whitespace-collapsed anchor text (anchor text still appears in the
+  body — link capture does not consume it).
+
+ASCII-whitespace note: collapsing uses ``[ \t\r\n\x0b\x0c]+`` — NOT
+``\s`` — because Python's ``\s`` is Unicode-aware (it would eat U+00A0
+from ``&nbsp;``) while RE2 (DuckDB) ``\s`` is ASCII-only; pinning the
+explicit ASCII class keeps both engines' mirror expressions equivalent.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_WS = re.compile(r"[ \t\r\n\x0b\x0c]+")
+
+# content-free elements: everything between the start and end tag is dropped
+_SKIP = {"script", "style", "noscript", "template", "iframe", "svg"}
+
+_BLOCK = {
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "nav", "header", "footer", "section", "article", "aside", "main",
+    "table", "thead", "tbody", "tr", "td", "th", "blockquote", "pre",
+    "figure", "figcaption", "dl", "dt", "dd", "form", "fieldset",
+    "hr", "br", "html", "body",
+}
+
+
+class HtmlTextExtractor(HTMLParser):
+    """Streaming extractor implementing the module-level contract.
+
+    One instance per document (the parser keeps rawtext/CDATA state).
+    ``convert_charrefs=True`` (the default) folds ``&amp;`` /
+    ``&#8212;`` / ``&#x2014;`` into the data callbacks, so entity
+    decoding needs no code here.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self._in_title = False
+        self._buf: list[str] = []
+        self._title_buf: list[str] = []
+        self._anchor_buf: list[str] | None = None
+        self._anchor_href: str | None = None
+        self.blocks: list[str] = []
+        self.links: list[tuple[str, str]] = []  # (href, anchor_text)
+
+    # -- block plumbing ------------------------------------------------
+    def _flush(self) -> None:
+        text = _WS.sub(" ", "".join(self._buf)).strip()
+        self._buf = []
+        if text:
+            self.blocks.append(text)
+
+    # -- parser callbacks ----------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "title":
+            self._in_title = True
+            return
+        if tag == "a":
+            href = next((v for k, v in attrs if k == "href"), None)
+            if href is not None:
+                # a nested/unclosed <a> just restarts capture
+                self._anchor_href = href
+                self._anchor_buf = []
+        if tag in _BLOCK:
+            self._flush()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        # <br/>, <hr/> — void block boundaries; <img/> etc: no-op
+        if self._skip_depth:
+            return
+        if tag in _BLOCK:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP:
+            # tolerate stray closers: never go negative
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag == "title":
+            self._in_title = False
+            return
+        if tag == "a" and self._anchor_buf is not None:
+            anchor = _WS.sub(" ", "".join(self._anchor_buf)).strip()
+            self.links.append((self._anchor_href or "", anchor))
+            self._anchor_buf = None
+            self._anchor_href = None
+        if tag in _BLOCK:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        if self._in_title:
+            self._title_buf.append(data)
+            return
+        self._buf.append(data)
+        if self._anchor_buf is not None:
+            self._anchor_buf.append(data)
+
+    # comments / PIs / declarations: contribute nothing (default no-ops
+    # would also ignore them; explicit for the contract's sake)
+    def handle_comment(self, data: str) -> None:  # pragma: no cover
+        pass
+
+    # -- results ---------------------------------------------------------
+    def result(self) -> tuple[str, str, list[tuple[str, str]]]:
+        self._flush()
+        title = _WS.sub(" ", "".join(self._title_buf)).strip()
+        return title, "\n".join(self.blocks), self.links
+
+
+def extract_text(html: str) -> tuple[str, str, list[tuple[str, str]]]:
+    """Parse one HTML document -> (title, body, links).
+
+    Never raises on malformed input: html.parser recovers from bad
+    nesting, unquoted attributes, and stray ``<``; a hard parser error
+    (CPython raises only on some truncated-charref edge cases) degrades
+    to whatever was extracted before the error point.
+    """
+    p = HtmlTextExtractor()
+    try:
+        p.feed(html)
+        if p.rawdata.startswith("<"):
+            # an UNTERMINATED trailing tag is still buffered (truncated
+            # document); close() would flush its source text as data —
+            # markup junk, not content.  Dropping the buffer loses only
+            # that tag; a pending '&...' or plain-text tail is kept for
+            # close() to emit normally.
+            p.rawdata = ""
+        p.close()
+    except Exception:
+        pass
+    return p.result()
+
+
+HTML_EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("n_links", T.IntegerType()),
+        T.StructField("html_chars", T.IntegerType()),
+        T.StructField("text_chars", T.IntegerType()),
+    ]
+)
+
+LINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("href", T.StringType()),
+        T.StructField("anchor", T.StringType()),
+        T.StructField("pos", T.IntegerType()),
+    ]
+)
+
+
+def html_extract(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    max_html_bytes: int = 16 << 20,
+) -> DataFrame:
+    """(id, html) -> one row per document with title/body/structure stats.
+
+    One Arrow stage, zero shuffles; oversized documents are truncated at
+    ``max_html_bytes`` UTF-8 bytes (truncation can only lose trailing
+    content — the parser tolerates the cut mid-tag) so a single
+    pathological row cannot stall a task at scale.
+    """
+
+    def _op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, h in zip(pdf[id_col], pdf[html_col]):
+                h = h or ""
+                if len(h) > max_html_bytes:
+                    h = h[:max_html_bytes]
+                title, body, links = extract_text(h)
+                rows.append(
+                    (
+                        did,
+                        title,
+                        body,
+                        body.count("\n") + 1 if body else 0,
+                        len(links),
+                        len(h),
+                        len(body),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in HTML_EXTRACT_SCHEMA])
+
+    return df.select(id_col, html_col).mapInPandas(_op, schema=HTML_EXTRACT_SCHEMA)
+
+
+def html_links(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """(id, html) -> one row per ``<a href>`` in document order.
+
+    ``pos`` is the 0-based position within the document, so downstream
+    consumers have a deterministic ordering without re-parsing.
+    Same zero-shuffle Arrow shape as :func:`html_extract`.
+    """
+
+    def _op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, h in zip(pdf[id_col], pdf[html_col]):
+                _, _, links = extract_text(h or "")
+                rows.extend(
+                    (did, href, anchor, i) for i, (href, anchor) in enumerate(links)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in LINKS_SCHEMA])
+
+    return df.select(id_col, html_col).mapInPandas(_op, schema=LINKS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — fully JVM-native (whole-stage codegen), no Python.
+# ---------------------------------------------------------------------------
+
+# tracking params dropped by canonicalization (exact keys; utm_* by prefix)
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref", "sessionid")
+
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+def url_normalize(url) -> "F.Column":
+    """Canonicalize a URL column with native expressions only.
+
+    Rules (each mirrored 1:1 in SQL by :func:`url_normalize_sql`):
+      scheme and host lowercased; a leading ``www.`` stripped from the
+      host; default ports dropped (``:80`` for http, ``:443`` for
+      https); the fragment dropped; query params with tracking keys
+      (``utm_*`` prefix + TRACKING_PARAMS) dropped; surviving params
+      sorted bytewise; an empty path rendered as ``/``.
+
+    Built from regexp groups rather than ``parse_url`` deliberately:
+    ``parse_url`` rides java.net.URI, whose failure modes (nulls on
+    chars URI dislikes) have no DuckDB twin, and the oracle must
+    compute the IDENTICAL algebra.  Everything here is regexp_extract /
+    split / filter / array_sort — whole-stage-codegen territory, and
+    the same regex runs verbatim under RE2 on the DuckDB side.
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(url, _URL_RE, 1))
+    authority = F.lower(F.regexp_extract(url, _URL_RE, 2))
+    host_p = F.regexp_replace(authority, r"^www\.", "")
+    host = F.when(
+        ((scheme == "http") & host_p.endswith(":80"))
+        | ((scheme == "https") & host_p.endswith(":443")),
+        F.regexp_replace(host_p, r":(80|443)$", ""),
+    ).otherwise(host_p)
+    path = F.regexp_extract(url, _URL_RE, 3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, _URL_RE, 4)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~F.split(p, "=")[0].startswith("utm_")
+            & ~F.split(p, "=")[0].isin(*TRACKING_PARAMS),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+
+
+def url_normalize_sql(expr: str) -> str:
+    """The DuckDB mirror of :func:`url_normalize` over SQL expression
+    ``expr`` — same regex, same param algebra, same rendering."""
+    tracking = ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
+    u = f"({expr})"
+    scheme = f"lower(regexp_extract({u}, '{_URL_RE}', 1))"
+    auth = f"lower(regexp_extract({u}, '{_URL_RE}', 2))"
+    host_p = f"regexp_replace({auth}, '^www\\.', '')"
+    host = (
+        f"CASE WHEN ({scheme} = 'http' AND {host_p} LIKE '%:80')"
+        f"       OR ({scheme} = 'https' AND {host_p} LIKE '%:443')"
+        f"     THEN regexp_replace({host_p}, ':(80|443)$', '')"
+        f"     ELSE {host_p} END"
+    )
+    path = f"CASE WHEN regexp_extract({u}, '{_URL_RE}', 3) = '' THEN '/' ELSE regexp_extract({u}, '{_URL_RE}', 3) END"
+    query = f"regexp_extract({u}, '{_URL_RE}', 4)"
+    kept = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT starts_with(string_split(p, '=')[1], 'utm_') "
+        f"AND NOT list_contains([{tracking}], string_split(p, '=')[1])))"
+    )
+    # DuckDB's array_to_string([]) is NULL (Spark's array_join is '');
+    # coalesce keeps the concat from going NULL on param-free URLs
+    qs = f"coalesce(array_to_string({kept}, '&'), '')"
+    return (
+        f"{scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END"
+    )
+
+
+def registrable_host(host) -> "F.Column":
+    """Registrable-domain heuristic: last two labels, or last three when
+    the second-to-last is a common ccSLD (``co|com|org|net|ac|gov``
+    under a 2-letter cc-TLD) — ``a.b.example.co.uk`` -> ``example.co.uk``.
+    Native split/slice only; SQL twin in :func:`registrable_host_sql`."""
+    host = F.col(host) if isinstance(host, str) else host
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    cc_sld = (
+        F.element_at(parts, -2).isin("co", "com", "org", "net", "ac", "gov")
+        & (F.length(F.element_at(parts, -1)) == 2)
+        & (n >= 3)
+    )
+    return F.when(n <= 2, host).otherwise(
+        F.array_join(F.slice(parts, n - F.when(cc_sld, 2).otherwise(1), 3), ".")
+    )
+
+
+def registrable_host_sql(expr: str) -> str:
+    h = f"({expr})"
+    parts = f"string_split({h}, '.')"
+    n = f"len({parts})"
+    cc = (
+        f"(list_contains(['co','com','org','net','ac','gov'], {parts}[-2]) "
+        f"AND length({parts}[-1]) = 2 AND {n} >= 3)"
+    )
+    return (
+        f"CASE WHEN {n} <= 2 THEN {h} "
+        f"WHEN {cc} THEN array_to_string({parts}[-3:], '.') "
+        f"ELSE array_to_string({parts}[-2:], '.') END"
+    )
