@@ -369,3 +369,89 @@ def registrable_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("host").alias("n_hosts"),
         F.count("*").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC round-trip: compose spec-shaped (gzipped) WARC archives from the
+# documents table, parse them back with the real reader, attest fields
+# and byte-exact payloads algebraically.
+# ---------------------------------------------------------------------------
+
+_WARC_HTML_SQL = "'<html><body><p>' || text || '</p></body></html>'"
+
+
+@register(
+    "warc_roundtrip_extract",
+    oracle=f"""
+    WITH d AS ({_DOCS_SQL})
+    SELECT doc_id,
+           'https://crawl.example.com/doc/' || doc_id::VARCHAR AS target_uri,
+           CAST(200 AS INTEGER) AS http_status,
+           'text/html; charset=utf-8' AS content_type,
+           CAST(octet_length(encode({_WARC_HTML_SQL})) AS INTEGER) AS n_body_bytes,
+           md5({_WARC_HTML_SQL}) AS body_md5
+    FROM d
+    """,
+)
+def warc_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) archive round-trip through the real reader
+    (sources/warc.py): documents become HTTP-response records grouped
+    25-to-a-file, HALF the files written as per-record gzip members
+    (the Common Crawl ``.warc.gz`` layout) and half plain, each file
+    fronted by a ``warcinfo`` record that the response filter must
+    type correctly.  The parse side recovers doc_id from the
+    WARC-Target-URI and the oracle recomputes every field plus the
+    payload md5 algebraically — a hash match attests Content-Length
+    octet framing, gzip member walking, HTTP payload splitting, and
+    byte-exact body fidelity.  Plan: one groupBy shuffle to assemble
+    files, then zero-shuffle Arrow parse — at 100 TB the compose side
+    disappears (real archives arrive as files via read_warc) and only
+    the parse shape remains."""
+    from tcdb_spark.sources import warc as W_
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 25).alias("file_id"),
+        F.concat(
+            F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+        ).alias("html"),
+    )
+
+    def _compose(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        fid = int(pdf["file_id"].iloc[0])
+        records = [
+            {
+                "warc_type": "warcinfo",
+                "record_id": f"<urn:info:{fid}>",
+                "date": "2026-01-01T00:00:00Z",
+                "payload": b"software: tcdb-spark\r\n",
+            }
+        ]
+        for did, html in zip(pdf["doc_id"], pdf["html"]):
+            records.append(
+                {
+                    "warc_type": "response",
+                    "record_id": f"<urn:doc:{did}>",
+                    "date": "2026-01-01T00:00:00Z",
+                    "target_uri": f"https://crawl.example.com/doc/{did}",
+                    "payload": W_.build_http_response(html.encode("utf-8")),
+                }
+            )
+        blob = W_.build_warc(records, gzip_members=(fid % 2 == 0))
+        return pd.DataFrame({"fname": [f"part-{fid}.warc"], "data": [blob]})
+
+    files = d.groupBy("file_id").applyInPandas(
+        _compose, schema="fname string, data binary"
+    )
+    recs = W_.records_frame(files, "fname", "data")
+    return recs.where(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "target_uri",
+        "http_status",
+        "content_type",
+        F.octet_length("body").alias("n_body_bytes"),
+        F.md5("body").alias("body_md5"),
+    )
