@@ -166,3 +166,146 @@ def hist_quantile(
         )
         out = est if out is None else out.unionByName(est)
     return out
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta) distinct sketches.
+#
+# HLL (queries_stats' monitors) unions beautifully but cannot INTERSECT;
+# the corpus questions "how many tokens/urls/docs do snapshot A and B
+# share" need a bottom-k sketch: keep the k smallest 64-bit key hashes
+# per group.  Union = k smallest of the concatenation (mergeable,
+# associative, idempotent); intersection over a pair uses the pair's
+# combined threshold theta = min(theta_a, theta_b) and counts shared
+# hashes below it (Beyer et al., "On Synopses for Distinct-Value
+# Estimation Under Multiset Operations", SIGMOD 2007).
+#
+# EXACT-MODE DEGENERACY (the oracle discipline shared with the ANN
+# lanes): a sketch whose group has fewer than k distinct keys retains
+# ALL hashes and theta = 1, so every estimate below is provably the
+# exact distinct/intersection count — DuckDB-attestable bit-for-bit.
+# Pruned-k accuracy is pytest-gated (stderr ~ 1/sqrt(k)).
+#
+# Scale shape: build is distinct + one per-group window top-k (two
+# hash-partitioned exchanges on the SAME key, AQE-coalesced); sketch
+# rows are <= k longs per group — bounded regardless of input rows.
+# Pairwise overlap EXPLODES the bounded sketches and equi-joins on the
+# hash value (never a cartesian; G^2 pair keys only materialize for
+# pairs that actually share hashes, plus a broadcast meta join for the
+# thetas).
+# ---------------------------------------------------------------------------
+
+_HASH_SPACE = float(2**64)
+
+
+def kmv_sketch(df: DataFrame, group_col: str, key_col: str, k: int) -> DataFrame:
+    """-> one row per group: sorted ``hashes`` (k smallest distinct
+    xxhash64 of the key), ``n_kept``, ``is_exact`` (kept everything:
+    estimates are exact counts), ``kth`` (the threshold hash)."""
+    h = df.select(group_col, F.xxhash64(key_col).alias("h")).distinct()
+    w = W.partitionBy(group_col).orderBy("h")
+    topk = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    return topk.groupBy(group_col).agg(
+        F.sort_array(F.collect_list("h")).alias("hashes"),
+        F.count("*").cast("long").alias("n_kept"),
+        (F.count("*") < k).alias("is_exact"),
+        F.max("h").alias("kth"),
+    )
+
+
+def kmv_merge(sketches: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Merge sketch rows sharing a group (e.g. partial sketches from
+    incremental batches): k smallest of the union, same schema out.
+    Idempotent — re-merging a sketch with itself is a no-op."""
+    h = sketches.select(group_col, F.explode("hashes").alias("h")).distinct()
+    w = W.partitionBy(group_col).orderBy("h")
+    topk = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    return topk.groupBy(group_col).agg(
+        F.sort_array(F.collect_list("h")).alias("hashes"),
+        F.count("*").cast("long").alias("n_kept"),
+        (F.count("*") < k).alias("is_exact"),
+        F.max("h").alias("kth"),
+    )
+
+
+def _theta_frac(is_exact, kth) -> "F.Column":
+    """Fraction of the signed-64 hash space at or below the threshold;
+    1.0 for an exact sketch."""
+    return F.when(is_exact, F.lit(1.0)).otherwise(
+        (kth.cast("double") + F.lit(float(2**63) + 1.0)) / F.lit(_HASH_SPACE)
+    )
+
+
+def kmv_estimate(sk: DataFrame, group_col: str) -> DataFrame:
+    """Per-group distinct estimate: exact ``n_kept`` when the sketch is
+    exact, else the KMV estimator (k-1)/theta."""
+    est = F.when(F.col("is_exact"), F.col("n_kept").cast("double")).otherwise(
+        (F.col("n_kept") - 1).cast("double")
+        / _theta_frac(F.col("is_exact"), F.col("kth"))
+    )
+    return sk.select(group_col, F.round(est).cast("long").alias("est_distinct"))
+
+
+def kmv_overlap(sk: DataFrame, group_col: str) -> DataFrame:
+    """All-pairs overlap estimates from one sketch table.
+
+    Returns (group_a, group_b, est_a, est_b, est_intersection,
+    est_union, jaccard_bp) with group_a < group_b.  In exact mode every
+    column is an exact integer (jaccard as floor basis points).  The
+    hash equi-join only moves the bounded sketch rows; group metas ride
+    a broadcast."""
+    meta = sk.select(
+        F.col(group_col).alias("g"),
+        "n_kept",
+        "is_exact",
+        "kth",
+        _theta_frac(F.col("is_exact"), F.col("kth")).alias("theta"),
+    )
+    ex = sk.select(F.col(group_col).alias("g"), F.explode("hashes").alias("h"))
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.g") < F.col("b.g"))
+    ).select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"), F.col("a.h").alias("h"))
+    ma = F.broadcast(meta.select(F.col("g").alias("ga"), *[F.col(c).alias(c + "_a") for c in ("n_kept", "is_exact", "kth", "theta")]))
+    mb = F.broadcast(meta.select(F.col("g").alias("gb"), *[F.col(c).alias(c + "_b") for c in ("n_kept", "is_exact", "kth", "theta")]))
+    j = shared.join(ma, "ga").join(mb, "gb")
+    # the pair's threshold: hashes above EITHER side's theta are not
+    # comparable samples — drop them (no-op when both sides exact)
+    pair_bound = F.least(
+        F.when(F.col("is_exact_a"), F.lit(2**63 - 1)).otherwise(F.col("kth_a")),
+        F.when(F.col("is_exact_b"), F.lit(2**63 - 1)).otherwise(F.col("kth_b")),
+    )
+    cnt = (
+        j.where(F.col("h") <= pair_bound)
+        .groupBy("ga", "gb")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    # Pairs whose sketches share NO sampled hash are omitted — their
+    # estimated intersection is 0 (materializing all G^2 pairs would
+    # need an inequality-only join, i.e. a cartesian; callers wanting
+    # explicit zeros can outer-join a group list in 2 lines).
+    out = cnt.join(ma, "ga").join(mb, "gb")
+    theta_pair = F.least(F.col("theta_a"), F.col("theta_b"))
+    est_a = F.when(F.col("is_exact_a"), F.col("n_kept_a").cast("double")).otherwise(
+        (F.col("n_kept_a") - 1).cast("double") / F.col("theta_a")
+    )
+    est_b = F.when(F.col("is_exact_b"), F.col("n_kept_b").cast("double")).otherwise(
+        (F.col("n_kept_b") - 1).cast("double") / F.col("theta_b")
+    )
+    est_i = F.col("n_shared").cast("double") / theta_pair
+    est_u = F.greatest(est_a + est_b - est_i, est_i)
+    res = out.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.round(est_a).cast("long").alias("est_a"),
+        F.round(est_b).cast("long").alias("est_b"),
+        F.round(est_i).cast("long").alias("est_intersection"),
+        F.round(est_u).cast("long").alias("est_union"),
+    )
+    return res.withColumn(
+        "jaccard_bp",
+        F.when(
+            F.col("est_union") > 0,
+            F.expr("(10000 * est_intersection) div est_union"),
+        ).otherwise(F.lit(0)).cast("long"),
+    )

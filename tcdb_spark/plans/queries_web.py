@@ -455,3 +455,49 @@ def warc_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("body").alias("n_body_bytes"),
         F.md5("body").alias("body_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary overlap via KMV (bottom-k theta) sketches —
+# exact-mode degeneracy oracle (k >= per-source vocabulary).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_source_overlap",
+    oracle=f"""
+    WITH d AS ({_DOCS_SQL}),
+    t AS (SELECT DISTINCT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM d),
+    c AS (SELECT source, count(*) AS n FROM t GROUP BY source),
+    p AS (SELECT a.source AS sa, b.source AS sb, count(*) AS ni
+          FROM t a JOIN t b ON a.tok = b.tok AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT sa AS group_a, sb AS group_b,
+           CAST(ca.n AS BIGINT) AS est_a, CAST(cb.n AS BIGINT) AS est_b,
+           CAST(ni AS BIGINT) AS est_intersection,
+           CAST(ca.n + cb.n - ni AS BIGINT) AS est_union,
+           CAST((10000 * ni) // (ca.n + cb.n - ni) AS BIGINT) AS jaccard_bp
+    FROM p JOIN c ca ON ca.source = sa JOIN c cb ON cb.source = sb
+    """,
+)
+def sketch_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap through KMV bottom-k sketches
+    (operators/sketch.py): the set-INTERSECTION question HLL cannot
+    answer ("how much do crawl snapshots share").  Exact-mode
+    degeneracy oracle: k=2^20 exceeds every per-source vocabulary, so
+    the sketch provably retains all hashes (theta = 1) and the
+    build->explode->equi-join->threshold->estimate machinery must
+    reproduce exact distinct/intersection/union counts and floor-bp
+    Jaccard, hash-matched against DuckDB's exact self-join.  Pruned-k
+    accuracy and merge laws are pytest-gated (test_kmv.py).  Scale:
+    sketch rows are <= k longs per group no matter the input; the pair
+    stage equi-joins the BOUNDED sketches on hash value — never a
+    cartesian, never the raw corpus."""
+    from tcdb_spark.operators.sketch import kmv_overlap, kmv_sketch
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    sk = kmv_sketch(tok, "source", "tok", k=1 << 20)
+    return kmv_overlap(sk, "source")
