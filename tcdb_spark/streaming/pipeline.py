@@ -848,3 +848,118 @@ def stream_bloom_screen(
         )
     )
     return writer.start()
+
+
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("html", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("canonical_url", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("discovered_ts", T.TimestampType()),
+    ]
+)
+
+
+def stream_link_frontier(
+    spark: SparkSession,
+    pages_dir: str,
+    warehouse: Warehouse,
+    checkpoint_dir: str | None = None,
+):
+    """Incremental crawl frontier — the discovery loop a web-corpus
+    pipeline runs: crawled pages stream in (url, html, ts), each batch
+    (1) marks the page's own canonical URL ``crawled`` and (2) extracts
+    outlinks with the real parser (sources/web.html_links), canonicalizes
+    them, and enqueues the genuinely-new ones as ``queued``.
+
+    Replay discipline (the repo's streaming contract): the frontier
+    TABLE is the dedup state — no in-stream state operator, so there is
+    nothing to lose on checkpoint wipe.  Inside foreachBatch a
+    ``crawled`` row always upserts (a queued URL that got fetched flips
+    exactly once) while a ``queued`` row inserts ONLY when the URL is
+    absent from the table (anti-join), so a re-delivered batch is a
+    fixed point and a re-discovered already-crawled URL is never
+    demoted back to queued.  Discovery timestamps use the batch's min
+    event time, never the wall clock — replays stamp identically.
+    Per-batch work is O(batch outlinks) plus one MERGE; the frontier
+    table is the only cross-batch state.
+
+    At 100 TB/day the shapes hold: extraction is a zero-shuffle Arrow
+    stage over the batch, the MERGE keys on canonical_url (hash
+    partitioned), and the watermarked dedup state never exceeds the
+    horizon's distinct-outlink count."""
+    from tcdb_spark.operators.merge import merge
+    from tcdb_spark.sources.web import html_links, url_normalize
+
+    pages = spark.readStream.schema(PAGE_SCHEMA).json(pages_dir)
+    pages = pages.where(F.col("url").isNotNull()).withColumn(
+        "page_canon", url_normalize("url")
+    )
+
+    def _frontier_rows(links: DataFrame) -> DataFrame:
+        abs_links = links.where(F.col("href").contains("://"))
+        canon = abs_links.select(
+            url_normalize("href").alias("canonical_url"),
+            F.col("discovered_ts"),
+        )
+        return canon.withColumn(
+            "host", F.regexp_extract("canonical_url", "://([^/]*)", 1)
+        )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = warehouse.read("crawl_frontier", schema=FRONTIER_SCHEMA)
+        # groupBy, not dropDuplicates: a page fetched twice in one batch
+        # must resolve to ONE deterministic row under task retry
+        crawled = (
+            batch_df.groupBy(F.col("page_canon").alias("canonical_url"))
+            .agg(F.min("ts").alias("discovered_ts"))
+            .select(
+                "canonical_url",
+                F.lit("crawled").alias("status"),
+                F.regexp_extract("canonical_url", "://([^/]*)", 1).alias("host"),
+                "discovered_ts",
+            )
+        )
+        links = html_links(
+            batch_df.withColumn("doc_id", F.monotonically_increasing_id()),
+            id_col="doc_id",
+            html_col="html",
+        )
+        # re-attach the batch timestamp floor: discovery time is the
+        # batch's min ts (deterministic under replay, no wall clock)
+        ts_floor = batch_df.select(F.min("ts").alias("t")).collect()[0].t
+        queued = (
+            _frontier_rows(
+                links.withColumn("discovered_ts", F.lit(ts_floor))
+            )
+            .withColumn("status", F.lit("queued"))
+            .select("canonical_url", "status", "host", "discovered_ts")
+            .dropDuplicates(["canonical_url"])
+            # never enqueue what this very batch crawled...
+            .join(crawled.select("canonical_url"), "canonical_url", "left_anti")
+            # ...nor anything the table already knows (queued OR crawled)
+            .join(cur.select("canonical_url"), "canonical_url", "left_anti")
+        )
+        incoming = crawled.unionByName(queued)
+        merged = merge(cur, incoming, keys=["canonical_url"], dedupe_incoming=True)
+        warehouse.write("crawl_frontier", merged)
+
+    return (
+        pages.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{warehouse.root}/_checkpoints/crawl_frontier",
+        )
+        .start()
+    )
