@@ -1087,3 +1087,66 @@ class Engine:
         from tcdb_spark.sources.multimodal import media_dct_phash
 
         return media_dct_phash(media, decode_stub=decode_stub)
+
+    # -- web corpus (round 8) ------------------------------------------
+
+    def html_extract(
+        self, df: DataFrame, id_col: str = "doc_id", html_col: str = "html",
+        max_html_bytes: int = 16 << 20,
+    ) -> DataFrame:
+        """HTML -> (title, body, structure stats) via the stdlib parser
+        with the pinned extraction contract (sources/web.py); one
+        zero-shuffle Arrow stage, per-row byte cap."""
+        from tcdb_spark.sources.web import html_extract
+
+        return html_extract(df, id_col, html_col, max_html_bytes)
+
+    def html_links(
+        self, df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+    ) -> DataFrame:
+        """One row per <a href> in document order (href, anchor, pos)."""
+        from tcdb_spark.sources.web import html_links
+
+        return html_links(df, id_col, html_col)
+
+    def url_canonicalize(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        """Append ``canonical_url`` + ``registrable_domain`` — fully
+        JVM-native normalization (sources/web.url_normalize)."""
+        from pyspark.sql import functions as F
+
+        from tcdb_spark.sources.web import registrable_host, url_normalize
+
+        canon = url_normalize(url_col)
+        return df.withColumn("canonical_url", canon).withColumn(
+            "registrable_domain",
+            registrable_host(F.regexp_extract("canonical_url", "://([^/]*)", 1)),
+        )
+
+    def read_warc(self, path: str) -> DataFrame:
+        """Distributed WARC scan (plain or .warc.gz), one row per record
+        with HTTP payloads split (sources/warc.read_warc)."""
+        from tcdb_spark.sources.warc import read_warc
+
+        return read_warc(self.spark, path)
+
+    def kmv_sketch(
+        self, df: DataFrame, group_col: str, key_col: str, k: int = 4096
+    ) -> DataFrame:
+        """Mergeable bottom-k distinct sketch per group (operators/sketch)."""
+        from tcdb_spark.operators.sketch import kmv_sketch
+
+        return kmv_sketch(df, group_col, key_col, k)
+
+    def kmv_overlap(self, sketches: DataFrame, group_col: str) -> DataFrame:
+        """Pairwise distinct/intersection/union/Jaccard estimates from
+        KMV sketches (exact when the sketches are exact)."""
+        from tcdb_spark.operators.sketch import kmv_overlap
+
+        return kmv_overlap(sketches, group_col)
+
+    def link_frontier(self, pages_dir: str, checkpoint_dir: str | None = None):
+        """Streaming crawl-frontier loop into this engine's warehouse
+        (streaming/pipeline.stream_link_frontier)."""
+        from tcdb_spark.streaming.pipeline import stream_link_frontier
+
+        return stream_link_frontier(self.spark, pages_dir, self.warehouse, checkpoint_dir)
