@@ -1150,3 +1150,13 @@ class Engine:
         from tcdb_spark.streaming.pipeline import stream_link_frontier
 
         return stream_link_frontier(self.spark, pages_dir, self.warehouse, checkpoint_dir)
+
+    def html_blocks(
+        self, df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+    ) -> DataFrame:
+        """Per-block classification view (tag, link density signals,
+        boilerplate-container flag) for boilerplate filtering —
+        sources/web.html_blocks; body == kept+dropped blocks joined."""
+        from tcdb_spark.sources.web import html_blocks
+
+        return html_blocks(df, id_col, html_col)

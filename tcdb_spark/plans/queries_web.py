@@ -501,3 +501,59 @@ def sketch_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = kmv_sketch(tok, "source", "tok", k=1 << 20)
     return kmv_overlap(sk, "source")
+
+
+@register(
+    "html_boilerplate_filter",
+    oracle=f"""
+    WITH d AS ({_DOCS_SQL})
+    SELECT doc_id,
+           'Doc ' || doc_id::VARCHAR || chr(10) || 'R&D <spec> ' || chr(8212)
+             || ' ' || regexp_replace(trim(text), '[ \t\r\n]+', ' ', 'g') AS clean_body,
+           CAST(2 AS BIGINT) AS n_kept,
+           CAST(3 AS BIGINT) AS n_dropped,
+           CAST(16 + length(source) AS BIGINT) AS n_dropped_chars
+    FROM d
+    """,
+)
+def html_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level boilerplate removal (the trafilatura/readability
+    move): the extractor emits per-block classification signals
+    (opening tag, link count, anchor-text chars, nav/header/footer/
+    aside container flag — sources/web.html_blocks) and the filter
+    keeps blocks outside boilerplate containers whose link density is
+    <= 0.5 (integer algebra: link_chars*2 <= length(text)).  On the
+    composed template that provably keeps exactly the heading and the
+    paragraph while dropping both nav items and the footer, and the
+    reassembled clean body must equal the oracle's algebraic
+    expectation character-for-character.  One Arrow stage + one
+    groupBy(doc_id) shuffle for reassembly."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", "text", _compose_spark(_HTML_TMPL).alias("html")
+    )
+    blocks = web.html_blocks(d)
+    kept = (~F.col("in_boiler")) & (
+        F.col("link_chars") * 2 <= F.length("text")
+    )
+    return (
+        blocks.withColumn("kept", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("pos", "text"))
+                        )
+                    ),
+                    lambda x: x["text"],
+                ),
+                "\n",
+            ).alias("clean_body"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+            F.sum((~F.col("kept")).cast("int")).alias("n_dropped"),
+            F.sum(
+                F.when(~F.col("kept"), F.length("text")).otherwise(F.lit(0))
+            ).alias("n_dropped_chars"),
+        )
+    )

@@ -66,6 +66,11 @@ _WS = re.compile(r"[ \t\r\n\x0b\x0c]+")
 # content-free elements: everything between the start and end tag is dropped
 _SKIP = {"script", "style", "noscript", "template", "iframe", "svg"}
 
+# boilerplate containers: content inside them is still extracted (it IS
+# page text) but every block carries an in-container flag so a
+# boilerplate filter can drop chrome without a second parse
+_BOILER = {"nav", "header", "footer", "aside"}
+
 _BLOCK = {
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
     "nav", "header", "footer", "section", "article", "aside", "main",
@@ -92,15 +97,35 @@ class HtmlTextExtractor(HTMLParser):
         self._title_buf: list[str] = []
         self._anchor_buf: list[str] | None = None
         self._anchor_href: str | None = None
+        self._tag_stack: list[str] = []
+        self._boiler_depth = 0
+        self._buf_links = 0
+        self._buf_link_chars = 0
         self.blocks: list[str] = []
         self.links: list[tuple[str, str]] = []  # (href, anchor_text)
+        # (tag, text, n_links, link_chars, in_boiler_container) — the
+        # block-classification view (boilerplate filtering); text here
+        # is the same collapsed text that joins into the body
+        self.blocks_meta: list[tuple[str, str, int, int, bool]] = []
 
     # -- block plumbing ------------------------------------------------
     def _flush(self) -> None:
         text = _WS.sub(" ", "".join(self._buf)).strip()
         self._buf = []
+        n_links, link_chars = self._buf_links, self._buf_link_chars
+        self._buf_links = 0
+        self._buf_link_chars = 0
         if text:
             self.blocks.append(text)
+            self.blocks_meta.append(
+                (
+                    self._tag_stack[-1] if self._tag_stack else "",
+                    text,
+                    n_links,
+                    link_chars,
+                    self._boiler_depth > 0,
+                )
+            )
 
     # -- parser callbacks ----------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
@@ -120,6 +145,10 @@ class HtmlTextExtractor(HTMLParser):
                 self._anchor_buf = []
         if tag in _BLOCK:
             self._flush()
+            if tag not in ("br", "hr"):
+                self._tag_stack.append(tag)
+            if tag in _BOILER:
+                self._boiler_depth += 1
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         # <br/>, <hr/> — void block boundaries; <img/> etc: no-op
@@ -141,10 +170,16 @@ class HtmlTextExtractor(HTMLParser):
         if tag == "a" and self._anchor_buf is not None:
             anchor = _WS.sub(" ", "".join(self._anchor_buf)).strip()
             self.links.append((self._anchor_href or "", anchor))
+            self._buf_links += 1
+            self._buf_link_chars += len(anchor)
             self._anchor_buf = None
             self._anchor_href = None
         if tag in _BLOCK:
             self._flush()
+            if self._tag_stack and self._tag_stack[-1] == tag:
+                self._tag_stack.pop()
+            if tag in _BOILER:
+                self._boiler_depth = max(0, self._boiler_depth - 1)
 
     def handle_data(self, data: str) -> None:
         if self._skip_depth:
@@ -252,6 +287,54 @@ def html_extract(
             yield pd.DataFrame(rows, columns=[f.name for f in HTML_EXTRACT_SCHEMA])
 
     return df.select(id_col, html_col).mapInPandas(_op, schema=HTML_EXTRACT_SCHEMA)
+
+
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_links", T.IntegerType()),
+        T.StructField("link_chars", T.IntegerType()),
+        T.StructField("in_boiler", T.BooleanType()),
+    ]
+)
+
+
+def html_blocks(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """(id, html) -> one row per non-empty text block with the
+    classification signals a boilerplate filter needs: the opening
+    block tag, document-order position, link count, anchor-text chars
+    (link density = link_chars/length(text)), and whether the block
+    sits inside a nav/header/footer/aside container.  Same zero-shuffle
+    Arrow shape as :func:`html_extract`; the body equals the kept
+    blocks joined by newline, so filters stay consistent with it."""
+
+    def _op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, h in zip(pdf[id_col], pdf[html_col]):
+                p = HtmlTextExtractor()
+                try:
+                    p.feed(h or "")
+                    if p.rawdata.startswith("<"):
+                        p.rawdata = ""
+                    p.close()
+                except Exception:
+                    pass
+                p._flush()
+                rows.extend(
+                    (did, i, tag, text, nl, lc, boiler)
+                    for i, (tag, text, nl, lc, boiler) in enumerate(p.blocks_meta)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA])
+
+    return df.select(id_col, html_col).mapInPandas(_op, schema=BLOCKS_SCHEMA)
 
 
 def html_links(

@@ -186,3 +186,65 @@ def test_extract_plan_is_one_arrow_stage(spark):
     plan = html_extract(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # zero shuffles
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+# ---------------------------------------------------------------------------
+# block-level classification (boilerplate filtering)
+# ---------------------------------------------------------------------------
+
+
+def _meta(html):
+    from tcdb_spark.sources.web import HtmlTextExtractor
+
+    p = HtmlTextExtractor()
+    p.feed(html)
+    p.close()
+    p._flush()
+    return p.blocks_meta
+
+
+def test_blocks_meta_tags_links_and_boiler():
+    html = (
+        '<nav><li>Home</li><li><a href="/a">About</a></li></nav>'
+        '<h1>Title</h1><p>body <a href="/x">ref</a> tail</p>'
+        "<footer>legal</footer>"
+    )
+    assert _meta(html) == [
+        ("li", "Home", 0, 0, True),
+        ("li", "About", 1, 5, True),
+        ("h1", "Title", 0, 0, False),
+        ("p", "body ref tail", 1, 3, False),
+        ("footer", "legal", 0, 0, True),
+    ]
+
+
+def test_blocks_meta_stray_closer_and_br():
+    # </nav> without opener must not underflow; br flushes but never
+    # becomes the enclosing tag
+    assert _meta("</nav><p>a<br>b</p>") == [
+        ("p", "a", 0, 0, False),
+        ("p", "b", 0, 0, False),
+    ]
+
+
+def test_blocks_meta_body_consistency():
+    # body == '\n'.join(block texts) — filters stay consistent with it
+    from tcdb_spark.sources.web import extract_text
+
+    html = "<nav><p>x</p></nav><div>y <b>z</b></div>"
+    _, body, _ = extract_text(html)
+    assert body == "\n".join(t for _, t, *_ in _meta(html))
+
+
+def test_html_blocks_distributed(spark):
+    from tcdb_spark.sources.web import html_blocks
+
+    df = spark.createDataFrame(
+        [(1, '<nav><a href="/m">menu</a></nav><p>content here</p>')],
+        "doc_id long, html string",
+    )
+    rows = sorted(html_blocks(df).collect(), key=lambda r: r.pos)
+    assert [(r.tag, r.text, r.n_links, r.link_chars, r.in_boiler) for r in rows] == [
+        ("nav", "menu", 1, 4, True),
+        ("p", "content here", 0, 0, False),
+    ]
