@@ -1160,3 +1160,22 @@ class Engine:
         from tcdb_spark.sources.web import html_blocks
 
         return html_blocks(df, id_col, html_col)
+
+    def robots_filter(
+        self, urls: DataFrame, robots: DataFrame, user_agent: str = "*"
+    ) -> DataFrame:
+        """Append ``allowed`` per URL by its host's robots.txt — RFC
+        9309 longest-match, robots parsed once per host and broadcast
+        (sources/web.robots_filter)."""
+        from tcdb_spark.sources.web import robots_filter
+
+        return robots_filter(urls, robots, user_agent=user_agent)
+
+    def sitemap_entries(
+        self, df: DataFrame, host_col: str = "host", xml_col: str = "sitemap_xml"
+    ) -> DataFrame:
+        """Sitemap/sitemapindex XML -> one row per <loc> entry
+        (sources/web.sitemap_entries)."""
+        from tcdb_spark.sources.web import sitemap_entries
+
+        return sitemap_entries(df, host_col, xml_col)

@@ -557,3 +557,120 @@ def html_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_dropped_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl policy: robots.txt longest-match filtering and sitemap seeds.
+# ---------------------------------------------------------------------------
+
+_ROBOTS_TXT = (
+    "User-agent: evilbot\\nDisallow: /\\n\\n"
+    "User-agent: *\\nDisallow: /private\\nAllow: /private/ok\\n"
+)
+
+
+@register(
+    "robots_allow_filter",
+    oracle=f"""
+    WITH d AS ({_DOCS_SQL}),
+    u AS (SELECT doc_id, source || '.example.com' AS host,
+                 CASE doc_id % 4
+                      WHEN 0 THEN '/pub/' || doc_id::VARCHAR
+                      WHEN 1 THEN '/private/' || doc_id::VARCHAR
+                      WHEN 2 THEN '/private/ok/' || doc_id::VARCHAR
+                      ELSE '/private/okno' END AS path
+          FROM d)
+    SELECT doc_id, 'https://' || host || path AS canonical_url,
+           CASE WHEN host LIKE 'src1%' THEN TRUE  -- no robots.txt row
+                WHEN path LIKE '/private/ok%' THEN TRUE
+                WHEN path LIKE '/private%' THEN FALSE
+                ELSE TRUE END AS allowed
+    FROM u
+    """,
+)
+def robots_allow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt enforcement with RFC 9309 LONGEST-MATCH semantics
+    (sources/web.parse_robots / robots_filter — the stdlib
+    urllib.robotparser's pre-RFC first-match order is deliberately not
+    used; docstring there).  Planted rules per host (Disallow /private,
+    Allow /private/ok, plus an evilbot group that must NOT leak into
+    the * group) against four path shapes including the prefix trap
+    '/private/okno' (longest match ALLOWS it — prefix, not segment,
+    semantics); hosts starting 'src1' carry no robots row and default
+    to allowed.  Robots parse once per HOST, broadcast to the URL side;
+    per-URL work is native prefix matching over the rule array."""
+    d = _docs(spark, sf_dir)
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/pub/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/private/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/private/ok/"), F.col("doc_id").cast("string")))
+        .otherwise(F.lit("/private/okno"))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, path).alias("canonical_url"),
+    )
+    robots = (
+        d.select(host.alias("host"))
+        .distinct()
+        .where(~F.col("host").startswith("src1"))
+        .withColumn("robots_txt", F.lit(_ROBOTS_TXT.replace("\\n", "\n")))
+    )
+    out = web.robots_filter(urls, robots, url_col="canonical_url")
+    return out.select("doc_id", "canonical_url", "allowed")
+
+
+@register(
+    "sitemap_frontier_seed",
+    oracle=f"""
+    WITH d AS ({_DOCS_SQL}),
+    e AS (
+        SELECT source || '.example.com' AS sitemap_host,
+               'https://' || source || '.example.com/d/' || doc_id::VARCHAR AS loc,
+               '2026-01-0' || ((doc_id % 9) + 1)::VARCHAR AS lastmod,
+               'url' AS kind
+        FROM d WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT source || '.example.com',
+               'https://' || source || '.example.com/alt/' || doc_id::VARCHAR,
+               NULL, 'url'
+        FROM d WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT source || '.example.com',
+               'https://' || source || '.example.com/sitemap-child-' || doc_id::VARCHAR || '.xml',
+               NULL, 'sitemap'
+        FROM d WHERE doc_id % 5 = 0
+    )
+    SELECT * FROM e
+    """,
+)
+def sitemap_frontier_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (the crawl's seed source): per-doc composed
+    sitemap XML — a two-entry <urlset> with namespace declarations and
+    a lastmod on the first entry, or (every 5th doc) a <sitemapindex>
+    whose child must come back kind='sitemap' for a second fetch —
+    parsed by the real namespace-agnostic ElementTree walker
+    (sources/web.parse_sitemap).  Oracle recomputes the planted
+    entries; zero shuffles (one Arrow stage)."""
+    d = _docs(spark, sf_dir)
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    base = F.concat(F.lit("https://"), host)
+    urlset = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><url><loc>'),
+        base, F.lit("/d/"), F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2026-01-0"),
+        ((F.col("doc_id") % 9) + 1).cast("string"),
+        F.lit("</lastmod></url><url><loc>"),
+        base, F.lit("/alt/"), F.col("doc_id").cast("string"),
+        F.lit("</loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><sitemap><loc>'),
+        base, F.lit("/sitemap-child-"), F.col("doc_id").cast("string"),
+        F.lit(".xml</loc></sitemap></sitemapindex>"),
+    )
+    xml = F.when(F.col("doc_id") % 5 == 0, index).otherwise(urlset)
+    src = d.select(host.alias("host"), xml.alias("sitemap_xml"))
+    return web.sitemap_entries(src, "host", "sitemap_xml")

@@ -480,3 +480,169 @@ def registrable_host_sql(expr: str) -> str:
         f"WHEN {cc} THEN array_to_string({parts}[-3:], '.') "
         f"ELSE array_to_string({parts}[-2:], '.') END"
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) and sitemap XML — the crawl-policy inputs.
+# ---------------------------------------------------------------------------
+
+
+def parse_robots(content: str, user_agent: str = "*") -> list[tuple[str, bool]]:
+    """Parse robots.txt into [(path_prefix, allowed)] rules for the
+    given user-agent group (falling back to the ``*`` group), RFC 9309
+    subset: literal path prefixes, case-sensitive, blank Disallow means
+    allow-all.  Wildcards are NOT interpreted (a ``*``/``$`` rule is
+    kept as a literal and therefore matches nothing — documented
+    conservative behavior; extend at the marked seam if needed).
+
+    Python's stdlib ``urllib.robotparser`` is deliberately NOT used:
+    its first-match-in-file-order semantics predate RFC 9309's
+    longest-match rule and cannot be mirrored in a SQL oracle."""
+    groups: dict[str, list[tuple[str, bool]]] = {}
+    current: list[str] = []
+    seen_rule = True
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if seen_rule:
+                current = []
+                seen_rule = False
+            current.append(val.lower())
+            for ua in current:
+                groups.setdefault(ua, [])
+        elif key in ("allow", "disallow"):
+            seen_rule = True
+            if not val and key == "disallow":
+                continue  # blank Disallow: allow all (no rule)
+            for ua in current:
+                groups.setdefault(ua, []).append((val, key == "allow"))
+    return groups.get(user_agent.lower(), groups.get("*", []))
+
+
+def robots_decision(rules: list[tuple[str, bool]], path: str) -> bool:
+    """RFC 9309 longest-match: the matching rule with the longest
+    prefix wins; ties prefer Allow; no match -> allowed."""
+    best_len, allowed = -1, True
+    for prefix, allow in rules:
+        if path.startswith(prefix) and len(prefix) >= best_len:
+            if len(prefix) > best_len:
+                best_len, allowed = len(prefix), allow
+            elif allow:  # tie: Allow wins
+                allowed = True
+    return allowed
+
+
+def robots_filter(
+    urls: DataFrame,
+    robots: DataFrame,
+    url_col: str = "canonical_url",
+    host_col_robots: str = "host",
+    content_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Append ``allowed`` to a URL frame by that host's robots.txt.
+
+    The robots side is one small row per host — parsed once per host
+    (not per URL) inside an Arrow stage, then BROADCAST and equi-joined
+    on host; hosts with no robots row are allowed (RFC 9309 absence
+    semantics).  The per-URL work is pure prefix matching."""
+
+    def _parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf[host_col_robots], pdf[content_col]):
+                rules = parse_robots(content or "", user_agent)
+                rows.append((host, [list((p, a)) for p, a in rules]))
+            yield pd.DataFrame(rows, columns=["host", "rules"])
+
+    rules_schema = "host string, rules array<struct<prefix string, allow boolean>>"
+    parsed = robots.select(host_col_robots, content_col).mapInPandas(
+        _parse, schema=rules_schema
+    )
+    u = urls.withColumn(
+        "_host", F.regexp_extract(url_col, "://([^/]*)", 1)
+    ).withColumn("_path", F.regexp_extract(url_col, "://[^/]*(/.*)?$", 1))
+    j = u.join(F.broadcast(parsed), u["_host"] == parsed["host"], "left")
+    # longest-match fold, natively: keep matching rules, take max by
+    # (prefix length, allow) — Allow wins ties; empty/missing -> allowed
+    matching = F.filter(
+        F.col("rules"), lambda r: F.col("_path").startswith(r["prefix"])
+    )
+    best = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(
+                F.length(r["prefix"]).alias("l"),
+                r["allow"].cast("int").alias("a"),
+            ),
+        )
+    )
+    allowed = F.when(
+        F.col("rules").isNull() | (F.size(matching) == 0), F.lit(True)
+    ).otherwise(best["a"] == 1)
+    return j.withColumn("allowed", allowed).drop("_host", "_path", "host", "rules")
+
+
+SITEMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("sitemap_host", T.StringType()),
+        T.StructField("loc", T.StringType()),
+        T.StructField("lastmod", T.StringType()),
+        T.StructField("kind", T.StringType()),  # 'url' | 'sitemap'
+    ]
+)
+
+
+def parse_sitemap(content: str) -> list[tuple[str, str | None, str]]:
+    """Parse sitemap XML -> [(loc, lastmod, kind)] where kind is 'url'
+    for <urlset> entries and 'sitemap' for <sitemapindex> children
+    (crawl seeds that need another fetch).  Namespace-agnostic
+    (matches on local names); malformed XML yields []."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(content)
+    except ET.ParseError:
+        return []
+    out = []
+    kind = "sitemap" if root.tag.split("}")[-1] == "sitemapindex" else "url"
+    for child in root:
+        if child.tag.split("}")[-1] not in ("url", "sitemap"):
+            continue
+        loc, lastmod = None, None
+        for f in child:
+            name = f.tag.split("}")[-1]
+            if name == "loc":
+                loc = (f.text or "").strip()
+            elif name == "lastmod":
+                lastmod = (f.text or "").strip()
+        if loc:
+            out.append((loc, lastmod, kind))
+    return out
+
+
+def sitemap_entries(
+    df: DataFrame, host_col: str = "host", xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """(host, sitemap_xml) -> one row per <loc> entry; zero shuffles."""
+
+    def _op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for host, xml in zip(pdf[host_col], pdf[xml_col]):
+                rows.extend(
+                    (host, loc, lastmod, kind)
+                    for loc, lastmod, kind in parse_sitemap(xml or "")
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in SITEMAP_SCHEMA])
+
+    return df.select(host_col, xml_col).mapInPandas(_op, schema=SITEMAP_SCHEMA)

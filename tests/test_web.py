@@ -248,3 +248,78 @@ def test_html_blocks_distributed(spark):
         ("nav", "menu", 1, 4, True),
         ("p", "content here", 0, 0, False),
     ]
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309 longest-match) and sitemap XML
+# ---------------------------------------------------------------------------
+
+
+def test_parse_robots_groups_and_fallback():
+    from tcdb_spark.sources.web import parse_robots
+
+    txt = (
+        "# policy\n"
+        "User-agent: evilbot\nDisallow: /\n\n"
+        "User-agent: a\nUser-agent: b\nDisallow: /shared\n\n"
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow:\n"
+    )
+    assert parse_robots(txt, "EvilBot") == [("/", False)]
+    assert parse_robots(txt, "a") == parse_robots(txt, "B") == [("/shared", False)]
+    # unknown agent falls back to *; blank Disallow adds no rule
+    assert parse_robots(txt, "crawler9") == [("/private", False), ("/private/ok", True)]
+    assert parse_robots("", "*") == []
+
+
+def test_robots_longest_match_and_ties():
+    from tcdb_spark.sources.web import robots_decision
+
+    rules = [("/private", False), ("/private/ok", True)]
+    assert robots_decision(rules, "/") is True
+    assert robots_decision(rules, "/private/x") is False
+    assert robots_decision(rules, "/private/ok/x") is True
+    assert robots_decision(rules, "/private/okno") is True  # prefix, not segment
+    # equal-length tie prefers Allow, in either file order
+    assert robots_decision([("/a", False), ("/a", True)], "/a/x") is True
+    assert robots_decision([("/a", True), ("/a", False)], "/a/x") is True
+
+
+def test_robots_filter_distributed_matches_python(spark):
+    from tcdb_spark.sources.web import parse_robots, robots_decision, robots_filter
+
+    txt = "User-agent: *\nDisallow: /p\nAllow: /pq\nDisallow: /pq/deep\n"
+    rules = parse_robots(txt)
+    paths = ["/", "/p", "/pq", "/pq/deep/x", "/pqr", "/z"]
+    urls = spark.createDataFrame(
+        [(f"https://h.example{p}",) for p in paths], "canonical_url string"
+    )
+    robots = spark.createDataFrame([("h.example", txt)], "host string, robots_txt string")
+    got = {
+        r.canonical_url: r.allowed
+        for r in robots_filter(urls, robots).collect()
+    }
+    for p in paths:
+        assert got[f"https://h.example{p}"] == robots_decision(rules, p), p
+
+
+def test_robots_filter_missing_host_allowed(spark):
+    from tcdb_spark.sources.web import robots_filter
+
+    urls = spark.createDataFrame([("https://nohost.example/x",)], "canonical_url string")
+    robots = spark.createDataFrame([("other.example", "User-agent: *\nDisallow: /")],
+                                   "host string, robots_txt string")
+    assert robots_filter(urls, robots).collect()[0].allowed is True
+
+
+def test_parse_sitemap_edge_cases():
+    from tcdb_spark.sources.web import parse_sitemap
+
+    assert parse_sitemap("<urlset><url><lastmod>x</lastmod></url></urlset>") == []
+    assert parse_sitemap("<urlset><url><loc> https://a/1 </loc></url>"
+                         "<other/></urlset>") == [("https://a/1", None, "url")]
+    assert parse_sitemap("<broken") == []
+    got = parse_sitemap(
+        '<sitemapindex xmlns="http://x"><sitemap><loc>https://a/s.xml</loc>'
+        "<lastmod>2026-02-02</lastmod></sitemap></sitemapindex>"
+    )
+    assert got == [("https://a/s.xml", "2026-02-02", "sitemap")]
