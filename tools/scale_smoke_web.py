@@ -70,7 +70,6 @@ def html_smoke(spark, n_docs: int) -> None:
         [(999_999_999_999, "srcX", "x")], "doc_id long, source string, text string"
     ).select(
         "doc_id",
-        "source",
         F.concat(
             F.lit("<div>deep</div>" * 550_000), F.lit("<p>needle</p>")
         ).alias("html"),
