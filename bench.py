@@ -76,6 +76,15 @@ HEADLINE = [
     "audio_near_dup_pairs",
     "video_near_dup",
     "bloom_prefilter_member",
+    # round-8 widening: the web-corpus stack (positions 1-41 stay
+    # comparable via core41_total) — parser-bound HTML extraction +
+    # boilerplate filtering, codegen URL canonicalization/dedup, WARC
+    # container round trip, KMV set-overlap sketches
+    "html_extract_text",
+    "html_boilerplate_filter",
+    "url_dedup_canonical",
+    "warc_roundtrip_extract",
+    "sketch_source_overlap",
 ]
 
 
@@ -257,6 +266,7 @@ def main() -> None:
     core32 = round(sum(t for n, t in timings.items() if n in HEADLINE[:32]), 3)
     core33 = round(sum(t for n, t in timings.items() if n in HEADLINE[:33]), 3)
     core38 = round(sum(t for n, t in timings.items() if n in HEADLINE[:38]), 3)
+    core41 = round(sum(t for n, t in timings.items() if n in HEADLINE[:41]), 3)
     print(
         json.dumps(
             {
@@ -282,6 +292,9 @@ def main() -> None:
                 # the round-7 session-2 38-lane subtotal — comparable to
                 # the r07s2-idle recording's headline total
                 "core38_total": core38,
+                # the round-7 session-3 41-lane subtotal — comparable to
+                # BENCH_r07_idle's 41-lane headline total
+                "core41_total": core41,
                 # box-contention context: loadavg_before is sampled BEFORE
                 # the warmup pass (external load only — near 0 on an idle
                 # box); loadavg_after reflects the bench's own full-tilt

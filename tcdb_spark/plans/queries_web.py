@@ -674,3 +674,67 @@ def sitemap_frontier_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     xml = F.when(F.col("doc_id") % 5 == 0, index).otherwise(urlset)
     src = d.select(host.alias("host"), xml.alias("sitemap_xml"))
     return web.sitemap_entries(src, "host", "sitemap_xml")
+
+
+# ---------------------------------------------------------------------------
+# CDX index parsing — the side index that makes WARC archives seekable
+# (sources/warc.py: read_warc_ranged consumes exactly these columns).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdx_parse_index",
+    oracle=f"""
+    WITH d AS ({_DOCS_SQL}),
+    u AS (SELECT doc_id,
+                 'https://www.' || source || '.example.com/d/' || doc_id::VARCHAR AS url
+          FROM d)
+    SELECT {web.surt_sql('url')} AS surt_key,
+           make_timestamp(2026, 1, (doc_id % 9) + 1, doc_id % 10, 0, 0) AS capture_ts,
+           url,
+           CAST(NULL AS VARCHAR) AS mime,
+           CAST(200 AS INTEGER) AS http_status,
+           CAST(NULL AS VARCHAR) AS digest,
+           CAST(doc_id * 1000 AS BIGINT) AS offset,
+           CAST(500 + doc_id % 100 AS BIGINT) AS length,
+           'crawl/seg-' || (doc_id % 10)::VARCHAR || '.warc.gz' AS filename
+    FROM u
+    """,
+)
+def cdx_parse_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ index parsing, fully native on both sides: the lane
+    composes real CDX lines (SURT key via the same regex algebra both
+    engines share, a 14-digit timestamp, a JSON attribute object built
+    by to_json) and parses them back with sources/warc.parse_cdx
+    (split-limit-3 + from_json + casts — zero Python).  The oracle
+    computes every field algebraically; absent JSON attributes (mime,
+    digest) must come back NULL.  At 100 TB the CDX is how a pipeline
+    fetches 10^4 records out of the archives without scanning them
+    (read_warc_ranged); this lane attests the index decode."""
+    from tcdb_spark.sources.warc import parse_cdx
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    ts14 = F.concat(
+        F.lit("2026010"), ((F.col("doc_id") % 9) + 1).cast("string"),
+        F.lpad((F.col("doc_id") % 10).cast("string"), 2, "0"), F.lit("0000"),
+    )
+    attrs = F.to_json(
+        F.struct(
+            url.alias("url"),
+            F.lit("200").alias("status"),
+            (F.col("doc_id") * 1000).cast("string").alias("offset"),
+            (F.lit(500) + F.col("doc_id") % 100).cast("string").alias("length"),
+            F.concat(
+                F.lit("crawl/seg-"), (F.col("doc_id") % 10).cast("string"),
+                F.lit(".warc.gz"),
+            ).alias("filename"),
+        )
+    )
+    lines = d.select(
+        F.concat(web.surt_col(url), F.lit(" "), ts14, F.lit(" "), attrs).alias("value")
+    )
+    return parse_cdx(lines)

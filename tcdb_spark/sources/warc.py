@@ -39,6 +39,7 @@ import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 CRLF = b"\r\n"
@@ -252,3 +253,139 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     parallelism comes from file count, so keep segments ~1 GB."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return records_frame(files, "path", "content")
+
+
+# ---------------------------------------------------------------------------
+# CDX index + byte-range record fetch — WARC seekability at scale.
+#
+# read_warc's docstring notes WARC has no mid-file split points without
+# a side index; this IS that index.  Common Crawl publishes CDXJ lines:
+#
+#   org,example)/path 20260101000000 {"url": "...", "status": "200",
+#       "offset": "5678", "length": "1234", "filename": ".../x.warc.gz"}
+#
+# (SURT key, 14-digit timestamp, JSON attributes).  With per-record
+# gzip members (the standard layout), (filename, offset, length) slices
+# ONE record out of a multi-GB archive — the ranged-GET shape the video
+# source already uses for frames.  Fetching 10^4 records from 100 TB of
+# archives reads ~10^4 * avg_record bytes, not the archives.
+# ---------------------------------------------------------------------------
+
+
+def cdx_line(surt_key: str, ts: str, attrs_json: str) -> str:
+    return f"{surt_key} {ts} {attrs_json}"
+
+
+CDX_ATTRS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("offset", T.StringType()),
+        T.StructField("length", T.StringType()),
+        T.StructField("filename", T.StringType()),
+    ]
+)
+
+
+def parse_cdx(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """CDXJ lines -> typed columns, fully native (split-limit-3 +
+    from_json + to_timestamp; zero Python).  Numeric attributes arrive
+    as JSON strings in real CC indexes — cast here, NULL on garbage."""
+    parts = F.split(F.col(line_col), " ", 3)
+    j = F.from_json(F.element_at(parts, 3), CDX_ATTRS_SCHEMA)
+    return lines.select(
+        F.element_at(parts, 1).alias("surt_key"),
+        F.to_timestamp(F.element_at(parts, 2), "yyyyMMddHHmmss").alias("capture_ts"),
+        j["url"].alias("url"),
+        j["mime"].alias("mime"),
+        j["status"].cast("int").alias("http_status"),
+        j["digest"].alias("digest"),
+        j["offset"].cast("long").alias("offset"),
+        j["length"].cast("long").alias("length"),
+        j["filename"].alias("filename"),
+    )
+
+
+def read_warc_ranged(spark: SparkSession, cdx: DataFrame) -> DataFrame:
+    """Fetch exactly the records a CDX frame points at: one seek+read
+    of ``length`` bytes per row (per-record gzip members decompress
+    standalone), never a full-archive scan.  Input needs (filename,
+    offset, length); local paths or any fsspec-ish mount.  Rows whose
+    slice fails to parse (stale index, truncated file) come back with
+    NULL record fields rather than failing the task — count them."""
+
+    def _op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        handles: dict[str, object] = {}
+        try:
+            for pdf in batches:
+                rows = []
+                for fname, off, ln in zip(
+                    pdf["filename"], pdf["offset"], pdf["length"]
+                ):
+                    rec = None
+                    try:
+                        fh = handles.get(fname)
+                        if fh is None:
+                            fh = handles[fname] = open(fname, "rb")
+                        fh.seek(int(off))
+                        blob = fh.read(int(ln))
+                        rec = next(iter_warc_records(blob), None)
+                    except OSError:
+                        rec = None
+                    if rec is None:
+                        rows.append((fname, None, None, None, None, None, None, None))
+                        continue
+                    if rec["warc_type"] == "response":
+                        status, hh, body = parse_http_response(rec["payload"])
+                        ctype = hh.get("content-type")
+                    else:
+                        status, ctype, body = 0, None, rec["payload"]
+                    rows.append(
+                        (
+                            fname,
+                            rec["record_id"],
+                            rec["warc_type"],
+                            rec["target_uri"],
+                            rec["date"],
+                            status,
+                            ctype,
+                            body,
+                        )
+                    )
+                yield pd.DataFrame(rows, columns=[f.name for f in WARC_SCHEMA])
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    cols = ["filename", "offset", "length"]
+    return cdx.select(*cols).mapInPandas(_op, schema=WARC_SCHEMA)
+
+
+def build_cdx_for(records: list[dict], filename: str, gzip_members: bool = True) -> tuple[bytes, list[str]]:
+    """Compose a WARC archive AND its CDXJ index together (fixtures,
+    tests, the lane): returns (archive_bytes, cdx_lines) with offsets/
+    lengths measured from the actual member boundaries."""
+    import json as _json
+
+    from tcdb_spark.sources.web import surt
+
+    blobs = [build_warc([r], gzip_members=gzip_members) for r in records]
+    lines, pos = [], 0
+    for r, blob in zip(records, blobs):
+        if r["warc_type"] == "response" and r.get("target_uri"):
+            status, _, _ = parse_http_response(r["payload"])
+            attrs = {
+                "url": r["target_uri"],
+                "status": str(status),
+                "offset": str(pos),
+                "length": str(len(blob)),
+                "filename": filename,
+            }
+            ts = r["date"].replace("-", "").replace(":", "").replace("T", "").replace("Z", "")
+            lines.append(cdx_line(surt(r["target_uri"]), ts, _json.dumps(attrs)))
+        pos += len(blob)
+    return b"".join(blobs), lines

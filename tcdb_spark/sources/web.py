@@ -646,3 +646,38 @@ def sitemap_entries(
             yield pd.DataFrame(rows, columns=[f.name for f in SITEMAP_SCHEMA])
 
     return df.select(host_col, xml_col).mapInPandas(_op, schema=SITEMAP_SCHEMA)
+
+
+def surt(url: str) -> str:
+    """SURT form of a URL (the CDX sort key): host labels reversed and
+    comma-joined, then ')/' + path — ``https://www.example.org/a`` ->
+    ``org,example)/a`` (www dropped, scheme/port dropped, lowercase).
+    Python twin of :func:`surt_col`."""
+    import re as _re
+
+    m = _re.match(_URL_RE, url)
+    if not m:
+        return url.lower()
+    host = (m.group(2) or "").lower()
+    host = _re.sub(r"^www\.", "", _re.sub(r":\d+$", "", host))
+    path = m.group(3) or ""
+    return ",".join(reversed(host.split("."))) + ")" + (path or "/")
+
+
+def surt_col(url) -> "F.Column":
+    """Native-column SURT key; SQL mirror in :func:`surt_sql`."""
+    url = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.regexp_extract(url, _URL_RE, 2))
+    host = F.regexp_replace(F.regexp_replace(host, r":\d+$", ""), r"^www\.", "")
+    path = F.regexp_extract(url, _URL_RE, 3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(")"), path
+    )
+
+
+def surt_sql(expr: str) -> str:
+    u = f"({expr})"
+    host = f"regexp_replace(regexp_replace(lower(regexp_extract({u}, '{_URL_RE}', 2)), ':[0-9]+$', ''), '^www\\.', '')"
+    path = f"CASE WHEN regexp_extract({u}, '{_URL_RE}', 3) = '' THEN '/' ELSE regexp_extract({u}, '{_URL_RE}', 3) END"
+    return f"array_to_string(list_reverse(string_split({host}, '.')), ',') || ')' || {path}"
