@@ -34,7 +34,6 @@ scan family is the analog).
 
 from __future__ import annotations
 
-import io
 import zlib
 from collections.abc import Iterator
 
@@ -334,7 +333,9 @@ def read_warc_ranged(spark: SparkSession, cdx: DataFrame) -> DataFrame:
                         fh.seek(int(off))
                         blob = fh.read(int(ln))
                         rec = next(iter_warc_records(blob), None)
-                    except OSError:
+                    except (OSError, TypeError, ValueError):
+                        # missing file, NULL offset/length from a bad
+                        # index row, or a corrupt slice — same contract:
                         rec = None
                     if rec is None:
                         rows.append((fname, None, None, None, None, None, None, None))

@@ -258,9 +258,11 @@ def html_extract(
     """(id, html) -> one row per document with title/body/structure stats.
 
     One Arrow stage, zero shuffles; oversized documents are truncated at
-    ``max_html_bytes`` UTF-8 bytes (truncation can only lose trailing
-    content — the parser tolerates the cut mid-tag) so a single
-    pathological row cannot stall a task at scale.
+    ``max_html_bytes`` CHARACTERS (code points — the string is already
+    decoded by the time it reaches the operator, so this is a char cap;
+    for ASCII-dominated HTML chars ~ bytes).  Truncation can only lose
+    trailing content — the parser tolerates the cut mid-tag — so a
+    single pathological row cannot stall a task at scale.
     """
 
     def _op(batches: Iterator) -> Iterator:
@@ -560,20 +562,22 @@ def robots_filter(
             for host, content in zip(pdf[host_col_robots], pdf[content_col]):
                 rules = parse_robots(content or "", user_agent)
                 rows.append((host, [list((p, a)) for p, a in rules]))
-            yield pd.DataFrame(rows, columns=["host", "rules"])
+            yield pd.DataFrame(rows, columns=["_robots_host", "_rules"])
 
-    rules_schema = "host string, rules array<struct<prefix string, allow boolean>>"
+    # underscore-prefixed internals so a caller's own 'host'/'rules'
+    # columns survive the join untouched
+    rules_schema = "_robots_host string, _rules array<struct<prefix string, allow boolean>>"
     parsed = robots.select(host_col_robots, content_col).mapInPandas(
         _parse, schema=rules_schema
     )
     u = urls.withColumn(
         "_host", F.regexp_extract(url_col, "://([^/]*)", 1)
     ).withColumn("_path", F.regexp_extract(url_col, "://[^/]*(/.*)?$", 1))
-    j = u.join(F.broadcast(parsed), u["_host"] == parsed["host"], "left")
+    j = u.join(F.broadcast(parsed), u["_host"] == parsed["_robots_host"], "left")
     # longest-match fold, natively: keep matching rules, take max by
     # (prefix length, allow) — Allow wins ties; empty/missing -> allowed
     matching = F.filter(
-        F.col("rules"), lambda r: F.col("_path").startswith(r["prefix"])
+        F.col("_rules"), lambda r: F.col("_path").startswith(r["prefix"])
     )
     best = F.array_max(
         F.transform(
@@ -585,9 +589,11 @@ def robots_filter(
         )
     )
     allowed = F.when(
-        F.col("rules").isNull() | (F.size(matching) == 0), F.lit(True)
+        F.col("_rules").isNull() | (F.size(matching) == 0), F.lit(True)
     ).otherwise(best["a"] == 1)
-    return j.withColumn("allowed", allowed).drop("_host", "_path", "host", "rules")
+    return j.withColumn("allowed", allowed).drop(
+        "_host", "_path", "_robots_host", "_rules"
+    )
 
 
 SITEMAP_SCHEMA = T.StructType(

@@ -323,3 +323,16 @@ def test_parse_sitemap_edge_cases():
         "<lastmod>2026-02-02</lastmod></sitemap></sitemapindex>"
     )
     assert got == [("https://a/s.xml", "2026-02-02", "sitemap")]
+
+
+def test_robots_filter_preserves_caller_host_column(spark):
+    from tcdb_spark.sources.web import robots_filter
+
+    urls = spark.createDataFrame(
+        [("https://h.example/x", "callers-host")], "canonical_url string, host string"
+    )
+    robots = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /x")], "host string, robots_txt string"
+    )
+    row = robots_filter(urls, robots).collect()[0]
+    assert row.host == "callers-host" and row.allowed is False
