@@ -1,9 +1,14 @@
-"""Web-corpus lanes: HTML -> text round-trip, URL canonicalization,
-URL-level dedup, link-graph harvest, registrable-domain rollup.
+"""Web-corpus lanes: HTML -> text round-trip, block-level boilerplate
+filtering, URL canonicalization + URL-level dedup, link-graph harvest,
+registrable-domain rollup, WARC archive round-trip, CDX index parsing,
+robots.txt longest-match filtering, sitemap seeds, and KMV
+source-overlap sketches.
 
-The first stage of a Common-Crawl-scale pretraining pipeline (C4 /
+The input stage of a Common-Crawl-scale pretraining pipeline (C4 /
 RefinedWeb / MassiveWeb) — absent from the reference (its sources are
-ATCF decks), so the whole family is a §2.12 extension.
+ATCF decks), so the whole family is a §2.12 extension.  The end-to-end
+composition lives in jobs/webcorpus.py; the streaming discovery loop in
+streaming/pipeline.stream_link_frontier.
 
 Oracle discipline for a PARSER lane: the driver testdata has no HTML
 column, so each lane COMPOSES deterministic HTML from ``documents``
