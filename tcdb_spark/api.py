@@ -1179,3 +1179,35 @@ class Engine:
         from tcdb_spark.sources.web import sitemap_entries
 
         return sitemap_entries(df, host_col, xml_col)
+
+    # --- privacy release audits (round 8, session 3) ------------------------
+
+    def k_anonymity(
+        self, df: DataFrame, ladder: list[str], k_min: int = 5
+    ) -> DataFrame:
+        """Per-rung k-anonymity report over a generalization ladder
+        (coarsest QI column first) — one rollup scan for every rung
+        (operators/privacy.k_anonymity_ladder)."""
+        from tcdb_spark.operators.privacy import k_anonymity_ladder
+
+        return k_anonymity_ladder(df, ladder, k_min=k_min)
+
+    def l_diversity(
+        self, df: DataFrame, qi_cols: list[str], sensitive_col: str, l_min: int = 3
+    ) -> DataFrame:
+        """One-row distinct-l diversity gate: classes/rows below the
+        floor and the worst class's l
+        (operators/privacy.l_diversity_summary)."""
+        from tcdb_spark.operators.privacy import l_diversity_summary
+
+        return l_diversity_summary(df, qi_cols, sensitive_col, l_min=l_min)
+
+    def suppress_small_groups(
+        self, df: DataFrame, qi_cols: list[str], k_min: int = 5
+    ) -> DataFrame:
+        """Drop every row whose QI class has < k_min members; survivors
+        satisfy k-anonymity at k_min (null-safe keep-list semi-join,
+        operators/privacy.suppress_below_k)."""
+        from tcdb_spark.operators.privacy import suppress_below_k
+
+        return suppress_below_k(df, qi_cols, k_min=k_min)

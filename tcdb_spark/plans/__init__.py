@@ -34,3 +34,4 @@ from tcdb_spark.plans import queries_eval  # noqa: F401,E402
 from tcdb_spark.plans import queries_stats  # noqa: F401,E402
 from tcdb_spark.plans import queries_clustering  # noqa: F401,E402
 from tcdb_spark.plans import queries_web  # noqa: F401,E402
+from tcdb_spark.plans import queries_privacy  # noqa: F401,E402
