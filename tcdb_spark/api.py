@@ -489,16 +489,30 @@ class Engine:
 
         return mmr_rerank(candidates, k=k, lam=lam)
 
-    def winnow(self, sf_dir_or_docs) -> DataFrame:
+    def winnow(self, sf_dir_or_docs, fast: bool = False) -> DataFrame:
         """Robust winnowing fingerprints (Schleimer 2003, the MOSS
         index; plans/queries_text.winnow_fingerprint): (doc_id, pos,
         fp) rows guaranteeing any shared >= k+w-1 token run between
         documents shares a fingerprint. Accepts a testdata dir or a
-        (doc_id, text) DataFrame."""
-        from tcdb_spark.plans.queries_text import winnow_fingerprint, winnow_frame
+        (doc_id, text) DataFrame.  ``fast=True`` swaps the gram hash
+        md5 -> native xxhash64 (fp becomes BIGINT, ~20-25% faster
+        build, same guarantee — winnow_frame_fast); never mix the two
+        variants' fingerprints in one index."""
+        from tcdb_spark.plans.queries_text import (
+            winnow_fingerprint,
+            winnow_frame,
+            winnow_frame_fast,
+        )
 
         if isinstance(sf_dir_or_docs, str):
+            if fast:
+                from tcdb_spark.plans.catalog import load_tables
+
+                docs = load_tables(self.spark, sf_dir_or_docs, "documents")["documents"]
+                return winnow_frame_fast(docs)
             return winnow_fingerprint(self.spark, sf_dir_or_docs)
+        if fast:
+            return winnow_frame_fast(sf_dir_or_docs)
         return winnow_frame(sf_dir_or_docs)
 
     def triangles(self, edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -325,20 +325,19 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_frame(d)
 
 
-def winnow_frame(d: DataFrame) -> DataFrame:
-    """The winnowing pipeline over any (doc_id, text) frame — shared by
-    the catalog lane, ``winnow_contamination`` and ``Engine.winnow``."""
-    hashes = (
+def _winnow_tokens(d: DataFrame) -> DataFrame:
+    return (
         d.where(F.length(F.trim(F.col("text"))) > 0)
         .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS tokens")
         .where(F.size("tokens") >= _WK + _WW - 1)
-        .selectExpr(
-            "doc_id",
-            f"transform(sequence(1, size(tokens) - {_WK - 1}), i -> "
-            f"substring(md5(cast(concat_ws(' ', {_W_GRAM_SPARK}) AS binary)), 1, 8)"
-            ") AS hashes",
-        )
     )
+
+
+def _winnow_pick(hashes: DataFrame) -> DataFrame:
+    """Robust-winnowing selection over a (doc_id, hashes ARRAY) frame:
+    per window of _WW gram hashes keep the minimum (rightmost on ties
+    via array_position), emit (pos, fp), distinct.  Hash-type-agnostic
+    — array_min/array_position order strings and bigints alike."""
     wins = hashes.selectExpr(
         "doc_id",
         f"explode(transform(sequence(1, size(hashes) - {_WW - 1}), i -> named_struct("
@@ -349,6 +348,40 @@ def winnow_frame(d: DataFrame) -> DataFrame:
     return wins.selectExpr(
         "doc_id", "CAST(s.pos AS INT) AS pos", "s.fp AS fp"
     ).distinct()
+
+
+def winnow_frame(d: DataFrame) -> DataFrame:
+    """The winnowing pipeline over any (doc_id, text) frame — shared by
+    the catalog lane, ``winnow_contamination`` and ``Engine.winnow``."""
+    hashes = _winnow_tokens(d).selectExpr(
+        "doc_id",
+        f"transform(sequence(1, size(tokens) - {_WK - 1}), i -> "
+        f"substring(md5(cast(concat_ws(' ', {_W_GRAM_SPARK}) AS binary)), 1, 8)"
+        ") AS hashes",
+    )
+    return _winnow_pick(hashes)
+
+
+def winnow_frame_fast(d: DataFrame) -> DataFrame:
+    """Production twin of :func:`winnow_frame` with the gram hash
+    swapped md5 -> native ``xxhash64`` (fp becomes BIGINT).  The
+    winnowing GUARANTEE — any copied run of >= k + w - 1 tokens shares
+    at least one fingerprint, >= 1 selection per window — is
+    hash-agnostic (Schleimer et al. §3 prove it for any total order on
+    gram hashes), so the twin detects the same planted overlaps
+    (pinned in tests/test_corpus_ops.py); the SELECTED positions
+    differ, so fingerprints from the two variants must never be mixed
+    in one index.  md5 is oracle-mandated (DuckDB must replicate
+    values bit-for-bit) but costs ~2 digest setups per gram; xxhash64
+    stays inside whole-stage codegen.  At 100 TB the index build is
+    hash-bound, so this is the variant to run; keep the md5 lane as
+    the cross-engine attestation path."""
+    hashes = _winnow_tokens(d).selectExpr(
+        "doc_id",
+        f"transform(sequence(1, size(tokens) - {_WK - 1}), i -> "
+        f"xxhash64(concat_ws(' ', {_W_GRAM_SPARK}))) AS hashes",
+    )
+    return _winnow_pick(hashes)
 
 
 _WINNOW_CONTAM_ORACLE = f"""
@@ -713,3 +746,128 @@ def text_char_entropy_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, n_chars_nospace int, n_distinct_chars int, "
         "entropy double, top_char_frac double",
     )
+
+
+# --- compression-ratio quality signal (round 8, session 3) ------------------
+#
+# The cheapest content-agnostic quality signal real curation pipelines
+# run (Gopher/RefinedWeb lineage): zlib-compressibility.  Machine
+# boilerplate and keyword-stuffed spam compress far below natural prose;
+# encrypted/binary junk barely compresses at all.  zlib is CPU-bound C
+# inside an Arrow batch — the sanctioned Python lane — and DEFLATE
+# output for a fixed (level, strategy) is deterministic for a given
+# zlib build, which is exactly the scope the golden needs: the oracle
+# VALUES are computed at import time BY THE SAME stdlib zlib over the
+# SAME composed inputs, so the lane attests the whole Spark path
+# (scan -> class distinct -> literal compose -> Arrow batch -> ints).
+
+_COMPRESS_LEVEL = 6
+
+
+def compression_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document zlib-compressibility: utf-8 byte count, compressed
+    byte count, and ratio in basis points (floor(c * 10000 / n) — pure
+    integer arithmetic, no float boundary).  NULL/empty text yields no
+    row (nothing to compress).  One zero-shuffle mapInPandas stage;
+    ~100 MB/s/core of zlib level 6 — bounded, per-row, 100 TB-safe."""
+    import pandas as pd
+    import zlib
+
+    def score(batches):
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None or len(t) == 0:
+                    continue
+                raw = t.encode("utf-8")
+                comp = zlib.compress(raw, _COMPRESS_LEVEL)
+                out.append((i, len(raw), len(comp), len(comp) * 10000 // len(raw)))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=[id_col, "n_bytes", "n_compressed", "ratio_bp"]
+                )
+
+    return df.select(id_col, text_col).mapInPandas(
+        score,
+        schema=f"{id_col} bigint, n_bytes int, n_compressed int, ratio_bp int",
+    )
+
+
+def _md5_chain(seed: str, steps: int) -> list[str]:
+    """Deterministic hex chain h1=md5(seed), h_k=md5(h_{k-1}) — an
+    incompressible-ish text both sides rebuild from hashlib/F.md5."""
+    import hashlib
+
+    out, h = [], seed
+    for _ in range(steps):
+        h = hashlib.md5(h.encode()).hexdigest()
+        out.append(h)
+    return out
+
+
+# Four composition classes spanning the compressibility spectrum; text
+# depends ONLY on the class id, so the distinct class rows — and the
+# golden — are identical at every sf.
+_CR_TEXTS = [
+    "spark row " * 120,                                   # boilerplate
+    ("the quick brown fox jumps over the lazy dog while "
+     "a slow yellow crab walks under the busy green pier "
+     "and the tired old owl watches the calm wide river ") * 8,
+    " ".join(_md5_chain("tcdb-cr-seed", 48)),             # hex noise
+    ("spark row " * 60) + " ".join(_md5_chain("tcdb-cr-mix", 24)),
+]
+
+
+def _cr_golden_rows() -> list[tuple[int, int, int, int]]:
+    import zlib
+
+    rows = []
+    for cls, t in enumerate(_CR_TEXTS):
+        raw = t.encode("utf-8")
+        comp = zlib.compress(raw, _COMPRESS_LEVEL)
+        rows.append((cls, len(raw), len(comp), len(comp) * 10000 // len(raw)))
+    return rows
+
+
+_CR_ORACLE = (
+    """
+    WITH cls AS (SELECT DISTINCT CAST(doc_id % 4 AS INTEGER) AS cls FROM documents),
+    golden(cls, n_bytes, n_compressed, ratio_bp) AS (VALUES
+    """
+    + ",\n        ".join(
+        f"({c}, {n}, {z}, {bp})" for c, n, z, bp in _cr_golden_rows()
+    )
+    + """
+    )
+    SELECT g.cls, CAST(g.n_bytes AS INTEGER) AS n_bytes,
+           CAST(g.n_compressed AS INTEGER) AS n_compressed,
+           CAST(g.ratio_bp AS INTEGER) AS ratio_bp
+    FROM cls JOIN golden g USING (cls)
+    """
+)
+
+
+@register("text_compression_ratio", oracle=_CR_ORACLE)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-compressibility quality signal, golden-attested end to end
+    (section comment above): four composition classes keyed by
+    doc_id % 4 span boilerplate -> prose -> hex noise -> mixed; the
+    engine composes each class's text with column expressions, runs the
+    real Arrow zlib stage, and must reproduce the import-time stdlib
+    golden byte-for-byte.  Production use is
+    :func:`compression_signals` over the raw text column plus a
+    ratio-band filter (quality gates live with the caller — see
+    tests/test_text_quality.py ordering pin)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    cls = d.select(
+        (F.col("doc_id") % 4).cast("int").alias("cls")
+    ).distinct()
+    texts = F.array(*[F.lit(t) for t in _CR_TEXTS])
+    composed = cls.select(
+        F.col("cls").cast("bigint").alias("cls"),
+        F.element_at(texts, F.col("cls") + 1).alias("text"),
+    )
+    out = compression_signals(composed, id_col="cls")
+    return out.select(F.col("cls").cast("int"), "n_bytes", "n_compressed", "ratio_bp")

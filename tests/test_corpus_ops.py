@@ -445,3 +445,62 @@ def test_containment_join_finds_swallowed_eval_doc(spark, tmp_path):
            for r in containment_join(spark, str(tmp_path)).collect()}
     assert out.get((3, 2)) == 1.0, out
     assert (5, 2) not in out and (5, 4) not in out
+
+
+def test_winnow_fast_twin_guarantee(spark, tmp_path):
+    """winnow_frame_fast (xxhash64 fingerprints) carries the same
+    Schleimer guarantee as the md5 lane: shared >= k+w-1 token runs
+    share a fingerprint VALUE, unrelated docs share none, and at least
+    one selection lands per window. Selected positions legitimately
+    DIFFER from the md5 variant (different total order on gram hashes)
+    — only the guarantee is pinned, not the positions."""
+    from tcdb_spark.plans.queries_text import winnow_frame_fast, _WK, _WW
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= k+w-1=7
+    texts = {
+        1: "one two three four five six " + shared + " tail piece here now",
+        2: "totally different opening words go here " + shared,
+        3: "nothing in common with the others at all kappa lambda mu nu xi",
+    }
+    d = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    out = winnow_frame_fast(d).collect()
+    assert all(isinstance(r.fp, int) for r in out), "fast twin emits BIGINT fps"
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    for doc_id, text in texts.items():
+        n_grams = len(text.split()) - _WK + 1
+        n_windows = n_grams - _WW + 1
+        assert len(fps[doc_id]) >= n_windows / _WW
+        # every selected position indexes a real gram
+        for r in out:
+            if r.doc_id == doc_id:
+                assert 1 <= r.pos <= n_grams
+
+
+def test_compression_signals_spectrum(spark):
+    """zlib ratio orders content classes the way curation expects:
+    boilerplate << natural prose << hex noise; NULL/empty rows emit
+    nothing; byte counts are utf-8 (multibyte checked)."""
+    from tcdb_spark.plans.queries_text import compression_signals
+
+    rows = [
+        (0, "spark row " * 200),
+        (1, ("the quick brown fox jumps over the lazy dog and then "
+             "walks slowly back across the wide green field again ") * 10),
+        (2, " ".join(__import__("hashlib").md5(str(i).encode()).hexdigest()
+                     for i in range(60))),
+        (3, None),
+        (4, ""),
+        (5, "héllo wörld " * 40),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in compression_signals(d).collect()}
+    assert set(out) == {0, 1, 2, 5}, "null/empty rows must emit no row"
+    assert out[0].ratio_bp < out[1].ratio_bp < out[2].ratio_bp
+    assert out[0].ratio_bp < 1500 and out[2].ratio_bp > 5000
+    assert out[5].n_bytes == len(("héllo wörld " * 40).encode("utf-8"))
+    for r in out.values():
+        assert r.ratio_bp == r.n_compressed * 10000 // r.n_bytes
