@@ -1194,6 +1194,26 @@ class Engine:
 
         return sitemap_entries(df, host_col, xml_col)
 
+    def unicode_scrub(
+        self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """NFC-normalize + C0-control strip + U+FFFD mojibake count in
+        one Arrow stage (plans/queries_text.unicode_scrub); cross-engine
+        NFC attested by the text_unicode_nfc lane."""
+        from tcdb_spark.plans.queries_text import unicode_scrub
+
+        return unicode_scrub(df, id_col, text_col)
+
+    def compression_signals(
+        self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """zlib-compressibility quality signal: (id, n_bytes,
+        n_compressed, ratio_bp) per document
+        (plans/queries_text.compression_signals)."""
+        from tcdb_spark.plans.queries_text import compression_signals
+
+        return compression_signals(df, id_col, text_col)
+
     # --- privacy release audits (round 8, session 3) ------------------------
 
     def k_anonymity(

@@ -871,3 +871,113 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = compression_signals(composed, id_col="cls")
     return out.select(F.col("cls").cast("int"), "n_bytes", "n_compressed", "ratio_bp")
+
+
+# --- unicode NFC normalization + scrub (round 8, session 3) -----------------
+#
+# Standard first-mile text cleanup (C4/RefinedWeb do a variant): NFC so
+# byte-level dedup hashes don't split on composed-vs-decomposed forms,
+# C0-control strip, and a U+FFFD (replacement char) count as the
+# mojibake signal.  Cross-engine NFC is attestable: DuckDB ships
+# utf8proc's nfc_normalize and Python's unicodedata implements the same
+# Unicode algorithm — agreement on composition, combining-mark
+# reordering, and hangul-jamo cases is pinned by the lane (planted
+# compositions; the driver corpus is ASCII, which would attest only the
+# identity path).
+
+_NFC_TEXTS = [
+    "café du marché",          # decomposed acute -> composed
+    "café du marché",            # already NFC (identity)
+    "ṩ mark ordering",         # dot-below+above -> ṩ
+    "각 hangul jamo",      # jamo -> syllable 각
+    "Å ring plus ﬁ ligature",   # -> Å; NFC keeps the ligature
+    "plain ascii stays put",
+]
+
+
+def unicode_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """NFC-normalize, strip C0 controls (keeping tab/newline/CR), and
+    count U+FFFD replacement chars: (id, text_nfc, changed,
+    n_replacement).  One zero-shuffle Arrow stage (Spark has no native
+    unicode normalizer; unicodedata is the stdlib implementation of
+    the same Unicode algorithm utf8proc/ICU implement).  Rows with
+    NULL text pass through with NULL outputs so callers keep row
+    provenance."""
+    import re
+    import unicodedata
+
+    import pandas as pd
+
+    _ctl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+
+    def scrub(batches):
+        for pdf in batches:
+            ids, texts, changed, nrepl = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                ids.append(i)
+                if t is None:
+                    texts.append(None)
+                    changed.append(None)
+                    nrepl.append(None)
+                    continue
+                clean = _ctl.sub("", unicodedata.normalize("NFC", t))
+                texts.append(clean)
+                changed.append(clean != t)
+                nrepl.append(clean.count("�"))
+            yield pd.DataFrame(
+                {id_col: ids, "text_nfc": texts, "changed": changed,
+                 "n_replacement": nrepl}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        scrub,
+        schema=f"{id_col} bigint, text_nfc string, changed boolean, n_replacement int",
+    )
+
+
+_NFC_ORACLE = (
+    """
+    WITH cls AS (SELECT DISTINCT CAST(doc_id % 6 AS INTEGER) AS cls FROM documents),
+    raw(cls, t) AS (VALUES
+        """
+    + ",\n        ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in enumerate(_NFC_TEXTS)
+    )
+    + """
+    )
+    SELECT r.cls,
+           nfc_normalize(r.t) AS text_nfc,
+           CAST(nfc_normalize(r.t) <> r.t AS BOOLEAN) AS changed,
+           CAST(length(nfc_normalize(r.t)) AS INTEGER) AS n_cp
+    FROM cls JOIN raw r USING (cls)
+    """
+)
+
+
+@register("text_unicode_nfc", oracle=_NFC_ORACLE)
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine NFC attestation (section comment above): six
+    composition classes keyed by doc_id % 6 — decomposed accents,
+    precomposed identity, combining-mark reordering, hangul jamo,
+    ring+ligature, plain ascii — normalized by the engine's Arrow
+    unicodedata stage must equal DuckDB's utf8proc ``nfc_normalize``
+    STRING-for-string (not just hash): two independent implementations
+    of the Unicode normalization algorithm agreeing is the attestation.
+    Codepoint counts ride along (both engines count codepoints for
+    BMP text).  Production entry is :func:`unicode_scrub`, which adds
+    the control-strip + mojibake count the oracle can't mirror
+    (regex class semantics differ; pytest-pinned instead)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    cls = d.select((F.col("doc_id") % 6).cast("int").alias("cls")).distinct()
+    texts = F.array(*[F.lit(t) for t in _NFC_TEXTS])
+    composed = cls.select(
+        F.col("cls").cast("bigint").alias("cls"),
+        F.element_at(texts, F.col("cls") + 1).alias("text"),
+    )
+    out = unicode_scrub(composed, id_col="cls")
+    return out.select(
+        F.col("cls").cast("int"),
+        "text_nfc",
+        "changed",
+        F.length("text_nfc").cast("int").alias("n_cp"),
+    )

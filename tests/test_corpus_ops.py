@@ -504,3 +504,23 @@ def test_compression_signals_spectrum(spark):
     assert out[5].n_bytes == len(("héllo wörld " * 40).encode("utf-8"))
     for r in out.values():
         assert r.ratio_bp == r.n_compressed * 10000 // r.n_bytes
+
+
+def test_unicode_scrub_controls_and_mojibake(spark):
+    """unicode_scrub: NFC composition, C0-control strip (tab/newline/CR
+    kept), U+FFFD mojibake count, NULL passthrough with provenance."""
+    from tcdb_spark.plans.queries_text import unicode_scrub
+
+    rows = [
+        (0, "café bad\x00ctl\x07 keep\ttab\nline"),
+        (1, "moji�bake� here"),
+        (2, None),
+        (3, "clean ascii"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in unicode_scrub(d).collect()}
+    assert out[0].text_nfc == "caf\xe9 badctl keep\ttab\nline" and out[0].changed
+    assert out[1].n_replacement == 2 and not out[1].changed
+    assert out[2].text_nfc is None and out[2].changed is None
+    assert out[3].text_nfc == "clean ascii" and not out[3].changed
+    assert out[3].n_replacement == 0
