@@ -193,6 +193,11 @@ def _parse_stbl(buf: bytes, b: int, e: int, timescale: int) -> dict:
     zb, _ = _find(buf, b, e, "stsz")
     _, _, p = _fullbox(buf, zb)
     fixed, n_samples = _struct.unpack_from(">II", buf, p)
+    if n_samples > len(buf):
+        # every sample occupies >= 1 byte of the payload we were handed,
+        # so a count past the buffer is corrupt — and materializing the
+        # fixed-size list first would allocate up to 2^32 entries
+        raise ValueError(f"stsz sample count {n_samples} exceeds payload size")
     sizes = [fixed] * n_samples if fixed else _u32_list(buf, p + 8, n_samples)
 
     # stco / co64
@@ -286,21 +291,30 @@ def parse_mp4(payload: bytes) -> dict:
     Never touches ``mdat`` bytes (the seek-table property)."""
     if not is_mp4(payload):
         raise ValueError("not an ISO-BMFF (MP4) payload")
-    brand = None
-    moov = None
-    for name, b, e in iter_boxes(payload):
-        if name == "ftyp":
-            brand = payload[b : b + 4].decode("latin-1").strip()
-        elif name == "moov":
-            moov = (b, e)
-    if moov is None:
-        raise ValueError("no moov box (fragmented/streaming MP4 not supported)")
-    tracks = [
-        _parse_trak(payload, tb, te)
-        for name, tb, te in iter_boxes(payload, *moov)
-        if name == "trak"
-    ]
-    return {"brand": brand, "tracks": tracks}
+    try:
+        brand = None
+        moov = None
+        for name, b, e in iter_boxes(payload):
+            if name == "ftyp":
+                brand = payload[b : b + 4].decode("latin-1").strip()
+            elif name == "moov":
+                moov = (b, e)
+        if moov is None:
+            raise ValueError("no moov box (fragmented/streaming MP4 not supported)")
+        tracks = [
+            _parse_trak(payload, tb, te)
+            for name, tb, te in iter_boxes(payload, *moov)
+            if name == "trak"
+        ]
+        return {"brand": brand, "tracks": tracks}
+    except _struct.error as ex:
+        # a box size/count pointing past the buffer is corruption, and at
+        # crawl scale it must land in the caller's quarantine path (the
+        # documented ValueError contract), not kill the task as a raw
+        # struct.error (hypothesis fuzz finding, tests/
+        # test_property_containers.py); NotImplementedError (stz2 gate)
+        # still propagates
+        raise ValueError(f"malformed MP4 structure: {ex}") from ex
 
 
 def video_track_meta(payload: bytes) -> dict:

@@ -121,7 +121,16 @@ def iter_warc_records(
     raising — partial archives yield their complete prefix, matching
     the repo's truncation discipline for media containers."""
     if data[:2] == b"\x1f\x8b":
-        data = b"".join(_gunzip_members(data))
+        # a corrupt/truncated member ends the stream at the last member
+        # that inflated cleanly — the same complete-prefix discipline as
+        # octet framing below; never let zlib.error escape the iterator
+        chunks: list[bytes] = []
+        try:
+            for c in _gunzip_members(data):
+                chunks.append(c)
+        except zlib.error:
+            pass
+        data = b"".join(chunks)
     pos = 0
     n = len(data)
     while pos < n:
