@@ -780,6 +780,22 @@ class Engine:
 
         return preference_pairs_from(scored, group_col, id_col, score_col)
 
+    def preference_pairs_topk(
+        self,
+        scored: DataFrame,
+        group_col: str,
+        id_col: str,
+        score_col: str,
+        k: int = 4,
+    ) -> DataFrame:
+        """All strict-preference pairs among each group's top-k
+        candidates — bounded at C(k,2) pairs per group regardless of
+        group size (plans/queries_stats.preference_pairs_topk); the
+        aggregated output is the duel-matrix input of rate_pairwise."""
+        from tcdb_spark.plans.queries_stats import preference_pairs_topk
+
+        return preference_pairs_topk(scored, group_col, id_col, score_col, k)
+
     def rate_pairwise(self, wins: DataFrame, item_col: str = "item") -> DataFrame:
         """Bradley-Terry ratings from a (winner, loser, n_wins) duel
         matrix (plans/queries_stats.bt_ratings_from_wins): distributed

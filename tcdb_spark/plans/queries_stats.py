@@ -1302,3 +1302,108 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(z)
         .alias("z_stat"),
     )
+
+
+# --- capped all-pairs preference expansion (round 8, session 3) -------------
+
+_PREF_TOPK = 4
+
+
+def preference_pairs_topk(
+    scored: DataFrame, group_col: str, id_col: str, score_col: str, k: int = _PREF_TOPK
+) -> DataFrame:
+    """All strict-preference pairs among each group's top-k candidates
+    — the denser DPO construction between best-vs-worst (1 pair/group)
+    and full all-pairs (quadratic in group size, the skew hazard).
+    Capping at k bounds every group's contribution at C(k,2) pairs NO
+    MATTER how many candidates a hot prompt accumulated, which is the
+    100 TB guarantee: pair count is k(k-1)/2 x n_groups, not
+    sum(n_i^2).
+
+    One shuffle: the rank window and the pair aggregate share the
+    group-key partitioning (Exchange reuse), the collect_list is
+    k-bounded by the rank filter BEFORE aggregation, and pairs emit
+    from a nested array transform (rank_i < rank_j AND score_i >
+    score_j — equal-score pairs are training noise and excluded).
+    Ties rank deterministically by (score DESC, id ASC); duplicate
+    natural ids with equal scores are value-identical either way."""
+    w = Window.partitionBy("g").orderBy(F.col("s").desc(), F.col("id").asc())
+    topk = (
+        scored.select(
+            F.col(group_col).alias("g"),
+            F.col(id_col).alias("id"),
+            F.col(score_col).alias("s"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+    arr = topk.groupBy("g").agg(
+        F.sort_array(F.collect_list(F.struct("rn", "id", "s"))).alias("cands")
+    )
+    pairs = F.flatten(
+        F.transform(
+            "cands",
+            lambda a: F.filter(
+                F.transform(
+                    "cands",
+                    lambda b: F.when(
+                        (a["rn"] < b["rn"]) & (a["s"] > b["s"]),
+                        F.struct(
+                            a["id"].alias("chosen"),
+                            b["id"].alias("rejected"),
+                            (a["s"] - b["s"]).alias("margin"),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+    )
+    return (
+        arr.select("g", F.explode(pairs).alias("p"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("p.chosen").alias("chosen"),
+            F.col("p.rejected").alias("rejected"),
+            F.col("p.margin").cast("bigint").alias("margin"),
+        )
+    )
+
+
+@register(
+    "preference_pairs_topk",
+    oracle=f"""
+    WITH scored AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS s
+        FROM events WHERE value IS NOT NULL
+    ), ranked AS (
+        SELECT user_id, event_id, s,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY s DESC, event_id ASC) AS rn
+        FROM scored
+    ), topk AS (
+        SELECT * FROM ranked WHERE rn <= {_PREF_TOPK}
+    )
+    SELECT a.user_id, a.event_id AS chosen, b.event_id AS rejected,
+           CAST(a.s - b.s AS BIGINT) AS margin
+    FROM topk a JOIN topk b
+      ON a.user_id = b.user_id AND a.rn < b.rn AND a.s > b.s
+    """,
+)
+def preference_pairs_topk_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped all-pairs DPO expansion over events: each user's top-4
+    integer-cents-scored events pair chosen-over-rejected with exact
+    margins (docstring of :func:`preference_pairs_topk`).  The output
+    feeds the rating stack directly — aggregating (chosen, rejected)
+    to win counts is the `pairwise_wins` duel-matrix shape
+    (composition pinned in tests/test_preference_graph.py)."""
+    e = load_tables(spark, sf_dir, "events")["events"].where(
+        F.col("value").isNotNull()
+    )
+    scored = e.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("s"),
+    )
+    return preference_pairs_topk(scored, "user_id", "event_id", "s")

@@ -180,3 +180,50 @@ def test_engine_stats_facades(spark, tmp_path):
     )
     pair = eng.preference_pairs(scored, "grp", "id", "s").collect()[0]
     assert pair["chosen_doc"] == 2 and pair["rejected_doc"] == 3 and pair["margin"] == 8
+
+
+def test_preference_pairs_topk_cap_and_ties(spark):
+    """Capped all-pairs expansion: a hot group's contribution is
+    bounded at C(k,2) no matter its size; equal scores emit no pair;
+    ranks respect (score DESC, id ASC) determinism."""
+    from tcdb_spark.plans.queries_stats import preference_pairs_topk
+
+    rows = [("hot", i, 100 - i) for i in range(50)]  # 50 candidates
+    rows += [("tie", 1, 7), ("tie", 2, 7), ("tie", 3, 5)]
+    d = spark.createDataFrame(rows, "g string, id int, s int")
+    out = preference_pairs_topk(d, "g", "id", "s", k=4)
+    hot = out.where(F.col("g") == "hot").collect()
+    assert len(hot) == 6  # C(4,2), not C(50,2)
+    assert {(r.chosen, r.rejected) for r in hot} == {
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)
+    }
+    assert all(r.margin > 0 for r in hot)
+    tie = {(r.chosen, r.rejected): r.margin for r in out.where(F.col("g") == "tie").collect()}
+    # no pair between the tied ids 1 and 2; both beat id 3 by margin 2
+    assert tie == {(1, 3): 2, (2, 3): 2}
+
+
+def test_preference_pairs_topk_feeds_duel_matrix(spark):
+    """The expansion's (chosen, rejected) aggregate is the duel-matrix
+    shape bt_ratings_from_wins consumes — composition end-to-end."""
+    from tcdb_spark.plans.queries_stats import (
+        bt_ratings_from_wins,
+        preference_pairs_topk,
+    )
+
+    # planted strength a > b > c across many groups
+    rows = []
+    for g in range(6):
+        rows += [(g, f"a{g}", 30), (g, f"b{g}", 20), (g, f"c{g}", 10)]
+    d = spark.createDataFrame(rows, "g int, id string, s int")
+    pairs = preference_pairs_topk(d, "g", "id", "s", k=3)
+    wins = (
+        pairs.select(
+            F.substring("chosen", 1, 1).alias("winner"),
+            F.substring("rejected", 1, 1).alias("loser"),
+        )
+        .groupBy("winner", "loser")
+        .agg(F.count(F.lit(1)).alias("n_wins"))
+    )
+    ratings = {r["item"]: r["rating"] for r in bt_ratings_from_wins(spark, wins).collect()}
+    assert ratings["a"] > ratings["b"] > ratings["c"]
