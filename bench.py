@@ -85,6 +85,13 @@ HEADLINE = [
     "url_dedup_canonical",
     "warc_roundtrip_extract",
     "sketch_source_overlap",
+    # round-8 session-3 widening (positions 1-46 stay comparable via
+    # core46_total): privacy rollup audit, Arrow zlib quality signal,
+    # cross-engine NFC attestation, capped DPO pair expansion
+    "privacy_k_anonymity",
+    "text_compression_ratio",
+    "text_unicode_nfc",
+    "preference_pairs_topk",
 ]
 
 
@@ -267,6 +274,7 @@ def main() -> None:
     core33 = round(sum(t for n, t in timings.items() if n in HEADLINE[:33]), 3)
     core38 = round(sum(t for n, t in timings.items() if n in HEADLINE[:38]), 3)
     core41 = round(sum(t for n, t in timings.items() if n in HEADLINE[:41]), 3)
+    core46 = round(sum(t for n, t in timings.items() if n in HEADLINE[:46]), 3)
     print(
         json.dumps(
             {
@@ -295,6 +303,9 @@ def main() -> None:
                 # the round-7 session-3 41-lane subtotal — comparable to
                 # BENCH_r07_idle's 41-lane headline total
                 "core41_total": core41,
+                # the round-8 session-2 46-lane subtotal — comparable to
+                # the r8s2 idle recording's headline total
+                "core46_total": core46,
                 # box-contention context: loadavg_before is sampled BEFORE
                 # the warmup pass (external load only — near 0 on an idle
                 # box); loadavg_after reflects the bench's own full-tilt
