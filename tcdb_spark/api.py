@@ -495,9 +495,11 @@ class Engine:
         fp) rows guaranteeing any shared >= k+w-1 token run between
         documents shares a fingerprint. Accepts a testdata dir or a
         (doc_id, text) DataFrame.  ``fast=True`` swaps the gram hash
-        md5 -> native xxhash64 (fp becomes BIGINT, ~20-25% faster
-        build, same guarantee — winnow_frame_fast); never mix the two
-        variants' fingerprints in one index."""
+        md5 -> native xxhash64 (fp becomes BIGINT, same guarantee —
+        winnow_frame_fast; ~20% faster when the scan/hash is the
+        bottleneck, parity once the fingerprint-distinct shuffle
+        dominates — SCALE_SMOKE.md r8s3); never mix the two variants'
+        fingerprints in one index."""
         from tcdb_spark.plans.queries_text import (
             winnow_fingerprint,
             winnow_frame,

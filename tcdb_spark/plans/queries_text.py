@@ -373,9 +373,11 @@ def winnow_frame_fast(d: DataFrame) -> DataFrame:
     differ, so fingerprints from the two variants must never be mixed
     in one index.  md5 is oracle-mandated (DuckDB must replicate
     values bit-for-bit) but costs ~2 digest setups per gram; xxhash64
-    stays inside whole-stage codegen.  At 100 TB the index build is
-    hash-bound, so this is the variant to run; keep the md5 lane as
-    the cross-engine attestation path."""
+    stays inside whole-stage codegen.  Measured: ~20% faster in the
+    hash-bound regime (single-copy corpus), parity once the
+    fingerprint-distinct shuffle dominates (SCALE_SMOKE.md r8s3) —
+    use it when the scan is the bottleneck; keep the md5 lane as the
+    cross-engine attestation path."""
     hashes = _winnow_tokens(d).selectExpr(
         "doc_id",
         f"transform(sequence(1, size(tokens) - {_WK - 1}), i -> "
