@@ -183,6 +183,19 @@ def cmd_audit(args) -> int:
     return 0
 
 
+def cmd_dataset_card(args) -> int:
+    """Release card for a corpus dir (jobs/dataset_card.py): volume,
+    language mix, quality bands, duplication, k-anonymity ladder —
+    printed as JSON; ``--out`` also writes card.json + card.md."""
+    import json as _json
+
+    from tcdb_spark.jobs.dataset_card import run_dataset_card_job
+
+    card = run_dataset_card_job(_spark(), args.sf_dir, args.out)
+    print(_json.dumps(card, sort_keys=True))
+    return 0
+
+
 def cmd_export(args) -> int:
     from tcdb_spark.sources.sinks import export_tables
 
@@ -304,6 +317,14 @@ def build_parser() -> argparse.ArgumentParser:
     au = sub.add_parser("audit", help="corpus-quality audit bundle -> one JSON report")
     au.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     au.set_defaults(fn=cmd_audit)
+
+    dc = sub.add_parser(
+        "dataset-card",
+        help="release card (volume/languages/quality/dup/privacy) -> card.json + card.md",
+    )
+    dc.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    dc.add_argument("--out", default=None, help="dir for card.json + card.md")
+    dc.set_defaults(fn=cmd_dataset_card)
 
     e = sub.add_parser("export", help="dump warehouse tables for validation")
     common(e)
