@@ -451,3 +451,45 @@ def test_engine_asof_facade(spark, tmp_path):
     )
     got = {(r["k"], int(r["lts"].timestamp())): r["rval"] for r in nearest.collect()}
     assert got == {(1, 1000): 7.0, (1, 2000): 9.0, (2, 500): None}
+
+
+def test_engine_session_r8s3_facades(spark, tmp_path):
+    """Privacy / text-hygiene / preference facades added in round-8
+    session 3 route to the attested implementations."""
+    from tcdb_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_r8s3"))
+
+    qi = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("x", 1), ("x", 2), (None, 1), (None, 1)],
+        "a string, b int",
+    )
+    ladder = {r["level"]: r for r in eng.k_anonymity(qi, ["a", "b"], k_min=2).collect()}
+    assert ladder[0]["n_groups"] == 3 and ladder[0]["min_k"] == 1
+    kept = eng.suppress_small_groups(qi, ["a", "b"], k_min=2)
+    assert kept.count() == 5  # ('x', 2) suppressed, NULL class kept
+
+    sens = spark.createDataFrame(
+        [("g", 1, "s1"), ("g", 1, "s2"), ("h", 1, "s1"), ("h", 1, "s1")],
+        "a string, b int, s string",
+    )
+    div = eng.l_diversity(sens, ["a", "b"], "s", l_min=2).collect()[0]
+    assert div["groups_below_l"] == 1 and div["min_l"] == 1
+
+    docs = spark.createDataFrame(
+        # decomposed e + combining acute: NFC must compose it
+        [(1, "cafe\u0301 text"), (2, "zz " * 50)], "doc_id bigint, text string"
+    )
+    scrubbed = {r.doc_id: r for r in eng.unicode_scrub(docs).collect()}
+    assert scrubbed[1].changed and not scrubbed[2].changed
+    comp = {r.doc_id: r for r in eng.compression_signals(docs).collect()}
+    assert comp[2].ratio_bp < comp[1].ratio_bp  # repetition compresses
+
+    scored = spark.createDataFrame(
+        [("p", i, 10 - i) for i in range(9)], "g string, id int, s int"
+    )
+    pairs = eng.preference_pairs_topk(scored, "g", "id", "s", k=3)
+    assert pairs.count() == 3  # C(3,2)
+
+    fast = eng.winnow(docs.selectExpr("doc_id", "text"), fast=True)
+    assert fast.schema["fp"].dataType.typeName() == "long"
