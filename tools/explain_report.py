@@ -103,6 +103,11 @@ INTERESTING = [
     "url_dedup_canonical",
     "warc_roundtrip_extract",
     "sketch_source_overlap",
+    # round-8 session-3 additions: the rollup ladder (one Expand + one
+    # aggregate for all rungs) and the null-safe suppression semi-join
+    "privacy_k_anonymity",
+    "privacy_suppress_small_groups",
+    "preference_pairs_topk",
 ]
 
 
