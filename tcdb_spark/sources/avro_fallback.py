@@ -286,6 +286,19 @@ def parse_avro_bytes(data: bytes) -> tuple[T.StructType, list[tuple]]:
     standard avro->spark rules."""
     if data[:4] != _MAGIC:
         raise ValueError("not an Avro object container file")
+    try:
+        return _parse_avro_body(data)
+    except (KeyError, IndexError, OverflowError, UnicodeDecodeError,
+            zlib.error, json.JSONDecodeError, struct.error) as ex:
+        # corrupt varints/metadata/blocks must surface as the documented
+        # ValueError quarantine contract, never as the implementation's
+        # internal exception (hypothesis fuzz finding,
+        # tests/test_property_containers.py); NotImplementedError (codec
+        # gate) and the explicit ValueErrors pass through untouched
+        raise ValueError(f"malformed Avro container: {ex!r}") from ex
+
+
+def _parse_avro_body(data: bytes) -> tuple[T.StructType, list[tuple]]:
     pos = 4
     meta: dict[str, bytes] = {}
     while True:

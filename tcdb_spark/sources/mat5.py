@@ -138,7 +138,12 @@ def _parse_matrix(buf: bytes) -> tuple[str, Any]:
             return name, arr.item()
         return name, arr
 
-    raise NotImplementedError(f"MAT5 array class {mx_class} not supported")
+    if mx_class in (MX_OBJECT, MX_SPARSE):
+        # legitimate MATLAB classes this reader doesn't carry — the
+        # actionable capability gate
+        raise NotImplementedError(f"MAT5 array class {mx_class} not supported")
+    # class codes outside 1-15 are not MATLAB classes at all — corruption
+    raise ValueError(f"invalid MAT5 array class {mx_class}")
 
 
 def load_mat(source: str | bytes) -> dict[str, Any]:
@@ -156,6 +161,18 @@ def load_mat(source: str | bytes) -> dict[str, Any]:
         raise NotImplementedError("big-endian MAT file; convert on a LE host")
     if endian != b"IM":
         raise ValueError("not a MAT 5 file: bad endian indicator")
+    try:
+        return _load_mat_body(buf)
+    except (KeyError, IndexError, OverflowError, UnicodeDecodeError,
+            zlib.error, _struct.error) as ex:
+        # corrupt tags/dims/type codes surface as the documented
+        # ValueError contract, not implementation internals (hypothesis
+        # fuzz finding, tests/test_property_containers.py); the
+        # big-endian NotImplementedError gate above passes through
+        raise ValueError(f"malformed MAT 5 file: {ex!r}") from ex
+
+
+def _load_mat_body(buf: bytes) -> dict[str, Any]:
     out: dict[str, Any] = {}
     pos = 128
     while pos + 8 <= len(buf):

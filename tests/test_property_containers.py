@@ -102,3 +102,96 @@ def test_warc_gzip_magic_garbage(junk):
     """Bytes that claim gzip framing but aren't must end the iteration,
     not raise out of the gzip layer."""
     assert list(iter_warc_records(junk)) == []
+
+
+# --- Avro object container + MAT5 — same fuzz discipline -------------------
+
+
+def _valid_avro() -> bytes:
+    from pyspark.sql import types as T
+
+    from tcdb_spark.sources.avro_fallback import write_avro_bytes
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    rows = [(i, f"row{i}", i * 0.5) for i in range(20)]
+    return write_avro_bytes(rows, schema, codec="deflate")
+
+
+def _valid_mat() -> bytes:
+    import io
+
+    import numpy as np
+
+    from tcdb_spark.sources.mat5 import save_mat
+
+    buf = io.BytesIO()
+    save_mat(buf, {"a": np.arange(12.0).reshape(3, 4), "label": "hello"})
+    return buf.getvalue()
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=300, deadline=None)
+def test_avro_random_bytes_only_valueerror(data):
+    from tcdb_spark.sources.avro_fallback import parse_avro_bytes
+
+    try:
+        schema, rows = parse_avro_bytes(data)
+        assert isinstance(rows, list)
+    except ValueError:
+        pass
+
+
+@given(st.data())
+@settings(max_examples=250, deadline=None)
+def test_avro_mutated_only_valueerror(data):
+    from tcdb_spark.sources.avro_fallback import parse_avro_bytes
+
+    buf = bytearray(_valid_avro())
+    for _ in range(data.draw(st.integers(1, 6))):
+        i = data.draw(st.integers(0, len(buf) - 1))
+        buf[i] = data.draw(st.integers(0, 255))
+    cut = data.draw(st.integers(0, len(buf)))
+    for payload in (bytes(buf), bytes(buf[:cut])):
+        try:
+            parse_avro_bytes(payload)
+        except (ValueError, NotImplementedError):
+            # a mutated codec string hits the documented codec gate
+            pass
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=300, deadline=None)
+def test_mat5_random_bytes_only_valueerror(data):
+    from tcdb_spark.sources.mat5 import load_mat
+
+    try:
+        out = load_mat(data)
+        assert isinstance(out, dict)
+    except ValueError:
+        pass
+
+
+@given(st.data())
+@settings(max_examples=250, deadline=None)
+def test_mat5_mutated_only_valueerror(data):
+    from tcdb_spark.sources.mat5 import load_mat
+
+    buf = bytearray(_valid_mat())
+    for _ in range(data.draw(st.integers(1, 6))):
+        i = data.draw(st.integers(0, len(buf) - 1))
+        buf[i] = data.draw(st.integers(0, 255))
+    cut = data.draw(st.integers(0, len(buf)))
+    for payload in (bytes(buf), bytes(buf[:cut])):
+        try:
+            load_mat(payload)
+        except (ValueError, NotImplementedError):
+            # a flipped byte can legitimately turn the class code into
+            # sparse/object (the documented capability gate) or the
+            # endian marker into big-endian
+            pass
