@@ -82,6 +82,19 @@ def build_dataset_card(
             F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
             F.max("n_tokens").alias("max_tokens"),
         ).collect()[0]
+        if vol["n_docs"] == 0:
+            # an empty corpus still gets a well-formed card (every
+            # aggregate above is NULL — don't let int(None) throw)
+            return {
+                "name": name,
+                "volume": {"n_docs": 0, "n_tokens": 0, "n_bytes": 0,
+                           "tokens_min_p50_max": [0, 0.0, 0]},
+                "languages": [],
+                "quality": {"compression_ratio_bp_p10_p50_p90": [],
+                            "n_non_nfc_docs": 0, "n_mojibake_docs": 0},
+                "duplication": {"n_distinct_texts": 0, "n_exact_dup_docs": 0,
+                                "exact_dup_rate_bp": 0},
+            }
 
         langs = [
             r.asDict()

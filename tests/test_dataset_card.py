@@ -60,3 +60,16 @@ def test_card_job_end_to_end(spark, tmp_path):
     # determinism: a second run produces the identical card
     again = run_dataset_card_job(spark, "/root/testdata/sf0.001")
     assert again == card
+
+
+def test_card_empty_corpus(spark):
+    empty = spark.createDataFrame(
+        [(1, "   ", "en", "s", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    card = build_dataset_card(empty, name="empty")
+    assert card["volume"]["n_docs"] == 0
+    assert card["duplication"]["exact_dup_rate_bp"] == 0
+    json.dumps(card)  # JSON-clean
+    md = render_markdown(card)
+    assert "## Volume" in md and "documents: 0" in md
