@@ -496,10 +496,10 @@ class Engine:
         documents shares a fingerprint. Accepts a testdata dir or a
         (doc_id, text) DataFrame.  ``fast=True`` swaps the gram hash
         md5 -> native xxhash64 (fp becomes BIGINT, same guarantee —
-        winnow_frame_fast; ~20% faster when the scan/hash is the
-        bottleneck, parity once the fingerprint-distinct shuffle
-        dominates — SCALE_SMOKE.md r8s3); never mix the two variants'
-        fingerprints in one index."""
+        winnow_frame_fast; measured wall-time parity at sf0.1 — the
+        win is the 8-byte BIGINT fingerprint vs a 12+-byte string in
+        every downstream index row and shuffle, SCALE_SMOKE.md r8s3);
+        never mix the two variants' fingerprints in one index."""
         from tcdb_spark.plans.queries_text import (
             winnow_fingerprint,
             winnow_frame,

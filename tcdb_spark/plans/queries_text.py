@@ -372,11 +372,13 @@ def winnow_frame_fast(d: DataFrame) -> DataFrame:
     (pinned in tests/test_corpus_ops.py); the SELECTED positions
     differ, so fingerprints from the two variants must never be mixed
     in one index.  md5 is oracle-mandated (DuckDB must replicate
-    values bit-for-bit) but costs ~2 digest setups per gram; xxhash64
-    stays inside whole-stage codegen.  Measured: ~20% faster in the
-    hash-bound regime (single-copy corpus), parity once the
-    fingerprint-distinct shuffle dominates (SCALE_SMOKE.md r8s3) —
-    use it when the scan is the bottleneck; keep the md5 lane as the
+    values bit-for-bit); xxhash64 stays inside whole-stage codegen.
+    Honest measurement (idle best-of-3, sf0.1 and 4x): WALL-TIME
+    PARITY — the md5 cost is NOT the bottleneck at these scales (an
+    early 20% reading was warmup-ordering noise; SCALE_SMOKE.md
+    r8s3).  The twin's real win is the fingerprint TYPE: an 8-byte
+    BIGINT vs a 12+-byte string in every index row, shuffle, and
+    contamination join downstream.  Keep the md5 lane as the
     cross-engine attestation path."""
     hashes = _winnow_tokens(d).selectExpr(
         "doc_id",
