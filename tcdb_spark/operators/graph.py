@@ -360,13 +360,40 @@ def common_neighbor_links(
     adj = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
         e.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )
-    deg = adj.groupBy("x").agg(F.count("*").alias("d"))
+    # deg feeds THREE consumers (the middle-degree cap filter and the
+    # final du/dv joins) whose projections differ above the aggregate,
+    # so exchange reuse never fires and the adj scan + partial count
+    # ran once PER consumer (stage profile, round 8: four identical
+    # 64-task map stages).  deg is O(|V|) tiny rows (one per node) —
+    # persist it so the aggregation runs once per lane execution.
+    deg = adj.groupBy("x").agg(F.count("*").alias("d")).persist()
     capped = deg.where(F.col("d") <= deg_cap).select(F.col("x").alias("cx"))
     mid = adj.join(capped, adj["y"] == capped["cx"], "left_semi")
     # per-middle sorted neighbor list (<= deg_cap elements), then every
     # i < j pair via nested transform — slice() truncates at the array
     # end, so the length arg can safely be the full size
     nbrs = mid.groupBy("y").agg(F.sort_array(F.collect_list("x")).alias("ns"))
+    # Pin the explode stage's parallelism (round 8, measured): the
+    # neighbor-list exchange is tiny (~9 MiB at sf0.1), so AQE's
+    # 1 MiB-min-partition coalescing shrank it to 8 partitions — but
+    # the NEXT operator explodes each list into C(d, 2) pairs (60x row
+    # amplification, 450k lists -> 26.7M wedges), so the lane's
+    # dominant stage ran on 8 of 32 cores (118 CPU-s over 8 tasks =
+    # 15 s wall; profiled in tools/stage_profile.py).  AQE sizes
+    # partitions by the EXCHANGE's bytes and cannot see downstream
+    # amplification, so the operator — which knows it is about to
+    # explode — pins an explicit hash repartition (scale-adaptive:
+    # conf-driven, not a local constant).  User-numbered repartitions
+    # are exempt from AQE coalescing by design.  2x the session
+    # parallelism, NOT 1x: a same-key same-count repartition is
+    # collapsed into the aggregate's own ENSURE_REQUIREMENTS exchange
+    # (verified in the plan) and the coalesce re-fires; the distinct
+    # count survives, and the finer granularity also evens out the
+    # C(d, 2) per-middle work spread.  The extra exchange moves only
+    # the ~9 MiB neighbor lists — measured: the wedge stage went
+    # 8 -> 64 tasks and the lane's dominant stage wall 15 s -> ~1 s.
+    n_part = 2 * int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nbrs = nbrs.repartition(n_part, "y")
 
     # Pair-key packing (round 7, measured 8.6 s -> 6.7 s at sf0.1 —
     # interleaved best-of-3, identical output): the pair-count exchange

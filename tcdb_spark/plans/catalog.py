@@ -69,6 +69,36 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Corpus tables whose per-row work downstream is heavy (text parsing,
+# hashing, HTML/WARC decoding, vector math): when the parquet scan
+# yields fewer splits than the session's parallelism, the first —
+# often dominant — stage of every consumer runs on that few cores.
+# Measured round 8 (guide §2.5 "input skew"): the sf0.1 tables are
+# each ONE file with ONE row group, so the whole text/web family ran
+# its parse stage on 1 of 32 cores (winnow 0.95 s, html_extract
+# 0.87 s, boilerplate 0.98 s single-task stage walls).  The fix fans
+# the scan out with an explicit round-robin repartition, guarded so it
+# is a NO-OP whenever the scan already has >= default-parallelism
+# splits — i.e. at any real scale the exchange vanishes and no text
+# payload is ever shuffled.  Row-level results are partitioning-
+# independent across the catalog (determinism lint + repartition-
+# invariance tests, r8s1), and every oracle was re-attested after
+# this change.
+_FAN_OUT_TABLES = {"documents", "embeddings"}
+
+
+def _fan_out_scan(df: DataFrame) -> DataFrame:
+    spark = df.sparkSession
+    try:
+        n = df.rdd.getNumPartitions()
+        tgt = spark.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001 — e.g. Connect; skip the rewrite
+        return df
+    if n < tgt:
+        return df.repartition(tgt)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Read driver testdata parquet tables (TESTDATA.md).
 
@@ -111,6 +141,8 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
             elif dtype == "timestamp_ntz":
                 df = df.withColumn(col, F.col(col).cast("timestamp"))
+        if n in _FAN_OUT_TABLES:
+            df = _fan_out_scan(df)
         out[n] = df
         if cacheable:
             _TABLE_CACHE[key] = df
