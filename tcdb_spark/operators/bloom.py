@@ -35,18 +35,25 @@ BLOOM_K = 3  # hash positions per key
 _POLY_CHARS = 8  # 16^8 distinct inputs — entropy must exceed any sane m_bits
 
 
-def _position(key: Column, i: int, m_bits: int) -> Column:
+def _position(key_col: str, i: int, m_bits: int) -> Column:
     """Deterministic position i in [0, m_bits): base-131 polynomial of
     the ascii values of md5(key || '|' || i)'s first 8 hex chars —
     reproducible in any engine with md5/ascii/substring.  8 chars give
     16^8 ~= 4.3e9 distinct inputs (4 would cap the position set at
     65536 and saturate any bitmap past m=2^16); the polynomial tops out
-    ~6.8e16, so the arithmetic must ride BIGINT on both engines."""
-    h = F.md5(F.concat(key, F.lit(f"|{i}")).cast("binary"))
-    poly = F.ascii(F.substring(h, 1, 1)).cast("bigint")
+    ~6.8e16, so the arithmetic must ride BIGINT on both engines.
+
+    Built as ONE server-parsed SQL string, not ~40 py4j Column calls
+    (DEVNOTES #43): plan CONSTRUCTION is a per-query cost, and the
+    round-8 split measured the bloom lane spending 0.65 s/execution
+    building its expression tree against 0.5 s executing it.  The ops
+    are all-integer, so the stringified AST is value-exact against the
+    Column form it replaced."""
+    h = f"md5(CAST(concat(`{key_col}`, '|{i}') AS BINARY))"
+    poly = f"CAST(ascii(substring({h}, 1, 1)) AS BIGINT)"
     for j in range(2, _POLY_CHARS + 1):
-        poly = poly * 131 + F.ascii(F.substring(h, j, 1))
-    return poly % m_bits
+        poly = f"(({poly} * 131) + ascii(substring({h}, {j}, 1)))"
+    return F.expr(f"(({poly}) % {m_bits})")
 
 
 def position_sql(key_sql: str, i: int, m_bits: int) -> str:
@@ -73,7 +80,7 @@ def bloom_build(
     (idempotent OR)."""
     pos = keys.select(
         F.explode(
-            F.array(*[_position(F.col(key_col), i, m_bits) for i in range(k)])
+            F.array(*[_position(key_col, i, m_bits) for i in range(k)])
         ).alias("pos")
     )
     return (
@@ -109,7 +116,7 @@ def bloom_probe(
     checks = probe.select(
         key_col,
         F.posexplode(
-            F.array(*[_position(F.col(key_col), i, m_bits) for i in range(k)])
+            F.array(*[_position(key_col, i, m_bits) for i in range(k)])
         ).alias("i", "pos"),
     ).select(
         key_col,
@@ -130,6 +137,73 @@ def bloom_probe(
         .groupBy(key_col)
         .agg((F.sum("hit") == k).alias("maybe_member"))
     )
+
+
+def bloom_probe_inline(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "key",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom verdict as a PROJECTION over the caller's rows — the probe
+    side never shuffles (round 8, guide §2.4): ``k`` broadcast LEFT
+    joins on the word index (each against the same tiny
+    (word_idx, word) relation; an absent word means the bit is clear),
+    then one AND over the ``k`` bit tests.  Unlike :func:`bloom_probe`
+    there is no per-key regroup — no ``distinct``, no ``groupBy(key)``,
+    no join back to the wide row — so at corpus scale the probe side is
+    pure map work (the lane this replaced spent three exchanges moving
+    probe keys: distinct + verdict regroup + re-join).  Adds a
+    ``maybe_member`` column and preserves every input column.  NULL
+    keys hash to NULL positions, miss every join, and read
+    ``maybe_member = false`` — the same net verdict their rows got from
+    the equi-join consumers of :func:`bloom_probe` (a NULL key never
+    matches back).  Verdicts are bit-identical to :func:`bloom_probe`:
+    same ``_position`` polynomial, same word/mask split."""
+    # two batched selects, then the k joins — plan CONSTRUCTION is a
+    # per-query cost and a withColumn-per-column chain here measured
+    # ~0.12 s/execution of pure py4j round-trips (DEVNOTES #43)
+    out = df.select(
+        "*",
+        *[_position(key_col, i, m_bits).alias(f"__bl_pos{i}") for i in range(k)],
+    ).select(
+        "*",
+        *[
+            c
+            for i in range(k)
+            for c in (
+                (F.col(f"__bl_pos{i}") / 64).cast("int").alias(f"__bl_widx{i}"),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(__bl_pos{i} % 64 AS INT))"
+                ).alias(f"__bl_mask{i}"),
+            )
+        ],
+    )
+    tests = []
+    scratch: list[str] = []
+    for i in range(k):
+        w = f"__bl_widx{i}"
+        side = bloom.select(
+            F.col("word_idx").alias(w), F.col("word").alias(f"__bl_word{i}")
+        )
+        out = out.join(F.broadcast(side), w, "left")
+        tests.append(
+            F.coalesce(F.col(f"__bl_word{i}"), F.lit(0)).bitwiseAND(
+                F.col(f"__bl_mask{i}")
+            )
+            != 0
+        )
+        scratch += [w, f"__bl_mask{i}", f"__bl_pos{i}", f"__bl_word{i}"]
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    # NULL keys hash to NULL positions and the bit tests three-value
+    # to NULL — pin the verdict to false so the column is a real
+    # boolean for every row
+    return out.withColumn(
+        "maybe_member", F.coalesce(cond, F.lit(False))
+    ).drop(*scratch)
 
 
 def bloom_pack(bloom: DataFrame, m_bits: int = BLOOM_M_BITS) -> bytes:
@@ -213,7 +287,7 @@ def bloom_probe_packed(
 
     out = probe
     for i in range(k):
-        out = out.withColumn(f"__bpos_{i}", _position(F.col(key_col), i, m_bits))
+        out = out.withColumn(f"__bpos_{i}", _position(key_col, i, m_bits))
     cond = F.lit(True)
     for i in range(k):
         # the k UDF calls fuse into one ArrowEvalPython stage

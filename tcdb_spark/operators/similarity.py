@@ -94,7 +94,11 @@ def _lloyd_kmeans(X, k: int, seed: int, iters: int = 25, n_init: int | None = No
 
 
 def ivf_build(
-    emb: DataFrame, k_centroids: int = 16, seed: int = 42, train_cap: int = 100_000
+    emb: DataFrame,
+    k_centroids: int = 16,
+    seed: int = 42,
+    train_cap: int = 100_000,
+    _sample_pdf=None,
 ):
     """Train the coarse quantizer and bucket every vector.
 
@@ -117,7 +121,12 @@ def ivf_build(
     import numpy as np
 
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    pdf = _bounded_train_sample(base, train_cap)
+    # _sample_pdf: a caller that trains a SECOND quantizer level from
+    # the same deterministic sample (ivfpq_build) passes the collected
+    # frame in so the corpus-scan sampling job runs once, not once per
+    # level — identical result by construction (same derivation, same
+    # cap, deterministic sample).
+    pdf = _sample_pdf if _sample_pdf is not None else _bounded_train_sample(base, train_cap)
     X = np.stack(pdf["emb"].to_numpy())
     nrm = np.linalg.norm(X, axis=1, keepdims=True)
     X = X / np.where(nrm == 0, 1.0, nrm)
@@ -335,6 +344,17 @@ def _assign_bucket(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
         # full spherical distance
         b = (c2[None, :] - 2.0 * (Xn @ C.T)).argmin(1)
         return pd.DataFrame({"nrm": nrm, "bucket": b.astype("int32")})
+
+    # asNondeterministic: the UDF IS deterministic per row, but a
+    # downstream filter on ``bucket`` (ivfpq_search_blocked's probed-
+    # cell pruning) gets pushed below this projection and the optimizer
+    # then evaluates the UDF TWICE per row — once under the pushed
+    # filter, once in the surviving projection (two ArrowEvalPython
+    # nodes in the round-8 before-plan, guide §4.4).  Marking it
+    # non-deterministic forbids the duplication; the filter runs once,
+    # above a single assignment pass.  Results are unchanged — the
+    # flag only restricts optimizer reordering.
+    assign = assign.asNondeterministic()
 
     return base.withColumn("__a", assign(F.col("emb"))).select(
         "vec_id", "emb", F.col("__a.nrm").alias("nrm"), F.col("__a.bucket").alias("bucket")
@@ -1103,11 +1123,16 @@ def ivfpq_build(
     file-skip key at 100 TB), and per-subspace PQ codebooks encode it
     (8 codes a row in the scan). Returns (encoded index frame:
     vec_id, emb, bucket, nrm, codes; centroids; codebooks)."""
-    indexed, centroids = ivf_build(
-        emb, k_centroids=k_centroids, seed=seed, train_cap=train_cap
-    )
+    # ONE sampling job feeds both quantizer levels (round 8): ivf_build
+    # and the PQ codebook train used to each run their own
+    # _bounded_train_sample over the corpus — same derivation, same
+    # cap, deterministic, so sharing the collected frame is provably
+    # identical and halves the build's scan jobs.
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     pdf = _bounded_train_sample(base, train_cap)
+    indexed, centroids = ivf_build(
+        emb, k_centroids=k_centroids, seed=seed, train_cap=train_cap, _sample_pdf=pdf
+    )
     X = np.stack(pdf["emb"].to_numpy())
     d = X.shape[1]
     if d % m:

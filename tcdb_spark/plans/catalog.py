@@ -69,25 +69,29 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-# Corpus tables whose per-row work downstream is heavy (text parsing,
-# hashing, HTML/WARC decoding, vector math): when the parquet scan
-# yields fewer splits than the session's parallelism, the first —
-# often dominant — stage of every consumer runs on that few cores.
-# Measured round 8 (guide §2.5 "input skew"): the sf0.1 tables are
-# each ONE file with ONE row group, so the whole text/web family ran
-# its parse stage on 1 of 32 cores (winnow 0.95 s, html_extract
-# 0.87 s, boilerplate 0.98 s single-task stage walls).  The fix fans
-# the scan out with an explicit round-robin repartition, guarded so it
-# is a NO-OP whenever the scan already has >= default-parallelism
-# splits — i.e. at any real scale the exchange vanishes and no text
-# payload is ever shuffled.  Row-level results are partitioning-
-# independent across the catalog (determinism lint + repartition-
-# invariance tests, r8s1), and every oracle was re-attested after
-# this change.
-_FAN_OUT_TABLES = {"documents", "embeddings"}
+def fan_out_scan(df: DataFrame) -> DataFrame:
+    """Fan a too-few-splits scan out to the session's parallelism —
+    PER-LANE opt-in for operators whose per-row work is heavy (HTML
+    parsing, md5-per-gram hashing, per-char entropy): when the scan
+    yields fewer splits than the cores (the sf tables are ONE parquet
+    file with ONE row group), the consumer's first — often dominant —
+    stage runs on that few cores (guide §2.5 "input skew").
 
+    Guarded to a NO-OP whenever the scan already has >=
+    default-parallelism splits — at any real scale the exchange
+    vanishes and no payload is ever shuffled.
 
-def _fan_out_scan(df: DataFrame) -> DataFrame:
+    Opt-in per lane, NOT blanket on the table (round 8, interleaved
+    per-lane A/B at sf0.1): the repartition costs a payload shuffle +
+    one extra stage, which only pays when downstream per-row work
+    dominates.  Parse-heavy lanes won (html_extract −0.38 s,
+    html_boilerplate −0.31 s, winnow −0.28 s, char_entropy −0.20 s,
+    gopher −0.19 s of ~0.5-1.2 s lanes); every cheap-projection lane
+    lost (dedup_simhash +0.86 s, bloom +0.47 s, url_dedup +0.44 s) and
+    every embeddings lane lost (knn +0.52 s, ivfpq +0.55 s) — 2000
+    64-float rows parallelize worse than they shuffle.  Row-level
+    results are partitioning-independent (determinism lint +
+    repartition-invariance tests, r8s1); every oracle re-attested."""
     spark = df.sparkSession
     try:
         n = df.rdd.getNumPartitions()
@@ -141,8 +145,6 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
             elif dtype == "timestamp_ntz":
                 df = df.withColumn(col, F.col(col).cast("timestamp"))
-        if n in _FAN_OUT_TABLES:
-            df = _fan_out_scan(df)
         out[n] = df
         if cacheable:
             _TABLE_CACHE[key] = df

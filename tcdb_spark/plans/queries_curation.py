@@ -199,6 +199,7 @@ from tcdb_spark.operators.bloom import (  # noqa: E402
     BLOOM_M_BITS,
     bloom_build,
     bloom_probe,
+    bloom_probe_inline,
     position_sql,
 )
 
@@ -253,11 +254,17 @@ def bloom_prefilter_member(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bloom = bloom_build(block)
-    verdicts = bloom_probe(probe.select("key").distinct(), bloom)
+    # Round 8 (guide §2.4): the verdict is an inline projection — the
+    # old distinct -> per-key regroup -> broadcast-re-join shape spent
+    # THREE exchanges moving probe keys whose verdicts are pure map
+    # work against the broadcast bitmap.  bloom_probe_inline's k
+    # word-index broadcast joins shuffle nothing on the probe side;
+    # verdicts (including deterministic false positives) are
+    # bit-identical, oracle re-attested.
     return (
-        probe.join(
-            F.broadcast(verdicts.where(F.col("maybe_member"))), "key"
-        ).select("doc_id")
+        bloom_probe_inline(probe, bloom)
+        .where(F.col("maybe_member"))
+        .select("doc_id")
     )
 
 

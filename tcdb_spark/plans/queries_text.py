@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from tcdb_spark.plans.catalog import load_tables, register
+from tcdb_spark.plans.catalog import fan_out_scan, load_tables, register
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
 
@@ -93,7 +93,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signals: length, punctuation ratio, stopword ratio —
     §2.12 text-analysis quality scoring. Pure higher-order array fns."""
-    d = load_tables(spark, sf_dir, "documents")["documents"]
+    d = fan_out_scan(load_tables(spark, sf_dir, "documents")["documents"])
     toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id",
         F.split(F.trim(F.col("text")), r"\s+").alias("tokens"),
@@ -149,7 +149,7 @@ def _lang_score_sql(lang: str) -> str:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language-ID heuristic (n-gram-style scoring with a
     deterministic argmax tie order en>es>de>fr>zh) — §2.12 language-ID."""
-    d = load_tables(spark, sf_dir, "documents")["documents"]
+    d = fan_out_scan(load_tables(spark, sf_dir, "documents")["documents"])
     toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id",
         F.col("lang").alias("lang_label"),
@@ -321,7 +321,7 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same convention as the minhash lanes); window ties break to the
     LEFTMOST occurrence via array_position, deterministic under any
     partitioning.  Built as server-parsed SQL strings (DEVNOTES #43)."""
-    d = load_tables(spark, sf_dir, "documents")["documents"]
+    d = fan_out_scan(load_tables(spark, sf_dir, "documents")["documents"])
     return winnow_frame(d)
 
 
@@ -566,7 +566,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines keep the flags so rejected docs are attributable by rule.
     Every signal is an exact integer ratio (int sums / int counts), so
     the rule comparisons are reproducible bit-for-bit across engines."""
-    d = load_tables(spark, sf_dir, "documents")["documents"]
+    d = fan_out_scan(load_tables(spark, sf_dir, "documents")["documents"])
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     w = F.split(F.trim(F.col("text")), r"\s+")
     sig = d.where(F.length(F.trim(F.col("text"))) > 0).select(
@@ -646,7 +646,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold so the floating accumulation order is pinned across engines
     (first-occurrence order would differ). O(distinct × len) comparisons
     per row, all inside the scan — distinct is ~tens for real text."""
-    d = load_tables(spark, sf_dir, "documents")["documents"]
+    d = fan_out_scan(load_tables(spark, sf_dir, "documents")["documents"])
     cs = F.array_remove(
         F.split(F.lower(F.regexp_replace(F.col("text"), r"\s+", "")), ""), ""
     )
@@ -707,7 +707,7 @@ def text_char_entropy_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
 
     _ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
-    d = load_tables(spark, sf_dir, "documents")["documents"]
+    d = fan_out_scan(load_tables(spark, sf_dir, "documents")["documents"])
 
     def score(batches):
         for pdf in batches:

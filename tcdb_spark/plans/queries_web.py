@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from tcdb_spark.plans.catalog import load_tables, register
+from tcdb_spark.plans.catalog import fan_out_scan, load_tables, register
 from tcdb_spark.sources import web
 
 
@@ -132,7 +132,7 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted double spaces that must collapse.  ONE Arrow stage, zero
     shuffles — at 100 TB this is pure per-row CPU after pruning to
     (doc_id, html)."""
-    d = _docs(spark, sf_dir).select(
+    d = fan_out_scan(_docs(spark, sf_dir)).select(
         "doc_id", "source", "text", _compose_spark(_HTML_TMPL).alias("html")
     )
     out = web.html_extract(d)
@@ -533,7 +533,7 @@ def html_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembled clean body must equal the oracle's algebraic
     expectation character-for-character.  One Arrow stage + one
     groupBy(doc_id) shuffle for reassembly."""
-    d = _docs(spark, sf_dir).select(
+    d = fan_out_scan(_docs(spark, sf_dir)).select(
         "doc_id", "source", "text", _compose_spark(_HTML_TMPL).alias("html")
     )
     blocks = web.html_blocks(d)

@@ -15,6 +15,7 @@ from tcdb_spark.operators.bloom import (
     BLOOM_M_BITS,
     bloom_build,
     bloom_probe,
+    bloom_probe_inline,
 )
 
 
@@ -70,6 +71,43 @@ def test_no_false_negatives_and_verdicts_match_reference(spark):
         assert got[p] == expected, p
         if p in members:
             assert got[p] is True  # no false negatives, ever
+
+
+def test_inline_probe_matches_join_form_and_never_shuffles_probe(spark):
+    """The zero-regroup projection probe (round 8): verdicts must be
+    bit-identical to bloom_probe's per-key regroup on every key class —
+    members, non-members, duplicate keys (each occurrence verdicted
+    identically), and NULL keys (maybe_member false, row preserved) —
+    and the probe side must reach the verdict without a single
+    shuffle exchange."""
+    members = [f"blocked-{i}" for i in range(120)]
+    probes = members[:40] + [f"clean-{i}" for i in range(300)]
+    bloom = bloom_build(_keys_df(spark, members))
+    join_form = {
+        r["key"]: r["maybe_member"]
+        for r in bloom_probe(_keys_df(spark, probes), bloom).collect()
+    }
+    # duplicates + a NULL key ride along on a wide row
+    rows = [(i, p) for i, p in enumerate(probes + probes[:25])] + [(9999, None)]
+    wide = spark.createDataFrame(rows, "row_id int, key string")
+    inline = bloom_probe_inline(wide, bloom).collect()
+    assert len(inline) == len(rows)  # every probe row emitted
+    for r in inline:
+        if r["key"] is None:
+            assert r["maybe_member"] is False
+        else:
+            assert r["maybe_member"] == join_form[r["key"]], r["key"]
+    # plan shape: no Exchange anywhere except the broadcast of the
+    # bitmap words (the build side's own aggregation exchange sits
+    # below the broadcast, never on the probe rows)
+    plan = bloom_probe_inline(wide, bloom)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            # the only allowed shuffle is INSIDE the broadcast subtree
+            # (bloom_build's word aggregation); reaching one on the
+            # probe path would put "Exchange hashpartitioning(row_id"
+            # or "(key" in the plan
+            assert "row_id" not in line and "(key" not in line, line
 
 
 def test_false_positive_exists_and_is_deterministic(spark):
