@@ -31,13 +31,31 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def shingles(toks: Column) -> Column:
+def shingles(toks: Column | str) -> Column:
     """Word 5-shingles: rare enough that the inverted index never
     explodes on the hot-key problem frequent shingles cause at scale.
     Total (empty array below SHINGLE tokens) — the when() guard keeps
     element_at behind a genuine short-circuit even when the optimizer
     hoists the expression past an upstream size filter (see
-    plans/queries_corpus._ngrams for the failure shape)."""
+    plans/queries_corpus._ngrams for the failure shape).
+
+    Pass a COLUMN NAME (str) to build the expression as one
+    server-parsed SQL string (DEVNOTES #43 — the Column-object form
+    costs ~25 py4j round-trips per call and this helper sits in every
+    near-dedup lane's build path); the Column overload stays for
+    composed expressions.  String concatenation output is
+    value-identical either way."""
+    if isinstance(toks, str):
+        t = f"`{toks}`"
+        parts = ", ".join(f"element_at({t}, i + {k})" for k in range(SHINGLE))
+        sh = (
+            f"transform(sequence(1, size({t}) - {SHINGLE - 1}), "
+            f"i -> concat_ws(' ', {parts}))"
+        )
+        return F.expr(
+            f"CASE WHEN size({t}) >= {SHINGLE} THEN {sh} "
+            f"ELSE CAST(array() AS array<string>) END"
+        )
     sh = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (SHINGLE - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(SHINGLE)]),
@@ -47,10 +65,16 @@ def shingles(toks: Column) -> Column:
     )
 
 
-def shingle_hashes(sh: Column) -> Column:
+def shingle_hashes(sh: Column | str) -> Column:
     """64 hex chars per shingle: md5(s) || md5('x'||s). The 8 minhash
     functions are the eight 8-char windows — two md5 calls per shingle
-    instead of eight (md5 dominates the runtime here)."""
+    instead of eight (md5 dominates the runtime here).  Str form builds
+    server-side (DEVNOTES #43), value-identical."""
+    if isinstance(sh, str):
+        return F.expr(
+            f"transform(`{sh}`, s -> concat(md5(CAST(s AS BINARY)), "
+            f"md5(CAST(concat('x', s) AS BINARY))))"
+        )
     return F.transform(
         sh,
         lambda s: F.concat(
@@ -60,10 +84,15 @@ def shingle_hashes(sh: Column) -> Column:
     )
 
 
-def minhash(hashes: Column, j: int) -> Column:
+def minhash(hashes: Column | str, j: int) -> Column:
     """j-th minhash: lexicographic min of the j-th 8-hex-digit window —
     fixed-width lowercase hex compares identically to the numeric value,
-    so no cross-engine hex->int conversion is needed."""
+    so no cross-engine hex->int conversion is needed.  Str form builds
+    server-side (DEVNOTES #43), value-identical."""
+    if isinstance(hashes, str):
+        return F.expr(
+            f"array_min(transform(`{hashes}`, h -> substring(h, {1 + 8 * j}, 8)))"
+        )
     return F.array_min(F.transform(hashes, lambda h: F.substring(h, 1 + 8 * j, 8)))
 
 
@@ -77,11 +106,11 @@ def lsh_band_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     ).where(F.size("toks") >= SHINGLE)
-    hs = toks.select(
-        "doc_id", shingle_hashes(shingles(F.col("toks"))).alias("hashes")
+    hs = toks.select("doc_id", shingles("toks").alias("sh")).select(
+        "doc_id", shingle_hashes("sh").alias("hashes")
     )
     sigs = hs.select(
-        "doc_id", *[minhash(F.col("hashes"), j).alias(f"mh{j}") for j in range(N_HASHES)]
+        "doc_id", *[minhash("hashes", j).alias(f"mh{j}") for j in range(N_HASHES)]
     )
     band_structs = F.array(
         *[

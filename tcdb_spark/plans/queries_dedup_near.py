@@ -210,7 +210,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise re-inline the whole shingling into the Generate and
     # recompute it per exploded row (and again per self-join branch)
     sh = toks.select(
-        "doc_id", F.array_distinct(_shingles(F.col("tokens"))).alias("shingles")
+        "doc_id", F.array_distinct(_shingles("tokens")).alias("shingles")
     ).persist()
     kept = drop_hot_keys(
         sh.select("doc_id", F.explode("shingles").alias("shingle")),
@@ -284,7 +284,7 @@ def shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens") >= SHINGLE
     )
     sh = toks.select(
-        "doc_id", F.array_distinct(_shingles(F.col("tokens"))).alias("shingles")
+        "doc_id", F.array_distinct(_shingles("tokens")).alias("shingles")
     )
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     dfs = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -543,7 +543,7 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens") >= SHINGLE
     )
     sh = toks.select(
-        "doc_id", F.array_distinct(_shingles(F.col("tokens"))).alias("shingles")
+        "doc_id", F.array_distinct(_shingles("tokens")).alias("shingles")
     )
     return prefix_jaccard_pairs(sh, _PPJ_T)
 
@@ -604,7 +604,7 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens") >= SHINGLE
     )
     sh = toks.select(
-        "doc_id", F.array_distinct(_shingles(F.col("tokens"))).alias("shingles")
+        "doc_id", F.array_distinct(_shingles("tokens")).alias("shingles")
     )
     return containment_pairs(
         sh, _CONT_T, lambda d: d % 2 == 1, lambda d: d % 2 == 0

@@ -179,16 +179,19 @@ def lsh_bucket_ann(
         X = np.vstack(emb_s.to_numpy())
         return pd.Series((X @ plane_mat).tolist())
 
-    tbl_idx = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl")
+    # Server-parsed SQL strings for the fixed-form pieces (DEVNOTES
+    # #43, round 8): the Column-object construction of the
+    # bucket/probe expressions measured 0.39 s of py4j round-trips
+    # PER LANE BUILD.  Every stringified op is integer (bucket fold,
+    # bit flips) or the AST-identical float fold (dot/norm — same
+    # textual operator order as the Column chain it replaces), so the
+    # results are value-exact.
+    dots_sql = f"slice(__all_dots, (tbl * {n_planes}) + 1, {n_planes})"
 
-    def table_dots(all_dots):  # the n_planes dots of this row's table
-        return F.slice(all_dots, F.col("tbl") * n_planes + 1, n_planes)
-
-    def bucket_of_dots(dots):
-        return F.aggregate(
-            dots,
-            F.lit(0),
-            lambda acc, d: acc * 2 + F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)),
+    def bucket_sql(dots: str) -> str:
+        return (
+            f"aggregate({dots}, 0, "
+            "(acc, d) -> (acc * 2) + (CASE WHEN d >= 0 THEN 1 ELSE 0 END))"
         )
 
     base = (
@@ -198,9 +201,11 @@ def lsh_bucket_ann(
         )
         .withColumn("nrm", norm_of(F.col("emb")))  # once per vector, not per pair
         .withColumn("__all_dots", _all_dots(F.col("emb")))
-        .select("vec_id", "emb", "nrm", "__all_dots", tbl_idx)
-        .withColumn("bucket", bucket_of_dots(table_dots(F.col("__all_dots"))))
-        .drop("__all_dots")
+        .selectExpr(
+            "vec_id", "emb", "nrm", "__all_dots",
+            f"explode(sequence(0, {n_tables - 1})) AS tbl",
+        )
+        .selectExpr("vec_id", "emb", "nrm", "tbl", f"{bucket_sql(dots_sql)} AS bucket")
     )
 
     q = queries.select(
@@ -211,48 +216,46 @@ def lsh_bucket_ann(
     if exact:
         # all-buckets probe: per table every bucket id is a probe, so the
         # bucket equi-join below degenerates to the full candidate set
-        q = q.select(
+        q = q.selectExpr(
             "q_id", "q_emb", "q_nrm",
-            F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl"),
-        ).withColumn(
-            "bucket", F.explode(F.sequence(F.lit(0), F.lit(2 ** n_planes - 1)))
+            f"explode(sequence(0, {n_tables - 1})) AS tbl",
+        ).selectExpr(
+            "*", f"explode(sequence(0, {2 ** n_planes - 1})) AS bucket"
         )
     else:
+        # planes ordered by |margin| ascending: the bits most likely to
+        # differ for a true near neighbor (array_sort on (|dot|, idx)
+        # structs); bit j of the fold is worth 2^(n_planes-1-j), XOR
+        # flips it — probes are the home bucket, the n_flip single
+        # flips, and the double flip of the two most marginal planes
+        bv = f"array({', '.join(str(1 << (n_planes - 1 - j)) for j in range(n_planes))})"
+        order_sql = (
+            f"transform(array_sort(zip_with(__dots, sequence(0, {n_planes - 1}), "
+            "(d, i) -> struct(abs(d) AS m, i AS idx))), s -> s.idx)"
+        )
+        probes_sql = ["__b0"] + [
+            f"(__b0 ^ get({bv}, __order[{i}]))" for i in range(n_flip)
+        ]
+        if n_flip >= 2:  # double-flip of the two most marginal planes
+            probes_sql.append(
+                f"((__b0 ^ get({bv}, __order[0])) ^ get({bv}, __order[1]))"
+            )
         q = (
             q.withColumn("__all_dots", _all_dots(F.col("q_emb")))
-            .select("q_id", "q_emb", "q_nrm", "__all_dots", tbl_idx)
-            .withColumn("__dots", table_dots(F.col("__all_dots")))
-            .withColumn("__b0", bucket_of_dots(F.col("__dots")))
-        )
-        # planes ordered by |margin| ascending: the bits most likely to differ
-        # for a true near neighbor (array_sort on (|dot|, idx) structs)
-        q = q.withColumn(
-            "__order",
-            F.transform(
-                F.array_sort(
-                    F.zip_with(
-                        F.col("__dots"),
-                        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                        lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("idx")),
-                    )
-                ),
-                lambda s: s["idx"],
-            ),
-        )
-        # bit j of the fold is worth 2^(n_planes-1-j); XOR flips it
-        bit_value = F.array(*[F.lit(1 << (n_planes - 1 - j)) for j in range(n_planes)])
-
-        def flip(bucket, plane_idx):
-            return bucket.bitwiseXOR(F.get(bit_value, plane_idx))
-
-        probes = [F.col("__b0")]
-        for i in range(n_flip):
-            probes.append(flip(F.col("__b0"), F.col("__order")[i]))
-        if n_flip >= 2:  # double-flip of the two most marginal planes
-            probes.append(flip(flip(F.col("__b0"), F.col("__order")[0]), F.col("__order")[1]))
-        q = q.select(
-            "q_id", "q_emb", "q_nrm", "tbl",
-            F.explode(F.array_distinct(F.array(*probes))).alias("bucket"),
+            .selectExpr(
+                "q_id", "q_emb", "q_nrm", "__all_dots",
+                f"explode(sequence(0, {n_tables - 1})) AS tbl",
+            )
+            .selectExpr("q_id", "q_emb", "q_nrm", "tbl", f"{dots_sql} AS __dots")
+            .selectExpr(
+                "q_id", "q_emb", "q_nrm", "tbl",
+                f"{bucket_sql('__dots')} AS __b0",
+                f"{order_sql} AS __order",
+            )
+            .selectExpr(
+                "q_id", "q_emb", "q_nrm", "tbl",
+                f"explode(array_distinct(array({', '.join(probes_sql)}))) AS bucket",
+            )
         )
 
     pairs = (
