@@ -47,20 +47,36 @@ def kmeans_assign(
     ``d2 = x·x - 2 x·c + c·c`` with sequential left-to-right folds —
     the exact accumulation order DuckDB's ``list_dot_product`` uses, so
     the catalog oracle hash-matches bit-for-bit. Returns
-    (id_col, cluster int, dist2 double)."""
+    (id_col, cluster int, dist2 double).
+
+    The whole argmin builds as ONE server-parsed expression string
+    (round 8): the Column form shipped k×d literal cells one py4j call
+    each (~290 gateway calls per build at k=4, d=64).  Value-exact —
+    ``repr`` round-trips every double and the ``D`` suffix pins the
+    literal type, so the parsed AST matches the Column form it
+    replaced (bit-equality A/B + oracle re-attested)."""
     base = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("emb"))
-    x2 = _dot(F.col("emb"), F.col("emb"))
+
+    def _dots(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+
+    x2 = _dots("emb", "emb")
     structs = []
     for j, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(v)) for v in c])
+        carr = "array(" + ", ".join(f"{float(v)!r}D" for v in c) + ")"
         c2 = float(np.dot(c, c))  # constant per centroid — fold it driver-side
-        d2 = x2 - 2.0 * _dot(F.col("emb"), carr) + F.lit(c2)
-        structs.append(F.struct(d2.alias("d2"), F.lit(j).alias("c_id")))
-    best = F.element_at(F.array_sort(F.array(*structs)), 1)
-    return base.select(
+        structs.append(
+            f"named_struct('d2', {x2} - 2.0D * {_dots('emb', carr)} + {c2!r}D, "
+            f"'c_id', {j})"
+        )
+    best = f"element_at(array_sort(array({', '.join(structs)})), 1)"
+    return base.selectExpr(
         id_col,
-        best["c_id"].cast("int").alias("cluster"),
-        best["d2"].alias("dist2"),
+        f"CAST({best}.c_id AS INT) AS cluster",
+        f"{best}.d2 AS dist2",
     )
 
 

@@ -99,6 +99,7 @@ def ivf_build(
     seed: int = 42,
     train_cap: int = 100_000,
     _sample_pdf=None,
+    extra_cols: list[str] | None = None,
 ):
     """Train the coarse quantizer and bucket every vector.
 
@@ -120,6 +121,10 @@ def ivf_build(
     """
     import numpy as np
 
+    # extra_cols ride the assignment projection into the index (see
+    # _assign_bucket passthrough); the training sample stays the bare
+    # (vec_id, emb) projection so its derivation — and therefore the
+    # trained centroids — is byte-identical with or without extras.
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     # _sample_pdf: a caller that trains a SECOND quantizer level from
     # the same deterministic sample (ivfpq_build) passes the collected
@@ -134,6 +139,12 @@ def ivf_build(
     centroids = [c.tolist() for c in centers]
     # ||emb|| stored in the index: cosine at search time is then one
     # dot per candidate, not three folds
+    if extra_cols:
+        base = emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            *extra_cols,
+        )
     return _assign_bucket(base, centroids), centroids
 
 
@@ -356,8 +367,14 @@ def _assign_bucket(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
     # flag only restricts optimizer reordering.
     assign = assign.asNondeterministic()
 
+    # passthrough columns (e.g. a label for mismatch-constrained k-NN)
+    # ride the assignment projection — the alternative is a corpus-wide
+    # equi-join back onto the index to re-attach them (a third scan +
+    # shuffle join of the corpus with itself in the round-8 knn plan)
+    extra = [c for c in base.columns if c not in ("vec_id", "emb")]
     return base.withColumn("__a", assign(F.col("emb"))).select(
-        "vec_id", "emb", F.col("__a.nrm").alias("nrm"), F.col("__a.bucket").alias("bucket")
+        "vec_id", "emb", *extra,
+        F.col("__a.nrm").alias("nrm"), F.col("__a.bucket").alias("bucket"),
     )
 
 
@@ -747,10 +764,14 @@ def knn_join(
     ``ivf_search``, which also pins the float-sum order the
     exact-attestation oracles hash.
     """
-    indexed, centroids = ivf_build(right, k_centroids=k_centroids, seed=seed)
+    # non-embedding payload columns (e.g. the mismatch label) ride the
+    # assignment projection into the index instead of a corpus-wide
+    # equi-join back onto it — one scan and one shuffle join fewer
+    # (round 8: the rejoin was a third full scan of `right` in the plan)
     extra = [c for c in right.columns if c not in {"vec_id", "embedding"}]
-    if extra:
-        indexed = indexed.join(right.select("vec_id", *extra), "vec_id")
+    indexed, centroids = ivf_build(
+        right, k_centroids=k_centroids, seed=seed, extra_cols=extra or None
+    )
     if candidate_filter is not None:
         return ivf_search(
             indexed, centroids, left, k=k, nprobe=nprobe,

@@ -254,29 +254,38 @@ def kmv_overlap(sk: DataFrame, group_col: str) -> DataFrame:
     column is an exact integer (jaccard as floor basis points).  The
     hash equi-join only moves the bounded sketch rows; group metas ride
     a broadcast."""
-    meta = sk.select(
-        F.col(group_col).alias("g"),
-        "n_kept",
-        "is_exact",
-        "kth",
-        _theta_frac(F.col("is_exact"), F.col("kth")).alias("theta"),
-    )
-    ex = sk.select(F.col(group_col).alias("g"), F.explode("hashes").alias("h"))
+    # Projections build as server-parsed expression strings — the
+    # Column-by-Column form cost ~0.3 s of pure py4j round-trips per
+    # build (round 8, cProfile: ~1600 socket reads).  Value-exact: the
+    # same casts and the same double literals (repr round-trips), so
+    # the parsed AST matches the Column form it replaces.
+    _off = repr(float(2**63) + 1.0)
+
+    def _theta(sfx: str) -> str:
+        return (
+            f"CASE WHEN is_exact{sfx} THEN CAST(1.0 AS DOUBLE) "
+            f"ELSE (CAST(kth{sfx} AS DOUBLE) + {_off}) / {repr(_HASH_SPACE)} END"
+        )
+
+    meta = sk.selectExpr(f"`{group_col}` AS g", "n_kept", "is_exact", "kth")
+    ex = sk.selectExpr(f"`{group_col}` AS g", "explode(hashes) AS h")
     a, b = ex.alias("a"), ex.alias("b")
     shared = a.join(
         b, (F.col("a.h") == F.col("b.h")) & (F.col("a.g") < F.col("b.g"))
-    ).select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"), F.col("a.h").alias("h"))
-    ma = F.broadcast(meta.select(F.col("g").alias("ga"), *[F.col(c).alias(c + "_a") for c in ("n_kept", "is_exact", "kth", "theta")]))
-    mb = F.broadcast(meta.select(F.col("g").alias("gb"), *[F.col(c).alias(c + "_b") for c in ("n_kept", "is_exact", "kth", "theta")]))
+    ).selectExpr("a.g AS ga", "b.g AS gb", "a.h AS h")
+    ma = F.broadcast(meta.selectExpr(
+        "g AS ga", "n_kept AS n_kept_a", "is_exact AS is_exact_a", "kth AS kth_a"))
+    mb = F.broadcast(meta.selectExpr(
+        "g AS gb", "n_kept AS n_kept_b", "is_exact AS is_exact_b", "kth AS kth_b"))
     j = shared.join(ma, "ga").join(mb, "gb")
     # the pair's threshold: hashes above EITHER side's theta are not
     # comparable samples — drop them (no-op when both sides exact)
-    pair_bound = F.least(
-        F.when(F.col("is_exact_a"), F.lit(2**63 - 1)).otherwise(F.col("kth_a")),
-        F.when(F.col("is_exact_b"), F.lit(2**63 - 1)).otherwise(F.col("kth_b")),
-    )
     cnt = (
-        j.where(F.col("h") <= pair_bound)
+        j.where(F.expr(
+            "h <= least("
+            "CASE WHEN is_exact_a THEN 9223372036854775807 ELSE kth_a END, "
+            "CASE WHEN is_exact_b THEN 9223372036854775807 ELSE kth_b END)"
+        ))
         .groupBy("ga", "gb")
         .agg(F.count("*").alias("n_shared"))
     )
@@ -285,27 +294,23 @@ def kmv_overlap(sk: DataFrame, group_col: str) -> DataFrame:
     # need an inequality-only join, i.e. a cartesian; callers wanting
     # explicit zeros can outer-join a group list in 2 lines).
     out = cnt.join(ma, "ga").join(mb, "gb")
-    theta_pair = F.least(F.col("theta_a"), F.col("theta_b"))
-    est_a = F.when(F.col("is_exact_a"), F.col("n_kept_a").cast("double")).otherwise(
-        (F.col("n_kept_a") - 1).cast("double") / F.col("theta_a")
+    ests = out.selectExpr(
+        "ga", "gb",
+        f"CASE WHEN is_exact_a THEN CAST(n_kept_a AS DOUBLE) "
+        f"ELSE CAST(n_kept_a - 1 AS DOUBLE) / ({_theta('_a')}) END AS __est_a",
+        f"CASE WHEN is_exact_b THEN CAST(n_kept_b AS DOUBLE) "
+        f"ELSE CAST(n_kept_b - 1 AS DOUBLE) / ({_theta('_b')}) END AS __est_b",
+        f"CAST(n_shared AS DOUBLE) / least({_theta('_a')}, {_theta('_b')}) AS __est_i",
     )
-    est_b = F.when(F.col("is_exact_b"), F.col("n_kept_b").cast("double")).otherwise(
-        (F.col("n_kept_b") - 1).cast("double") / F.col("theta_b")
-    )
-    est_i = F.col("n_shared").cast("double") / theta_pair
-    est_u = F.greatest(est_a + est_b - est_i, est_i)
-    res = out.select(
-        F.col("ga").alias("group_a"),
-        F.col("gb").alias("group_b"),
-        F.round(est_a).cast("long").alias("est_a"),
-        F.round(est_b).cast("long").alias("est_b"),
-        F.round(est_i).cast("long").alias("est_intersection"),
-        F.round(est_u).cast("long").alias("est_union"),
-    )
-    return res.withColumn(
-        "jaccard_bp",
-        F.when(
-            F.col("est_union") > 0,
-            F.expr("(10000 * est_intersection) div est_union"),
-        ).otherwise(F.lit(0)).cast("long"),
+    return ests.selectExpr(
+        "ga AS group_a",
+        "gb AS group_b",
+        "CAST(round(__est_a) AS BIGINT) AS est_a",
+        "CAST(round(__est_b) AS BIGINT) AS est_b",
+        "CAST(round(__est_i) AS BIGINT) AS est_intersection",
+        "CAST(round(greatest(__est_a + __est_b - __est_i, __est_i)) AS BIGINT) AS est_union",
+    ).selectExpr(
+        "*",
+        "CAST(CASE WHEN est_union > 0 THEN (10000 * est_intersection) div est_union "
+        "ELSE 0 END AS BIGINT) AS jaccard_bp",
     )
