@@ -277,9 +277,12 @@ def asof_join_bucketed(
     rows spread over 10^4 buckets becomes 10^4 independent partitions.
 
     Mechanics, per direction (forward is the exact mirror of backward):
-    (1) per (key, bucket) reduce the right side to its struct-MAX
-    (latest; deterministic ties — see ``_asof_pack``) and/or struct-MIN
-    (earliest) — map-side combinable; (2) carry that reduction over the
+    (1) per (key, bucket) reduce to the struct-MAX (latest right row;
+    deterministic ties — see ``_asof_pack``) and/or struct-MIN
+    (earliest) in ONE map-side-combinable aggregation over both sides'
+    bucket rows — left rows ride along as null-pack markers (max/min
+    skip nulls), which folds the bucket-universe construction into the
+    same exchange; (2) carry that reduction over the
     per-key BUCKET sequence (a window over one row per bucket, not per
     event — bounded by the time span, not the row count): last-seen
     pack over strictly-earlier buckets = "value as of bucket start",
@@ -328,25 +331,27 @@ def asof_join_bucketed(
         "__bkt", F.floor(F.col(left_ts).cast("double") / bucket_s).cast("long")
     )
 
-    # (1) per-(key, bucket) reductions — ONE groupBy serves both directions
+    # (1)+(2a) per-(key, bucket) reductions over the bucket universe of
+    # BOTH sides in ONE aggregation: left rows enter as null-pack bucket
+    # markers and max/min skip nulls, so a bucket holding only left rows
+    # reduces to null packs — exactly the row the former
+    # distinct-union-distinct universe + LEFT JOIN onto the right-only
+    # reduction produced, minus two exchanges and the join (r8 §12).
+    # Map-side combinable like any hash aggregate.
+    null_pack = F.lit(None).cast(pack_t)
+    marked = rt.select(*on, "__bkt", "__pack").unionByName(
+        lt.select(*on, "__bkt").withColumn("__pack", null_pack)
+    )
     aggs = []
     if need_b:
         aggs.append(F.max("__pack").alias("__last_pack"))
     if need_f:
         aggs.append(F.min("__pack").alias("__first_pack"))
-    bucket_red = rt.groupBy(*on, "__bkt").agg(*aggs)
-
-    # (2) bucket universe from BOTH sides; carry reductions across the
-    # per-key bucket sequence (ascending for backward, descending for
-    # forward — buckets partition time, so the nearest non-empty future
-    # bucket's earliest row IS the global earliest-after)
-    universe = (
-        lt.select(*on, "__bkt")
-        .distinct()
-        .unionByName(bucket_red.select(*on, "__bkt"))
-        .distinct()
-    )
-    ub = universe.join(bucket_red, [*on, "__bkt"], "left")
+    # (2b) carry reductions across the per-key bucket sequence
+    # (ascending for backward, descending for forward — buckets
+    # partition time, so the nearest non-empty future bucket's earliest
+    # row IS the global earliest-after)
+    ub = marked.groupBy(*on, "__bkt").agg(*aggs)
     sels = [*on, F.col("__bkt")]
     keep = []
     if need_b:
@@ -374,7 +379,6 @@ def asof_join_bucketed(
     # range frames) + real rows, growing frames INSIDE (key, bucket).
     # Each direction has its own pack column so the other direction's
     # phantom can never leak into its frame.
-    null_pack = F.lit(None).cast(pack_t)
     phantom = boundary.select(
         *on,
         "__bkt",
