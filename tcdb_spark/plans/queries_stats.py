@@ -956,8 +956,10 @@ def annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from tcdb_spark.plans.queries_text import text_lang_id
 
-    d = load_tables(spark, sf_dir, "documents")["documents"]
-    lab = text_lang_id(spark, sf_dir).join(d.select("doc_id", "source"), "doc_id")
+    # source rides the lang-id projection itself (same scan, same
+    # non-empty filter) — the former join-back on doc_id was a corpus
+    # self-join existing only to re-attach a column of the same table
+    lab = text_lang_id(spark, sf_dir, _carry=("source",))
     return cohen_kappa(lab, "source", "lang_label", "lang_guess").withColumnRenamed(
         "n_rows", "n_docs"
     )
@@ -1259,17 +1261,20 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: x/n counts are integers; z is ONE shared-shape float
     expression (sub-expressions written identically on both engines;
-    sqrt is correctly-rounded IEEE).  Scale: two distinct-aggregates
-    (user dim + per-type users) and a 2-row broadcast denominator —
-    conversion counting is the only corpus-scale work.
+    sqrt is correctly-rounded IEEE).  Scale: the arm is a pure function
+    of user_id, so conversion counting and the denominator are two
+    direct distinct-aggregates over the event scan — no materialized
+    user dim and no events-x-users join (r8 §13: the former
+    distinct + join-back re-derived a column the scan already holds);
+    the denominator is a 1-row broadcast.
     """
     e = load_tables(spark, sf_dir, "events")["events"]
-    arms = e.select("user_id").distinct().select(
-        "user_id", (F.col("user_id") % 2).alias("arm")
-    )
-    denom = arms.groupBy("arm").agg(F.count("*").alias("n"))
+    arm = (F.col("user_id") % 2).alias("arm")
     conv = (
-        e.join(arms, "user_id")
+        # null user_id carries no arm — same rows the former inner join
+        # against the user dim dropped
+        e.where(F.col("user_id").isNotNull())
+        .select("event_type", arm, "user_id")
         .groupBy("event_type", "arm")
         .agg(F.countDistinct("user_id").alias("x"))
     )
@@ -1277,9 +1282,9 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0)).alias("x_a"),
         F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0)).alias("x_b"),
     )
-    n_ = denom.groupBy().agg(
-        F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0)).alias("n_b"),
+    n_ = e.groupBy().agg(
+        F.countDistinct(F.when(F.col("user_id") % 2 == 0, F.col("user_id"))).alias("n_a"),
+        F.countDistinct(F.when(F.col("user_id") % 2 == 1, F.col("user_id"))).alias("n_b"),
     )
     x_pool = F.col("x_a") + F.col("x_b")
     n_pool = F.col("n_a") + F.col("n_b")

@@ -146,12 +146,20 @@ def _lang_score_sql(lang: str) -> str:
     FROM scored
     """,
 )
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_lang_id(
+    spark: SparkSession, sf_dir: str, _carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Marker-token language-ID heuristic (n-gram-style scoring with a
-    deterministic argmax tie order en>es>de>fr>zh) — §2.12 language-ID."""
+    deterministic argmax tie order en>es>de>fr>zh) — §2.12 language-ID.
+
+    ``_carry`` rides extra document columns through the projection so a
+    consumer needing them (annotator_kappa's ``source``) never joins
+    the corpus back onto itself on doc_id (r8 §14); the default plan is
+    unchanged."""
     d = fan_out_scan(load_tables(spark, sf_dir, "documents")["documents"])
     toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id",
+        *_carry,
         F.col("lang").alias("lang_label"),
         F.split(F.trim(F.col("text")), r"\s+").alias("tokens"),
     )
@@ -160,7 +168,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.size(F.filter("tokens", lambda x: F.array_contains(arr, x)))
 
     scores = {lang: _score(markers) for lang, markers in _LANG_MARKERS.items()}
-    s = toks.select("doc_id", "lang_label", *[scores[l].alias(f"s_{l}") for l in _LANG_MARKERS])
+    s = toks.select(
+        "doc_id", *_carry, "lang_label",
+        *[scores[l].alias(f"s_{l}") for l in _LANG_MARKERS],
+    )
     guess = (
         F.when(
             (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de"))
@@ -176,7 +187,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("s_fr") >= F.col("s_zh"), "fr")
         .otherwise("zh")
     )
-    return s.select("doc_id", "lang_label", guess.alias("lang_guess"))
+    return s.select("doc_id", *_carry, "lang_label", guess.alias("lang_guess"))
 
 
 @register(
