@@ -237,25 +237,25 @@ def unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     log probability ratio (the per-token term of KL(train||val)) over
     the same doc_id%10 split as contamination_check.  A curation QA
     gate — a token with |log_ratio| >> 0 marks a distribution skew the
-    split introduced.  Plan: one explode, two partial-agg counts from
-    it, full-outer join on token, two 1-row scalar crosses (vocab size,
-    totals).  Rounded to 6 dp on both engines (libm ULP divergence,
-    DEVNOTES hazards)."""
+    split introduced.  Plan: one explode, ONE conditional partial-agg
+    count per token (the former two filtered groupBys + full-outer
+    join re-merged the same token universe the single aggregate
+    produces directly — r8 §15; the explode feeds one exchange, which
+    the scalar branch reuses, so the persist went too), two 1-row
+    scalar crosses (vocab size, totals).  Rounded to 6 dp on both
+    engines (libm ULP divergence, DEVNOTES hazards)."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
     toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id", _tokens(F.col("text")).alias("tokens")
     )
-    ex = toks.select("doc_id", F.explode("tokens").alias("token")).persist()
-    tr = ex.where(F.col("doc_id") % 10 != 0).groupBy("token").agg(
-        F.count(F.lit(1)).alias("c_tr")
-    )
-    va = ex.where(F.col("doc_id") % 10 == 0).groupBy("token").agg(
-        F.count(F.lit(1)).alias("c_va")
-    )
-    joined = tr.join(va, "token", "full_outer").select(
-        "token",
-        F.coalesce("c_tr", F.lit(0)).alias("n_train"),
-        F.coalesce("c_va", F.lit(0)).alias("n_val"),
+    ex = toks.select("doc_id", F.explode("tokens").alias("token"))
+    joined = ex.groupBy("token").agg(
+        F.sum(F.when(F.col("doc_id") % 10 != 0, F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_train"
+        ),
+        F.sum(F.when(F.col("doc_id") % 10 == 0, F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_val"
+        ),
     )
     scalars = joined.agg(
         F.count(F.lit(1)).alias("v"),
