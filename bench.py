@@ -169,6 +169,37 @@ def calibrate_cpu() -> float:
     return round(n * 8 / dt, 1)
 
 
+def _calib_worker(_arg) -> float:
+    """One worker of the parallel calibration: md5 MB/s over ~1 s."""
+    import hashlib
+
+    block = b"\xa5" * (1 << 23)
+    hashlib.md5(block).digest()
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 1.0:
+        hashlib.md5(block).digest()
+        n += 1
+    return n * 8 / (time.perf_counter() - t0)
+
+
+def calibrate_cpu_parallel(nproc: int) -> tuple[float, float]:
+    """(aggregate, min-per-core) md5 MB/s with ``nproc`` concurrent
+    workers — the all-cores box-speed reference the single-core calib
+    cannot give.  Added r8s5 after a recording where loadavg_before was
+    0.22 and calib_md5_mbps was NORMAL yet every lane read ~1.26x and
+    the per-core floor had collapsed (host-level neighbor contention:
+    single-core turbo hides it, 32-way residency does not).  A min far
+    below the median marks cores being stolen mid-run; compare
+    par/single ratios across rounds before attributing a uniform lane
+    shift to the code."""
+    import multiprocessing as mp
+
+    with mp.Pool(nproc) as pool:
+        rates = pool.map(_calib_worker, range(nproc))
+    return round(sum(rates), 1), round(min(rates), 1)
+
+
 def main() -> None:
     # external-contention sample FIRST THING — before the SparkSession
     # (whose JVM startup burst already moves the 1-min average) and
@@ -176,6 +207,8 @@ def main() -> None:
     # so the reading reflects EXTERNAL load only (ADVICE r6).
     load_before = os.getloadavg()[0]
     calib = calibrate_cpu()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
+    calib_par, calib_par_min = calibrate_cpu_parallel(cpus)
 
     from tcdb_spark.plans import QUERIES
     from tcdb_spark.session import get_spark
@@ -337,6 +370,12 @@ def main() -> None:
                 # before the JVM starts): compare across rounds before
                 # attributing a uniform lane-time shift to the code
                 "calib_md5_mbps": calib,
+                # all-cores aggregate + worst per-core md5 MB/s (r8s5):
+                # catches host-level core stealing that leaves loadavg
+                # AND the single-core calib clean — see
+                # calibrate_cpu_parallel
+                "calib_md5_par_mbps": calib_par,
+                "calib_md5_par_min_mbps": calib_par_min,
                 "graph_wedge_candidates": wedges,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
