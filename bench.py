@@ -195,7 +195,11 @@ def calibrate_cpu_parallel(nproc: int) -> tuple[float, float]:
     shift to the code."""
     import multiprocessing as mp
 
-    with mp.Pool(nproc) as pool:
+    # spawn, not fork: the post-run probe runs with a live JVM attached
+    # to this process, and forking a JVM-bearing driver is not
+    # fork-safe; spawned children just re-import this module (no side
+    # effects) and hash
+    with mp.get_context("spawn").Pool(nproc) as pool:
         rates = pool.map(_calib_worker, range(nproc))
     return round(sum(rates), 1), round(min(rates), 1)
 
@@ -288,6 +292,11 @@ def main() -> None:
         n: s for n, s in all_samples.items() if timings.get(n, 0) > 5.0
     }
     load_after = os.getloadavg()[0]
+    # post-run parallel probe: the pre-run one cannot see cores stolen
+    # MID-run (r8s5 recorded a clean 444 MB/s floor at start and an
+    # 86.9 s first graph sample anyway); a collapsed floor here marks
+    # the recording even when the start looked healthy
+    calib_par_after, calib_par_min_after = calibrate_cpu_parallel(cpus)
 
     # data-density diagnostic for the graph lane: wedge candidates are a
     # property of the FIXTURE, wall time of the PLAN — recording both
@@ -376,6 +385,8 @@ def main() -> None:
                 # calibrate_cpu_parallel
                 "calib_md5_par_mbps": calib_par,
                 "calib_md5_par_min_mbps": calib_par_min,
+                "calib_md5_par_after_mbps": calib_par_after,
+                "calib_md5_par_min_after_mbps": calib_par_min_after,
                 "graph_wedge_candidates": wedges,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
