@@ -235,12 +235,25 @@ def main() -> None:
     # 85 -> 54 -> 85 -> 9.3 -> 10.8 s over five consecutive executions
     # on an otherwise-idle fresh JVM — tiered compilation of its
     # codegen'd stages completes only after several passes, and a
-    # sample taken before that measures the JIT, not the plan.  Two
-    # more untimed passes put the timed samples in the settled band.
+    # sample taken before that measures the JIT, not the plan.  The
+    # settle is ADAPTIVE (r8s5): the fixed two extra passes were tuned
+    # on faster boxes and left the slowest session-5 box unsettled
+    # (first TIMED sample 47-87 s, min-of-3 rescued the recorded value
+    # but the VERDICT r7 #4 spread criterion was blown).  Keep passing
+    # untimed until two consecutive passes agree within 20%, capped at
+    # six — a fast box still exits after two passes, identical to the
+    # old warmup, so cross-round comparability holds; only WARMUP
+    # count adapts, the timed methodology is untouched.
     for name in HEAVY_LANES:
         if name in HEADLINE:
-            run_once(impls[name](spark, sf_dir))
-            run_once(impls[name](spark, sf_dir))
+            prev = None
+            for _ in range(6):
+                t0 = time.perf_counter()
+                run_once(impls[name](spark, sf_dir))
+                dt = time.perf_counter() - t0
+                if prev is not None and abs(dt - prev) <= 0.2 * max(dt, prev):
+                    break
+                prev = dt
 
     # best of three runs per query: one-shot timings on a shared local JVM
     # are noisy (GC, page cache, box contention); min is the stable
