@@ -4,7 +4,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is executed to completion with the no-op sink (full plan runs,
-nothing collected to the driver), timed after a session warm-up.
+nothing collected to the driver), timed after a session warm-up.  Since
+round 9 every timed sample runs cache-cold (spark.catalog.clearCache()
+first — a no-op for lanes that persist nothing) and the timed impls are
+the oracle-registered catalog queries (headline_impls is the identity
+map); warm steady-state and pruned-config figures ride the secondary
+"warm_samples" / "pruned_config_samples" fields.
 """
 
 from __future__ import annotations
@@ -100,26 +105,50 @@ def run_once(df) -> None:
 
 
 def headline_impls() -> dict:
-    """Catalog queries with the bench's production-config overrides:
-    the ANN lanes time their pruned multi-probe configurations, not the
-    exact-mode oracle degeneracies (shared with tools/shuffle_profile)."""
+    """The timed implementations are the ORACLE-REGISTERED catalog
+    queries — the identity map over the catalog (VERDICT r8 #3: the
+    bench must time the code the driver verifies; until round 9 five
+    lanes timed unregistered pruned/arrow twins the oracle never saw).
+    One legacy label: the bench key ``knn_join`` (frozen since round 4
+    — keys can never be renamed) times the registered
+    ``hard_negative_mining`` lane, which is the same k-NN-join operator
+    under its catalog name.  The pruned production configurations are
+    still measured every run — as the clearly-separated
+    ``pruned_config_samples`` diagnostics (recall-gated in pytest, not
+    oracle-attested), continuing the r8 per-lane series under
+    ``<lane>_pruned`` / ``_arrow`` labels."""
     from tcdb_spark.plans import QUERIES
-    from tcdb_spark.plans.queries_sim import (
-        hard_negative_mining_pruned,
-        sim_ann_lsh_pruned,
-    )
-
-    from tcdb_spark.plans.queries_sim import sim_ann_ivfpq_pruned, sim_ann_pq_pruned
-    from tcdb_spark.plans.queries_text import text_char_entropy_arrow
 
     impls = dict(QUERIES)
-    impls["sim_ann_lsh"] = sim_ann_lsh_pruned
-    impls["knn_join"] = hard_negative_mining_pruned
-    impls["sim_ann_pq"] = sim_ann_pq_pruned
-    impls["sim_ann_ivfpq"] = sim_ann_ivfpq_pruned
-    # Arrow twin pinned output-EQUAL to the HOF/oracle lane
-    impls["text_char_entropy"] = text_char_entropy_arrow
+    impls["knn_join"] = QUERIES["hard_negative_mining"]
     return impls
+
+
+def pruned_impls() -> dict:
+    """Production (pruned multi-probe / Arrow-twin) configurations of
+    the five lanes whose headline slot now times the registered
+    exact-mode impl (see headline_impls).  These are the SAME functions
+    the r1-r8 bench timed under the plain lane names, so each r9
+    ``pruned_config_samples`` entry continues that lane's old series
+    1:1.  Output equality/recall is pinned in pytest
+    (tests/test_scale_ops.py, tests/test_training_ops.py,
+    text_char_entropy_arrow's bit-equality test), not by the oracle —
+    which is exactly why they no longer ride the headline."""
+    from tcdb_spark.plans.queries_sim import (
+        hard_negative_mining_pruned,
+        sim_ann_ivfpq_pruned,
+        sim_ann_lsh_pruned,
+        sim_ann_pq_pruned,
+    )
+    from tcdb_spark.plans.queries_text import text_char_entropy_arrow
+
+    return {
+        "sim_ann_lsh_pruned": sim_ann_lsh_pruned,
+        "knn_join_pruned": hard_negative_mining_pruned,
+        "sim_ann_pq_pruned": sim_ann_pq_pruned,
+        "sim_ann_ivfpq_pruned": sim_ann_ivfpq_pruned,
+        "text_char_entropy_arrow": text_char_entropy_arrow,
+    }
 
 
 # loadavg above this at bench START means the box is running something
@@ -143,8 +172,17 @@ CONTAMINATION_LOADAVG = 1.5
 # full cold pipeline instead (and, worse, mostly the JIT: 58-110 s per
 # sample on a fresh JVM vs 20.7 s genuinely-cold-but-settled vs ~10 s
 # warm — see the settling note in the warmup loop), incomparable with
-# every prior round's recordings.  Reverted; the cold cost is instead
-# recorded ONCE per heavy lane, after settling, in "cold_samples".
+# every prior round's recordings.  ROUND 9 (VERDICT r8 #2): warm
+# steady-state is a dishonest headline for a persist-bearing lane, so
+# EVERY timed sample of EVERY lane now runs after
+# spark.catalog.clearCache() — a no-op for lanes that persist nothing
+# (their numbers are unchanged), while persist-bearing lanes pay their
+# full pipeline from parquet per sample.  The JIT settle below keeps
+# the samples settled-cold rather than fresh-JVM-cold (the r8s1 trap
+# above).  The warm steady-state figure is still recorded for heavy
+# lanes as the secondary "warm_samples" field (continuing the r1-r8
+# warm series); the pre-r9 "cold_samples" field now mirrors the
+# settled-cold headline min.
 HEAVY_LANES = {"graph_common_neighbors"}
 
 
@@ -244,16 +282,23 @@ def main() -> None:
     # six — a fast box still exits after two passes, identical to the
     # old warmup, so cross-round comparability holds; only WARMUP
     # count adapts, the timed methodology is untouched.
+    # Settle passes run COLD (cache cleared first) so the settle tracks
+    # the exact condition the timed samples now measure.  Exit requires
+    # the pass to agree within 20% of the RUNNING MIN, not merely the
+    # previous pass (ADVICE r8: an early JIT plateau — 85 -> 80 s — can
+    # satisfy consecutive-pass agreement while still 8x off steady
+    # state; the min is the stable anchor).
     for name in HEAVY_LANES:
         if name in HEADLINE:
-            prev = None
+            best = None
             for _ in range(6):
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 run_once(impls[name](spark, sf_dir))
                 dt = time.perf_counter() - t0
-                if prev is not None and abs(dt - prev) <= 0.2 * max(dt, prev):
+                if best is not None and dt <= 1.2 * best:
                     break
-                prev = dt
+                best = dt if best is None else min(best, dt)
 
     # best of three runs per query: one-shot timings on a shared local JVM
     # are noisy (GC, page cache, box contention); min is the stable
@@ -268,35 +313,48 @@ def main() -> None:
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
     cold_samples: dict[str, float] = {}
+    warm_samples: dict[str, list[float]] = {}
     for name in run_order:
         fn = impls[name]
         samples = []
         for _ in range(3):
-            # heavy lanes run WARM here — the warmup pass primed their
-            # internal persist() and canonicalized-plan cache matching
-            # means every sample reuses it, so all three samples do
-            # identical work from identical state (see HEAVY_LANES).
+            # every sample runs CACHE-COLD (VERDICT r8 #2): clearCache
+            # is a no-op for the lanes that persist nothing, and makes
+            # each persist-bearing lane's sample pay its full pipeline
+            # from parquet instead of the warmup's primed cache.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             run_once(fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 3)
         all_samples[name] = [round(s, 3) for s in samples]
         if name in HEAVY_LANES:
-            # one explicit COLD sample: full pipeline from parquet with
-            # no cache, recorded separately so the warm headline number
-            # cannot silently hide a cold-path regression.  Driver GC
-            # first so the ContextCleaner has released the previous
-            # samples' shuffle/cache state (without it the cold run
-            # pays the backlog: 110 s vs 60 s steady, measured r8s1).
+            # the settled-cold headline min doubles as the cold figure
+            # (pre-r9 field kept for series continuity)
+            cold_samples[name] = timings[name]
+            # warm steady state as the SECONDARY figure (the r1-r8 warm
+            # series): one untimed priming pass, then 3 timed passes
+            # against the now-materialized internal caches.
+            run_once(fn(spark, sf_dir))
+            ws = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_once(fn(spark, sf_dir))
+                ws.append(round(time.perf_counter() - t0, 3))
+            warm_samples[name] = ws
+    timings = {n: timings[n] for n in HEADLINE}  # stable key order
+    # production pruned/arrow configurations — diagnostics continuing
+    # the r1-r8 series of the five re-pointed lanes (see pruned_impls)
+    pruned_samples: dict[str, float] = {}
+    for name, fn in pruned_impls().items():
+        run_once(fn(spark, sf_dir))  # one untimed settle pass
+        ps = []
+        for _ in range(3):
             spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             run_once(fn(spark, sf_dir))
-            cold_samples[name] = round(time.perf_counter() - t0, 3)
-            # re-prime the shared cache so a heavy lane running before
-            # other lanes (future re-orderings) can't leave them cold
-            run_once(fn(spark, sf_dir))
-    timings = {n: timings[n] for n in HEADLINE}  # stable key order
+            ps.append(time.perf_counter() - t0)
+        pruned_samples[name] = round(min(ps), 3)
     # per-sample detail for the slow lanes: a >5 s lane whose three
     # samples spread >15% is a measurement-stability problem, not a
     # plan regression — record the evidence so cross-round comparisons
@@ -378,16 +436,25 @@ def main() -> None:
                 # (spread evidence — VERDICT r7 #4)
                 "slow_lane_samples": slow_samples,
                 # per-sample detail for the heavy (persist-bearing)
-                # lanes regardless of speed: the warm samples are the
-                # stability evidence for VERDICT r7 #4's <=15% spread
-                # criterion
+                # lanes regardless of speed — since round 9 these are
+                # the SETTLED-COLD samples (the stability evidence for
+                # VERDICT r7 #4's <=15% spread criterion)
                 "heavy_lane_samples": {
                     n: all_samples[n] for n in HEAVY_LANES if n in all_samples
                 },
-                # one full-cold run per heavy lane (cache cleared,
-                # driver GC'd): the honest cold-pipeline cost the warm
-                # headline samples deliberately exclude
+                # settled-cold figure per heavy lane; since round 9
+                # identical to the lane's headline (kept for series
+                # continuity with r7/r8 artifacts)
                 "cold_samples": cold_samples,
+                # warm steady-state samples per heavy lane (internal
+                # persists primed) — the figure the r1-r8 headline
+                # recorded for these lanes; secondary since round 9
+                "warm_samples": warm_samples,
+                # production pruned/arrow configurations of the five
+                # lanes whose headline now times the oracle-registered
+                # exact impl (VERDICT r8 #3) — each entry continues the
+                # corresponding lane's r1-r8 headline series
+                "pruned_config_samples": pruned_samples,
                 # box-speed reference (single-core md5 MB/s, measured
                 # before the JVM starts): compare across rounds before
                 # attributing a uniform lane-time shift to the code

@@ -27,6 +27,8 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
+
+
 def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
@@ -223,6 +225,7 @@ def ivf_search_blocked(
     k: int = 5,
     nprobe: int = 3,
     mismatch_cols: tuple[str, str] | None = None,
+    fold_order: bool = False,
 ) -> DataFrame:
     """Block-matrix IVF search: scoring runs as ONE numpy matmul per
     (probing queries x bucket candidates) block inside a cogrouped
@@ -238,10 +241,25 @@ def ivf_search_blocked(
     ``mismatch_cols=(q_col, cand_col)`` masks pairs whose two columns
     are EQUAL before top-k (label-mismatch hard-negative mining).
     Self-pairs (vec_id == q_id) are always masked.  Ranks and
-    tie-breaks ((-cos, vec_id)) match ``ivf_search``; the float sum
-    order inside the dot differs (BLAS vs fold), so exact-attestation
-    oracles keep the fold path while recall-gated production configs
-    use this one.
+    tie-breaks ((-cos, vec_id)) match ``ivf_search``.
+
+    ``fold_order=True`` (round 9) reproduces ``ivf_search``'s float
+    semantics BIT-FOR-BIT while keeping the block shape: the pair-dot
+    matrix accumulates one dimension at a time
+    (``D += outer(Q[:, i], B[:, i])`` — per pair that is
+    ``((0.0 + p_0) + p_1) + ...``, exactly the ``aggregate(zip_with)``
+    left fold), the query norm is the same sequential
+    ``sqrt(0.0 + x_0^2 + ...)``, the candidate norm is the index's
+    ``nrm`` column unchanged, and the division is ``D / (qn * cn)``
+    with no zero-guards — so every cosine equals the fold path's
+    double.  Mismatch masking additionally drops NULL-label pairs on
+    EITHER side, matching the SQL ``label <> q_label`` filter's
+    three-valued semantics the row path applied.  This replaces the
+    interpreted HOF fold the exact-attestation lanes paid per pair
+    (~3.8 us/pair interpreted lambda frames — 15 s of the 23 s
+    hard_negative_mining wall at sf0.1) with vectorized numpy at the
+    same float values; BLAS (`Q @ B.T`) stays the default for the
+    recall-gated production configs.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -275,16 +293,38 @@ def ivf_search_blocked(
             return empty
         Q = np.stack(qdf["q_emb"].to_numpy())
         B = np.stack(cdf["emb"].to_numpy())
-        qn = np.linalg.norm(Q, axis=1)
         cn = cdf["nrm"].to_numpy()
-        M = (Q @ B.T) / np.outer(np.where(qn == 0, 1.0, qn), np.where(cn == 0, 1.0, cn))
+        if fold_order:
+            # sequential-over-dims accumulation, vectorized over pairs:
+            # bit-identical to the aggregate(zip_with) left fold (and
+            # to _norm for qn); no zero-guards, like ivf_search
+            d = Q.shape[1]
+            D = np.zeros((Q.shape[0], B.shape[0]))
+            S = np.zeros(Q.shape[0])
+            for i in range(d):
+                D += np.multiply.outer(Q[:, i], B[:, i])
+                S += Q[:, i] * Q[:, i]
+            qn = np.sqrt(S)
+            M = D / np.outer(qn, cn)
+        else:
+            qn = np.linalg.norm(Q, axis=1)
+            M = (Q @ B.T) / np.outer(
+                np.where(qn == 0, 1.0, qn), np.where(cn == 0, 1.0, cn)
+            )
         qid = qdf["q_id"].to_numpy()
         cid = cdf["vec_id"].to_numpy()
         M[qid[:, None] == cid[None, :]] = -np.inf
         if mismatch_cols:
             ql = qdf[mismatch_cols[0]].to_numpy()
             cl = cdf[mismatch_cols[1]].to_numpy()
-            M[ql[:, None] == cl[None, :]] = -np.inf
+            mask = ql[:, None] == cl[None, :]
+            if fold_order:
+                # SQL three-valued `<>`: a NULL label on either side
+                # drops the pair (the row path's filter semantics)
+                qnull = pd.isna(ql)
+                cnull = pd.isna(cl)
+                mask = mask | qnull[:, None] | cnull[None, :]
+            M[mask] = -np.inf
         kk = min(k, M.shape[1])
         # fully vectorized per-row top-k with the (-cos, vec_id) tiebreak:
         # argpartition selects, then a stable sort by vec_id followed by a
@@ -742,6 +782,7 @@ def knn_join(
     seed: int = 42,
     candidate_filter=None,
     mismatch_cols: tuple[str, str] | None = None,
+    fold_order: bool = False,
 ) -> DataFrame:
     """Approximate k-NN JOIN: every row of ``left`` (q_id, q_emb) gets
     its k nearest ``right`` rows (vec_id, emb[, extra cols]) by cosine
@@ -778,7 +819,8 @@ def knn_join(
             candidate_filter=candidate_filter,
         )
     return ivf_search_blocked(
-        indexed, centroids, left, k=k, nprobe=nprobe, mismatch_cols=mismatch_cols
+        indexed, centroids, left, k=k, nprobe=nprobe,
+        mismatch_cols=mismatch_cols, fold_order=fold_order,
     )
 
 

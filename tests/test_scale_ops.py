@@ -74,6 +74,36 @@ def test_exact_mode_ann_equals_bruteforce(spark):
         assert got == want, f"{name} exact mode diverged from brute force"
 
 
+def test_fold_order_blocked_knn_equals_row_path(spark):
+    """Round 9: hard_negative_mining's scoring moved from the
+    row-expression fold (interpreted HOF per pair) to the block path in
+    ``fold_order`` mode.  The contract is BIT-equality of the full
+    output — same cosines (sequential-over-dims accumulation == the
+    aggregate(zip_with) left fold), same ranks, same tie-breaks, same
+    null-label drop semantics as the SQL ``<>`` filter."""
+    from tcdb_spark.operators.similarity import knn_join
+    from tcdb_spark.plans.catalog import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.01", "embeddings")["embeddings"]
+    left = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    indexed, cents = ivf_build(emb, k_centroids=16, seed=42, extra_cols=["label"])
+    old = ivf_search(
+        indexed, cents, left, k=5, nprobe=16,
+        candidate_filter=F.col("label") != F.col("q_label"),
+    )
+    new = knn_join(
+        left, emb, k=5, k_centroids=16, nprobe=16,
+        mismatch_cols=("q_label", "label"), fold_order=True,
+    )
+    o = sorted(map(tuple, old.select("q_id", "vec_id", "cosine", "rank_in_group").collect()))
+    n = sorted(map(tuple, new.select("q_id", "vec_id", "cosine", "rank_in_group").collect()))
+    assert o == n
+
+
 def test_hot_shingle_cap_bounds_pair_join(spark):
     """A planted boilerplate shingle (df = n_docs) would contribute
     df^2/2 candidate pairs to the inverted-index self-join — quadratic
