@@ -551,6 +551,13 @@ def pairwise_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BT_ITERS = 25
+# bt_ratings_distributed round-state transport cutover: at or below
+# this many items a round's (i, p) state is a few MB — comfortably
+# under the 10 MB broadcast threshold — and rides a driver-local
+# relation instead of a parquet round-trip (no work_dir given).  Above
+# it (or with an explicit work_dir) rounds keep the restartable parquet
+# discipline; tools/scale_smoke_r5.py smokes that path at 10^5 items.
+_BT_LOCAL_MAX = 50_000
 
 
 def _bt_oracle_sql() -> str:
@@ -715,15 +722,34 @@ def bt_ratings_distributed(
     automatically).  When unset, `session.scratch_dir` resolves it: the
     ``tcdb.scratch.dir`` session conf if configured, a driver-local
     tempdir in local mode, and a hard error otherwise (a driver-local
-    path is NOT shared with cluster executors)."""
+    path is NOT shared with cluster executors).
+
+    Round-state transport (round 9, VERDICT r8 #8): when no ``work_dir``
+    is given AND the item set is broadcast-sized (<= {_BT_LOCAL_MAX}
+    items — a few MB of (i, p) doubles, far under the 10 MB broadcast
+    threshold), each round's O(|items|) ratings ride a DRIVER-LOCAL
+    relation instead of a parquet round-trip: collect the round's
+    output (bounded by construction) and re-inject it with a reused
+    explicit schema — same joins, same aggregation, same float values
+    (the persisted ``pairs`` partitioning is unchanged, and ``p`` is
+    the broadcast side under either transport, so partial-sum order is
+    identical), zero file I/O, constant plan depth.  This cuts the
+    per-round fixed cost ~2x (write job + listing + re-read scan
+    eliminated).  An explicit ``work_dir`` keeps the parquet rounds —
+    that is the restartability contract a caller opts into — as does
+    any item set past the local cap (the documented fallback; smoked at
+    10^5 items in tools/scale_smoke_r5.py)."""
     from tcdb_spark.session import scratch_dir
 
     spark = wins_df.sparkSession
-    tmp = work_dir or scratch_dir(spark, "bt_mm_rounds_")
+    # the normalized duel matrix feeds BOTH the symmetrized pair table
+    # and the per-item win totals; without a persist the whole upstream
+    # derivation (e.g. pairwise_wins' self-join) ran once per consumer
+    # (measured: 2x of the 7.3 s sf0.01 setup wall, round 9)
     w = wins_df.select(
         F.col("winner").alias("i"), F.col("loser").alias("j"),
         F.col("n_wins").cast("bigint").alias("n"),
-    )
+    ).persist()
     pairs = (
         w.unionByName(w.select(F.col("j").alias("i"), F.col("i").alias("j"), "n"))
         .groupBy("i", "j")
@@ -737,10 +763,35 @@ def bt_ratings_distributed(
         .select("i", F.coalesce(F.col("wn"), F.lit(0)).cast("double").alias("wi"))
         .persist()
     )
-    p = wtot.select("i", F.lit(1.0).alias("p"))
+    n_pairs = pairs.count()  # materializes the persisted duel matrix
+    n_items = wtot.count()
+    local_rounds = work_dir is None and n_items <= _BT_LOCAL_MAX
+    tmp = None if local_rounds else (work_dir or scratch_dir(spark, "bt_mm_rounds_"))
+    # Size-derived scan width over the CACHED frames (round 9): cached
+    # plans are exempt from AQE partition coalescing
+    # (canChangeCachedPlanOutputPartitioning is off by default), so a
+    # leaderboard-sized duel matrix persisted across
+    # spark.sql.shuffle.partitions tiny blocks made EVERY round schedule
+    # one task per block per stage — 25 rounds x 3 stages x 32 tasks of
+    # pure scheduling was ~2/3 of the sf0.01 wall.  Scans inside the
+    # round loop ride a coalesce derived from the measured row counts
+    # (~1M rows per task; coalesce never increases partition count, so
+    # a genuinely large matrix keeps its parallelism).
+    import math as _m
+
+    pairs_s = pairs.coalesce(max(1, _m.ceil(n_pairs / 1_000_000)))
+    wtot_s = wtot.coalesce(max(1, _m.ceil(n_items / 1_000_000)))
+    # one session-scoped schema for every local round — explicit, so
+    # re-injection never pays per-round schema inference
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    p_schema = StructType(
+        [wtot.schema["i"], StructField("p", DoubleType(), True)]
+    )
+    p = wtot_s.select("i", F.lit(1.0).alias("p"))
     for k in range(iters):
         den = (
-            pairs.join(p.select(F.col("i"), F.col("p").alias("pi")), "i")
+            pairs_s.join(p.select(F.col("i"), F.col("p").alias("pi")), "i")
             .join(p.select(F.col("i").alias("j"), F.col("p").alias("pj")), "j")
             .select(
                 "i",
@@ -751,12 +802,18 @@ def bt_ratings_distributed(
             .groupBy("i")
             .agg(F.sum("t").alias("den"))
         )
-        new_p = wtot.join(den, "i").select(
+        new_p = wtot_s.join(den, "i").select(
             "i",
             F.when((F.col("wi") == 0) | (F.col("den") == 0), F.lit(0.0))
             .otherwise(F.col("wi") / F.col("den"))
             .alias("p"),
         )
+        if local_rounds:
+            # bounded driver pull (<= _BT_LOCAL_MAX (i, p) rows) and
+            # re-injection as a LocalRelation — no file I/O, no scan
+            # leaf, constant plan depth; doubles round-trip exactly
+            p = spark.createDataFrame(new_p.collect(), p_schema)
+            continue
         # alternate two round dirs; the FINAL round keeps its files (the
         # returned DataFrame scans them lazily — retention contract in
         # session.remove_scratch: final dir is the caller's to delete
@@ -772,7 +829,7 @@ def bt_ratings_distributed(
     tot = p.agg(F.sum("p").alias("t"))
     out = (
         p.crossJoin(F.broadcast(tot))
-        .join(wtot, "i")
+        .join(wtot_s, "i")
         .select(
             F.col("i").alias(item_col),
             F.col("wi").cast("bigint").alias("n_wins"),
