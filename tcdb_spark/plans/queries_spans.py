@@ -248,7 +248,13 @@ def unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id", _tokens(F.col("text")).alias("tokens")
     )
-    ex = toks.select("doc_id", F.explode("tokens").alias("token"))
+    # pin the token universe to the oracle's (ADVICE r8): the DuckDB
+    # tr/va CTEs' WHERE clauses exclude NULL doc_id rows, so a
+    # null-doc_id token must not surface here as an n_train=0/n_val=0
+    # row (it would inflate the vocab size v and shift every log_ratio)
+    ex = toks.where(F.col("doc_id").isNotNull()).select(
+        "doc_id", F.explode("tokens").alias("token")
+    )
     joined = ex.groupBy("token").agg(
         F.sum(F.when(F.col("doc_id") % 10 != 0, F.lit(1)).otherwise(F.lit(0))).alias(
             "n_train"

@@ -933,8 +933,10 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("supp"),
             F.floor(F.unix_timestamp("o_orderdate") / 604800).cast("bigint").alias("wk"),
         )
-        .distinct()
     )
+    # no .distinct() here (round 9): cooccurrence_edges dedups per
+    # (node, key) internally, riding the same single exchange as its
+    # hot-key count and member-list aggregation
     return cooccurrence_edges(co, ["supp", "wk"], "cust", key_cap=_CO_KEY_CAP)
 
 
@@ -942,26 +944,42 @@ def cooccurrence_edges(
     co: DataFrame, key_cols: list[str], node_col: str, key_cap: int
 ) -> DataFrame:
     """Undirected co-occurrence edges (u < v): two nodes connect when
-    they share a key.  ``co`` must be distinct per (node, key).
+    they share a key.  ``co`` need not be distinct per (node, key) —
+    dedup happens inside, on the same exchange as everything else.
 
-    The self-join is quadratic per key (one hot key with 10^6 members
-    yields 10^12 candidate pairs), so keys with more than ``key_cap``
-    members are dropped FIRST via the broadcast-anti `drop_hot_keys` —
-    lossless when no key is hot, and a megahub key is near-zero
-    co-occurrence evidence anyway (everyone co-occurs with everyone —
-    the df-cap rationale of the n-gram dedup index).  Planted-hot-key
-    survival is pinned in tests/test_preference_graph.py."""
-    from tcdb_spark.operators.textdedup import drop_hot_keys
+    ONE exchange end-to-end (round 9, guide §2.4 — was: a distinct
+    exchange + a hot-key count exchange + the two-sided self-join
+    exchange, measured 3.9 s of the graph lane's 9 s cold wall at
+    sf0.1): repartition by the co-occurrence key once, then the
+    per-(node, key) dedup, the hot-key member count (a whole-partition
+    window), and the member-list aggregation all satisfy their
+    distribution requirement from that single hash partitioning (each
+    groups on a SUPERSET of the partitioning key).  Keys with more
+    than ``key_cap`` members are dropped before any list is collected —
+    the count filter runs ahead of collect_list, so a megahub key
+    (near-zero co-occurrence evidence, quadratic hazard: 10^6 members
+    = 10^12 pairs) crosses the plan only as counted-then-dropped rows,
+    never as a collected list.  Pair emission is the same
+    two-native-explode enumeration as the wedge stage: each key's
+    sorted member list yields exactly its i < j pairs in codegen.
+    Planted-hot-key survival is pinned in
+    tests/test_preference_graph.py."""
+    from pyspark.sql.window import Window as W
 
-    capped = drop_hot_keys(co, key_cols, key_cap)
-    a, b = capped.alias("a"), capped.alias("b")
-    cond = F.col(f"a.{node_col}") < F.col(f"b.{node_col}")
-    for k in key_cols:
-        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    keyed = co.repartition(*[F.col(k) for k in key_cols])
+    dedup = keyed.dropDuplicates([node_col, *key_cols])
+    n = F.count(F.lit(1)).over(W.partitionBy(*key_cols))
+    kept = dedup.withColumn("__n", n).where(F.col("__n") <= key_cap)
+    members = kept.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(node_col)).alias("ms")
+    )
     return (
-        a.join(b, cond)
+        members.select(F.posexplode("ms").alias("__i", "u"), "ms")
         .select(
-            F.col(f"a.{node_col}").alias("u"), F.col(f"b.{node_col}").alias("v")
+            "u",
+            F.explode(
+                F.slice(F.col("ms"), F.col("__i") + F.lit(2), F.size("ms"))
+            ).alias("v"),
         )
         .distinct()
     )

@@ -2074,7 +2074,19 @@ def media_near_dup_pairs(
         f"CAST(shiftrightunsigned(ahash, {width * (bands - 1 - b)}) & {mask} AS INT)"
         for b in range(bands)
     )
-    banded = hashes.where(F.col("ahash").isNotNull()).selectExpr(
+    # Barrier (round 9, mirrors video_near_dup_pairs' fh persist): the
+    # hash table feeds BOTH sides of the banded self-join — without it
+    # the upstream decode+hash mapInPandas runs once per branch, i.e.
+    # every payload is DECODED TWICE (at corpus scale the decode is the
+    # lane's dominant cost; guide §2.4).  Fixture-scale A/B (r9):
+    # persist-only is also mildly faster there (0.88 -> 0.83 s image,
+    # 0.89 -> 0.80 s audio); the two rejected variants — coalescing the
+    # fixture frames and capping the cached table's partition count via
+    # df.rdd.getNumPartitions() — each measured a NET LOSS (+0.3-0.5 s:
+    # per-call RDD-conversion planning and lost slice parallelism), so
+    # the hash table keeps its parent scan's partitioning.
+    h = hashes.where(F.col("ahash").isNotNull()).persist()
+    banded = h.selectExpr(
         "media_id", "ahash", f"posexplode(array({band_exprs})) AS (band, bval)"
     )
     a, b = banded.alias("a"), banded.alias("b")

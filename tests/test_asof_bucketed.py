@@ -76,6 +76,38 @@ def test_bucketed_equals_plain_backward(spark, tolerance, bucket_hours):
     assert plain.count() == left.count()  # left-preserving
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_null_keys_and_null_right_ts_equal_plain(spark, direction):
+    """ADVICE r8: null join keys group together in BOTH variants (window
+    partitionBy and groupBy treat NULL as equal), and a null right_ts
+    must never become anyone's match — pin bucketed == plain on exactly
+    that edge so the folded bucket-universe aggregation can't drift."""
+    left = spark.createDataFrame(
+        [(None, 1_600_000_100, 1.0), (None, 1_600_050_000, 2.0),
+         (1, 1_600_000_200, 3.0), (2, 1_600_000_300, 4.0)],
+        "k long, lts long, lval double",
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(None, 1_600_000_000, 10.0), (None, 1_600_040_000, 11.0),
+         (1, None, 99.0), (1, 1_600_000_150, 12.0), (2, None, 98.0)],
+        "k long, rts long, rval double",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    plain = asof_join(
+        left, right, ["k"], "lts", "rts", ["rval"], direction=direction
+    ).select("k", "lts", "lval", "rval")
+    bucketed = asof_join_bucketed(
+        left, right, ["k"], "lts", "rts", ["rval"],
+        bucket_hours=6.0, direction=direction,
+    ).select("k", "lts", "lval", "rval")
+    from collections import Counter
+
+    assert Counter(
+        (r["k"], str(r["lts"]), r["lval"], r["rval"]) for r in bucketed.collect()
+    ) == Counter(
+        (r["k"], str(r["lts"]), r["lval"], r["rval"]) for r in plain.collect()
+    )
+
+
 def test_exact_tie_right_row_visible(spark):
     """A right row AT the left timestamp matches (right sorts first)."""
     left = spark.createDataFrame([(1, 1000)], "k long, lts long").withColumn(
