@@ -152,6 +152,20 @@ def _asof_pack(rt: DataFrame, carried: list[str]):
     )
 
 
+def _asof_pack_src(right_ts: str, right_cols: list[str], carried: list[str]):
+    """:func:`_asof_pack` built directly over the SOURCE column names —
+    same struct fields, same values (aliases don't change inputs), but
+    it composes into the right side's single projection instead of
+    requiring a pre-renamed intermediate (round 9 plan-construction
+    trim: every extra DataFrame op is a py4j round-trip + an analysis
+    pass; see asof_join_bucketed's note)."""
+    return F.struct(
+        F.col(right_ts).alias("__pts"),
+        F.xxhash64(*[F.col(c) for c in right_cols]).alias("__ptie"),
+        *[F.col(c).alias(a) for c, a in zip(right_cols, carried)],
+    )
+
+
 def _asof_pick(direction: str):
     """Shared chooser: __b (latest at-or-before) / __f (earliest
     at-or-after) -> the direction's struct, ties resolving backward for
@@ -169,18 +183,19 @@ def _asof_pick(direction: str):
 
 
 def _asof_finish(out, left_cols, right_cols, carried, chosen, tolerance_hours):
-    out = out.withColumn("__chosen", chosen)
+    # one projection, the chooser inlined per carried column — exactly
+    # what CollapseProject produced from the former
+    # withColumn-then-extract chain, minus two analysis passes (round 9
+    # plan-construction trim); values are identical (deterministic
+    # expressions)
     if tolerance_hours is not None:
         tol_s = int(tolerance_hours * 3600)
-        cts = F.col("__chosen").getField("__pts")
+        cts = chosen.getField("__pts")
         within = F.abs(F.col("__ts").cast("long") - cts.cast("long")) <= tol_s
-        out = out.withColumn("__chosen", F.when(within, F.col("__chosen")))
+        chosen = F.when(within, chosen)
     return out.select(
         *left_cols,
-        *[
-            F.col("__chosen").getField(a).alias(c)
-            for c, a in zip(right_cols, carried)
-        ],
+        *[chosen.getField(a).alias(c) for c, a in zip(right_cols, carried)],
     )
 
 
@@ -218,18 +233,22 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown as-of direction {direction!r}")
     carried = [f"__r_{c}" for c in right_cols]
+    # single projection per side (round 9 plan-construction trim: the
+    # former rename-then-pack-then-withColumn chain cost one py4j round
+    # trip + analysis pass per step; CollapseProject merged them anyway,
+    # so the optimized plan is unchanged — output bit-equality pinned in
+    # tests/test_asof_bucketed.py, oracle re-attested)
     rt = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(a) for c, a in zip(right_cols, carried)],
+        _asof_pack_src(right_ts, right_cols, carried).alias("__pack"),
+        F.lit(0).alias("__side"),
     )
-    rt = rt.select(*on, "__ts", _asof_pack(rt, carried).alias("__pack")).withColumn(
-        "__side", F.lit(0)
-    )
-    lt = (
-        left.withColumn("__ts", F.col(left_ts))
-        .withColumn("__pack", F.lit(None).cast(rt.schema["__pack"].dataType))
-        .withColumn("__side", F.lit(1))
+    lt = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(rt.schema["__pack"].dataType).alias("__pack"),
+        F.lit(1).alias("__side"),
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
 
@@ -317,18 +336,21 @@ def asof_join_bucketed(
     need_f = direction in ("forward", "nearest")
     carried = [f"__r_{c}" for c in right_cols]
 
+    # single projection per side (round 9 plan-construction trim — see
+    # asof_join; optimized plan unchanged, outputs pinned bit-equal)
     rt = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(a) for c, a in zip(right_cols, carried)],
-    )
-    pack_t = None
-    rt = rt.select(*on, "__ts", _asof_pack(rt, carried).alias("__pack")).withColumn(
-        "__bkt", F.floor(F.col("__ts").cast("double") / bucket_s).cast("long")
+        _asof_pack_src(right_ts, right_cols, carried).alias("__pack"),
+        F.floor(F.col(right_ts).cast("double") / bucket_s)
+        .cast("long")
+        .alias("__bkt"),
     )
     pack_t = rt.schema["__pack"].dataType
-    lt = left.withColumn("__ts", F.col(left_ts)).withColumn(
-        "__bkt", F.floor(F.col(left_ts).cast("double") / bucket_s).cast("long")
+    lt = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.floor(F.col(left_ts).cast("double") / bucket_s).cast("long").alias("__bkt"),
     )
 
     # (1)+(2a) per-(key, bucket) reductions over the bucket universe of
@@ -340,7 +362,7 @@ def asof_join_bucketed(
     # Map-side combinable like any hash aggregate.
     null_pack = F.lit(None).cast(pack_t)
     marked = rt.select(*on, "__bkt", "__pack").unionByName(
-        lt.select(*on, "__bkt").withColumn("__pack", null_pack)
+        lt.select(*on, "__bkt", null_pack.alias("__pack"))
     )
     aggs = []
     if need_b:
@@ -383,7 +405,7 @@ def asof_join_bucketed(
         *on,
         "__bkt",
         F.lit(-1).alias("__side"),
-        F.lit(None).cast(rt.schema["__ts"].dataType).alias("__ts"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__ts"),
         (F.col("__bnd_b") if need_b else null_pack).alias("__pack_b"),
         (F.col("__bnd_f") if need_f else null_pack).alias("__pack_f"),
     )
@@ -396,7 +418,7 @@ def asof_join_bucketed(
         F.col("__pack").alias("__pack_f"),
     )
     lt2 = lt.select(
-        *lt.columns,
+        "*",
         F.lit(1).alias("__side"),
         null_pack.alias("__pack_b"),
         null_pack.alias("__pack_f"),
